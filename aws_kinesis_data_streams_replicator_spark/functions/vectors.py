@@ -1,0 +1,60 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+Exactness strategy: float dot products are order-sensitive, so for
+oracle-checkable similarity we **quantize** each component to a µ-scaled
+BIGINT (``round(x * 1e6)``) and do the dot product in exact int64
+arithmetic (64 dims × (1e6)² × 64 ≈ 6.4e13 ≪ 2^63).  Integer sums are
+associative → identical in any engine / any partitioning.  ``cosine``
+keeps a float fast path for non-oracle use.
+
+Scale notes: all expressions here are ``transform``/``zip_with``/
+``aggregate`` over the array — per-row, no shuffle, codegen'd.  Brute
+force top-k is a broadcast-join + per-partition top-k (see
+operators/similarity.py); the LSH variant buckets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_embedding(emb: Column) -> Column:
+    """array<float> → array<bigint>, component-wise round(x*1e6)."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * F.lit(QUANT_SCALE)).cast("long")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Float cosine similarity (fast path; not oracle-exact)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)

@@ -1,0 +1,198 @@
+"""Deduplication operators over the ``documents`` table.
+
+Beyond the reference (which has no dedup — SURVEY §2.2), these are the
+LLM-training-pipeline dedup family, each expressed as a distributed
+DataFrame plan:
+
+* exact dedup           — hash-groupBy, deterministic keeper (min doc_id)
+* MinHash + LSH         — k-shingles → n min-hashes → banded buckets →
+                          candidate pairs via bucket equi-join
+* SimHash               — 32-bit majority fingerprint, cluster by equality
+* n-gram Jaccard        — exact pairwise Jaccard, but only over pairs that
+                          share ≥1 shingle (inverted-index join, never the
+                          full cross product)
+
+Scale notes (100 TB): every pairwise op here is joined on a
+*bucket/shingle key*, so cost is Σ bucket² not N².  Hot shingles (stop
+phrases) skew the inverted index — at scale, drop shingles with document
+frequency above a cap before the self-join (standard practice; the cap
+is a parameter here).  MinHash bands: P(candidate) = 1-(1-j^r)^b; with
+r=2, b=4 the 0.5-Jaccard threshold is soft.  Hash family is md5-seeded
+for oracle portability (see functions/hashing.py; swap to xxhash64 at
+production scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import md5_seeded, shingles, simhash_bits, word_tokens
+
+
+def exact_dedup_clusters(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct text: content hash, kept doc_id (min), copies."""
+    return documents.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deduplicated documents — deterministic keeper = min doc_id per text.
+
+    (`dropDuplicates` keeps an arbitrary row; min-by is reproducible and
+    costs the same single hash aggregation.)
+    """
+    keep = documents.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+    return documents.join(keep, ["doc_id", text_col], "left_semi")
+
+
+def minhash_signatures(
+    documents: DataFrame, k_shingle: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """doc_id + minhash array (n lexicographic-min md5s over shingles)."""
+    sh = documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), k_shingle)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    aggs = [
+        F.min(md5_seeded(F.col("shingle"), i)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidate_pairs(
+    documents: DataFrame,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    Banding: concat r = n_hashes/n_bands consecutive minhashes per band;
+    self-equi-join on (band_id, bucket).  The join key is the bucket hash
+    → shuffle partitioned by bucket, each bucket tiny.
+    """
+    r = n_hashes // n_bands
+    sig = minhash_signatures(documents, k_shingle, n_hashes)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k_shingle: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    |A∩B| from the inverted-index self-join; |A∪B| = |A|+|B|-|A∩B|.
+    Jaccard is returned as an exact REDUCED FRACTION (inter, union) plus
+    a milli-Jaccard integer — integer arithmetic end-to-end so the DuckDB
+    oracle matches bit-for-bit.  ``max_shingle_df`` caps hot shingles at
+    scale.
+    """
+    sh = documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), k_shingle)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard_milli",
+            (F.col("n_inter") * F.lit(1000)).cast("long") / F.col("n_union"),
+        )
+        .withColumn("jaccard_milli", F.floor(F.col("jaccard_milli")).cast("long"))
+    )
+    return out.where(
+        F.col("n_inter") * F.lit(1000) >= F.lit(int(threshold * 1000)) * F.col("n_union")
+    ).select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_milli")
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """doc_id + 32-bit SimHash bitstring over word-token md5s."""
+    return documents.select(
+        "doc_id",
+        simhash_bits(
+            F.transform(word_tokens(F.col("text")), lambda t: F.md5(t))
+        ).alias("simhash"),
+    )
+
+
+def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
+    """Groups of documents with identical SimHash (candidate near-dups)."""
+    return (
+        simhash_fingerprints(documents)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, min_dot_q: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding near-dup pairs by exact quantized dot product ≥ threshold.
+
+    Brute-force pair generation via broadcast self-join — fine for the
+    500-row fixture; at scale use the LSH/IVF path in
+    operators/similarity.py to generate candidates first.
+    """
+    from ..functions.vectors import dot_q, quantize_embedding
+
+    q = embeddings.select(
+        F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            dot_q(F.col("a.qe"), F.col("b.qe")).alias("dot_q"),
+        )
+        .where(F.col("dot_q") >= F.lit(min_dot_q))
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* ``brute_force_topk`` — the exactness baseline: broadcast the query set,
+  score every (query, candidate) pair JVM-side, per-query top-k via a
+  ranking window.  Exact integer (quantized) dot product so results are
+  engine-portable (see functions/vectors.py).
+* ``lsh_bucketed_topk`` — the scale path: deterministic sign-LSH buckets
+  (hyperplanes = ±1 pattern derived from md5 of the dimension index, so
+  no RNG and fully reproducible), candidates restricted to queries'
+  buckets, then the same exact scoring.
+
+Scale notes (100 TB): brute force is O(|Q|·N) with N streamed — fine
+when |Q| is small and broadcast; the window's per-query top-k does one
+shuffle keyed by query_id (|Q| keys → use a high ``n_buckets`` and salt
+if |Q| is tiny but hot).  For N in the billions, LSH cuts candidates by
+~2^n_planes; increase planes with log N and probe multiple buckets
+(multi-probe) to recover recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import dot_q, quantize_embedding
+
+
+def _quantized(embeddings: DataFrame, id_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by quantized dot product.
+
+    Ties broken by neighbor id — fully deterministic.  Self-matches
+    (query_id == neighbor id) are excluded.
+    """
+    cand = _quantized(embeddings, id_col)
+    qs = _quantized(queries, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    scored = cand.join(F.broadcast(qs), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
+def sign_lsh_bucket(qe_col, n_planes: int = 8, dim: int = 64):
+    """Deterministic sign-LSH bucket id (string of n_planes sign bits).
+
+    Plane p's weight for dimension d is +1 if md5('<p>|<d>') starts with
+    a hex char >= '8' else -1 — reproducible everywhere, no RNG.
+    """
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        signs = [
+            1 if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] >= "8" else -1
+            for d in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                qe_col,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    Join is a bucket equi-join (shuffle keyed on bucket) instead of a
+    cross product — the 100 TB-scale candidate generator.
+    """
+    cand = _quantized(embeddings, id_col).withColumn(
+        "bucket", sign_lsh_bucket(F.col("qe"), n_planes, dim)
+    )
+    qs = (
+        _quantized(queries, id_col)
+        .withColumn("bucket", sign_lsh_bucket(F.col("qe"), n_planes, dim))
+        .select(F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe"), "bucket")
+    )
+    scored = cand.join(F.broadcast(qs), "bucket").where(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )

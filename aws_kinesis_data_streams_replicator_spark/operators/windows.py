@@ -1,0 +1,104 @@
+"""Event-time windowed aggregation over the ``events`` table.
+
+The reference has no event-time windows (SURVEY §2.2) — its only
+time-ish op is the per-batch lag metric.  These are the standard
+Structured-Streaming window family, written as batch DataFrame plans
+(identical graphs run incrementally under readStream; see
+streaming/job.py for the watermarked variants):
+
+* tumbling  — ``window(ts, size)``
+* sliding   — ``window(ts, size, slide)``
+* session   — ``session_window(ts, gap)`` per user
+
+All outputs format timestamps as strings (engine-portable) and aggregate
+``value`` as DECIMAL(18,2) (exact, order-independent — double sums are
+partitioning-dependent and would not oracle-match).
+
+Scale notes: tumbling/sliding group keys are (window, dims) — map-side
+partial aggregation collapses each task to one row per window before the
+shuffle.  Sliding with size/slide = 2 duplicates each row twice (Spark
+expands windows before aggregating) — the partial agg still bounds the
+shuffle by #windows.  Session windows shuffle by user_id then
+sort-merge sessions within each key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TS_OUT_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    w = F.window(F.col("ts"), size)
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+        .select(
+            F.date_format("w.start", TS_OUT_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    w = F.window(F.col("ts"), size, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+        .select(
+            F.date_format("w.start", TS_OUT_FMT).alias("window_start"),
+            F.date_format("w.end", TS_OUT_FMT).alias("window_end"),
+            "n_events",
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows: start = first event, end = last + gap."""
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(w.alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def user_event_deltas(events: DataFrame) -> DataFrame:
+    """lag() analytics: per-user previous event value/type and seconds
+    since previous event — the generalized per-key-latest machinery the
+    reference's checkpoint (op 8) is a special case of."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("secs_since_prev"),
+        F.row_number().over(w).alias("event_seq"),
+    )

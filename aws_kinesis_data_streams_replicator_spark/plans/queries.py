@@ -1,0 +1,957 @@
+"""Named query registry + DuckDB oracle SQL — the correctness gate.
+
+Every operator the engine claims (SURVEY §2 inventory + the LLM-pipeline
+extensions) appears here twice: a Spark callable ``(spark, sf_dir) →
+DataFrame`` in ``QUERIES`` and an equivalent ANSI-SQL string in
+``ORACLE_SQL`` that DuckDB runs over the same parquet tables.  The
+driver hash-compares the two at sf0.01, so every output is built from
+**engine-portable arithmetic**: exact DECIMAL sums cast to DOUBLE at the
+end, integer counts, md5 hex hashing, and string-formatted timestamps —
+never raw float accumulation or engine-specific hash functions.
+
+Replication queries (kr_*) run over a deterministic Kinesis-envelope
+derivation of the ``events`` table (sources/envelope.py), with an inline
+active-region config table exercising every gate path of
+Handler.java:139-167: active (exact + mixed-case region), inactive
+region, duplicate config rows, missing config.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from ..sources.envelope import envelope_from_events
+from ..operators import replication, dedup, similarity, text, windows, multimodal
+
+# --------------------------------------------------------------------------
+# Shared fixtures: gate config (all Handler.java:139-167 paths) + region.
+# --------------------------------------------------------------------------
+
+CURRENT_REGION = "us-east-1"
+CONFIG_ROWS = [
+    ("kds-click", "us-east-1"),     # active, exact-case match
+    ("kds-view", "US-EAST-1"),      # active, mixed case (equalsIgnoreCase)
+    ("kds-purchase", "eu-west-1"),  # configured but inactive here
+    ("kds-signup", "us-east-1"),    # duplicate config rows → dropped
+    ("kds-signup", "eu-west-1"),
+    # kds-error: absent from config → dropped with warning
+]
+
+
+def _config_df(spark: SparkSession) -> DataFrame:
+    # Inline VALUES relation (pure JVM) — createDataFrame over a Python
+    # list would materialize through pickled-RDD Python workers.
+    values = ", ".join(f"('{s}', '{r}')" for s, r in CONFIG_ROWS)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t(streamName, activeRegion)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    return replication.gate_active_region(
+        replication.with_decoded(env), _config_df(spark), CURRENT_REGION
+    )
+
+
+# SQL mirror of sources/envelope.py + the config fixture.  ``arrival`` is
+# CAST(ts AS TIMESTAMP): DuckDB truncates ns→µs exactly like the loader.
+_ENV_CTE = """
+env AS (
+    SELECT
+        'arn:aws:kinesis:us-east-1:100000000000:stream/kds-' || event_type
+            || '/consumer/kds-replicator:843564834' AS eventSourceARN,
+        CAST(user_id AS VARCHAR) AS partitionKey,
+        lpad(CAST(event_id AS VARCHAR), 20, '0') AS sequenceNumber,
+        CAST(ts AS TIMESTAMP) AS arrival,
+        '{"key": ' || CAST(user_id AS VARCHAR)
+            || ', "commitTimestamp": "'
+            || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ')
+            || '", "props": ' || props || '}' AS payload
+    FROM events
+)
+"""
+
+_CFG_CTE = """
+cfgsrc(streamName, activeRegion) AS (
+    VALUES ('kds-click','us-east-1'), ('kds-view','US-EAST-1'),
+           ('kds-purchase','eu-west-1'), ('kds-signup','us-east-1'),
+           ('kds-signup','eu-west-1')
+),
+cfg AS (
+    SELECT streamName, min(activeRegion) AS activeRegion
+    FROM cfgsrc GROUP BY streamName HAVING count(*) = 1
+)
+"""
+
+_GATED_CTE = (
+    _ENV_CTE
+    + ","
+    + _CFG_CTE
+    + """,
+decoded AS (
+    SELECT e.*,
+           split_part(split_part(e.eventSourceARN, ':', 6), '/', 2) AS streamName,
+           json_extract_string(e.payload, '$.commitTimestamp') AS commitTimestamp
+    FROM env e
+),
+gated AS (
+    SELECT d.* FROM decoded d
+    JOIN cfg c ON d.streamName = c.streamName
+    WHERE lower(c.activeRegion) = 'us-east-1'
+)
+"""
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# kr_*: the reference's replication pipeline (SURVEY §2 ops 2-8, 10)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "kr_stream_name_extract",
+    f"WITH {_ENV_CTE.strip()} "
+    "SELECT split_part(split_part(eventSourceARN, ':', 6), '/', 2) AS streamName, "
+    "count(*) AS n_records FROM env GROUP BY 1",
+)
+def kr_stream_name_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 2 (Handler.java:169-171): ARN → stream name, counted per stream."""
+    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    from ..functions.arn import stream_name_from_arn
+
+    return env.groupBy(
+        stream_name_from_arn(F.col("eventSourceARN")).alias("streamName")
+    ).agg(F.count(F.lit(1)).alias("n_records"))
+
+
+@_q(
+    "kr_payload_decode",
+    f"WITH {_ENV_CTE.strip()} "
+    "SELECT CAST(sequenceNumber AS VARCHAR) AS sequenceNumber, "
+    "CAST(json_extract_string(payload, '$.key') AS BIGINT) AS cdc_key, "
+    "json_extract_string(payload, '$.commitTimestamp') AS commitTimestamp, "
+    "CAST(json_extract_string(payload, '$.props.k') AS BIGINT) AS prop_k "
+    "FROM env",
+)
+def kr_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 3+4 (Handler.java:74,86): UTF-8 decode + schema-on-read JSON
+    probes, including a nested extra field the reference would ignore."""
+    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    from ..functions.json_payload import decode_payload
+
+    payload = decode_payload(F.col("data"))
+    return env.select(
+        "sequenceNumber",
+        F.get_json_object(payload, "$.key").cast("long").alias("cdc_key"),
+        F.get_json_object(payload, "$.commitTimestamp").alias("commitTimestamp"),
+        F.get_json_object(payload, "$.props.k").cast("long").alias("prop_k"),
+    )
+
+
+@_q(
+    "kr_active_region_gate",
+    f"WITH {_GATED_CTE.strip()} "
+    "SELECT streamName, count(*) AS n_replicated FROM gated GROUP BY streamName",
+)
+def kr_active_region_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 5 (Handler.java:139-167): broadcast stream-static gate; exercises
+    active / mixed-case / inactive / duplicate-config / missing-config."""
+    return _gated(spark, sf_dir).groupBy("streamName").agg(
+        F.count(F.lit(1)).alias("n_replicated")
+    )
+
+
+@_q(
+    "kr_replicated_records",
+    f"WITH {_GATED_CTE.strip()} "
+    "SELECT streamName, partitionKey, sequenceNumber, payload, commitTimestamp "
+    "FROM gated",
+)
+def kr_replicated_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7 (Handler.java:79-84): the replicated stream — byte-faithful
+    payload + partition key passthrough.  The engine's flagship query."""
+    return _gated(spark, sf_dir).select(
+        "streamName", "partitionKey", "sequenceNumber", "payload", "commitTimestamp"
+    )
+
+
+@_q(
+    "kr_checkpoint",
+    f"WITH {_GATED_CTE.strip()} "
+    "SELECT streamName, max(commitTimestamp) AS lastReplicatedCommitTimestamp "
+    "FROM gated GROUP BY streamName",
+)
+def kr_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 8 (Handler.java:85,129-137): per-stream last replicated commit
+    timestamp (max == last-in-sequence under CDC monotonicity)."""
+    return replication.checkpoint(_gated(spark, sf_dir))
+
+
+@_q(
+    "kr_batch_metrics",
+    f"WITH {_GATED_CTE.strip()} "
+    "SELECT streamName, count(*) AS throughput, "
+    "strftime(max(arrival), '%Y-%m-%d %H:%M:%S.%f') AS last_arrival, "
+    "CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00') // 1000000 "
+    "  - epoch_us(max(arrival)) // 1000000 AS BIGINT) AS replicationLagSeconds "
+    "FROM gated GROUP BY streamName",
+)
+def kr_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 10 (Handler.java:94-98): ThroughPut + ReplicationLagSeconds per
+    stream, against a fixed 'now' for determinism."""
+    m = replication.batch_metrics(
+        _gated(spark, sf_dir),
+        now_expr=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    return m.select(
+        "streamName",
+        "throughput",
+        F.date_format("lastArrival", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_arrival"
+        ),
+        "replicationLagSeconds",
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_*: relational core — scan/filter/join/agg/sort/limit
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+            AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass scan + hash aggregate.  All sums in
+    exact DECIMAL (order-independent ⇒ safe under any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_top_orders",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+        strftime(min(o.o_orderdate), '%Y-%m-%d') AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → global top-k.
+    Customer side broadcasts; deterministic tie-break on order key."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "F")
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("o_orderkey"))
+        .agg(
+            F.sum(ep * (one - disc)).cast("double").alias("revenue"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5_revenue_by_nation",
+    """
+    SELECT n.n_name,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+        count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with local-supplier condition; all dim
+    sides broadcast, lineitem never shuffles until the final tiny agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(ep * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "tpch_q6_revenue_delta",
+    """
+    SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down filter + scalar aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "win_top_customers_per_nation",
+    """
+    SELECT * FROM (
+        SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+            row_number() OVER (PARTITION BY n.n_name
+                               ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rk <= 3
+    """,
+)
+def win_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: per-group top-k (generalized op-8 'latest
+    per key').  Nation broadcasts; one shuffle on the window key."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "agg_rollup_nation_acctbal",
+    """
+    SELECT r.r_name, n.n_name,
+        grouping(r.r_name) AS g_region, grouping(n.n_name) AS g_nation,
+        count(*) AS n_customers,
+        CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (grand total → region → nation)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").alias("g_region"),
+            F.grouping("n_name").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "n_customers", "sum_acctbal")
+    )
+
+
+@_q(
+    "set_ops_customer_cohorts",
+    """
+    SELECT 'open_and_final' AS cohort, c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'open_not_final' AS cohort, c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT cohorts tagged and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    final = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # intersect == SQL INTERSECT (distinct); subtract == SQL EXCEPT (distinct)
+    both = open_.intersect(final).select(
+        F.lit("open_and_final").alias("cohort"), "c_custkey"
+    )
+    only_open = open_.subtract(final).select(
+        F.lit("open_not_final").alias("cohort"), "c_custkey"
+    )
+    return both.unionAll(only_open)
+
+
+@_q(
+    "join_anti_semi",
+    """
+    SELECT 'customer_without_orders' AS tag, c_custkey AS key FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'nation_with_suppliers' AS tag, CAST(n_nationkey AS BIGINT) AS key
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    """,
+)
+def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti + semi joins (existence predicates)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("customer_without_orders").alias("tag"), F.col("c_custkey").alias("key")
+    )
+    semi = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select(
+        F.lit("nation_with_suppliers").alias("tag"),
+        F.col("n_nationkey").cast("long").alias("key"),
+    )
+    return anti.unionAll(semi)
+
+
+# --------------------------------------------------------------------------
+# evt_*: event-time windows + sequence analytics over `events`
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "evt_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (1h) per event type."""
+    return windows.tumbling(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@_q(
+    "evt_sliding_1h_30m",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    x AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                              - k * 1800000000) AS wstart, ts, value
+        FROM e CROSS JOIN (VALUES (0), (1)) t(k)
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM x GROUP BY wstart
+    """,
+)
+def evt_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (size 1h, slide 30m) — each event lands in 2 windows."""
+    return windows.sliding(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@_q(
+    "evt_session_windows",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    m AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY user_id, sess
+    """,
+)
+def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 10-minute inactivity gap."""
+    return windows.sessionize(_t(spark, sf_dir, "events"), "10 minutes")
+
+
+@_q(
+    "evt_user_lag_deltas",
+    """
+    SELECT event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           event_type,
+           lag(event_type) OVER w AS prev_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER w
+             AS secs_since_prev,
+           row_number() OVER w AS event_seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def evt_user_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()/row_number() sequence analytics per user."""
+    return windows.user_event_deltas(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "evt_dedup_exact",
+    """
+    SELECT user_id, event_type, props,
+           min(event_id) AS first_event_id, count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type, props
+    """,
+)
+def evt_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup on (user, type, payload) with deterministic keeper."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type", "props")
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_* / text_*: LLM-pipeline dedup + text analysis over `documents`
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shraw AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               AS shingle
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shraw)
+"""
+
+
+@_q(
+    "doc_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters by content hash (deterministic keeper)."""
+    return dedup.exact_dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SIG = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+)
+_MINHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS bucket FROM sig"
+    for b in range(4)
+)
+
+
+@_q(
+    "doc_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands×2 rows) near-dup candidate pairs."""
+    return dedup.minhash_lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, n_hashes=8, n_bands=4
+    )
+
+
+@_q(
+    "doc_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_sh + sb.n_sh - n_inter AS n_union,
+           (n_inter * 1000) // (sa.n_sh + sb.n_sh - n_inter) AS jaccard_milli
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1000 >= 100 * (sa.n_sh + sb.n_sh - n_inter)
+    """,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.1 via inverted-index self-join (integer
+    arithmetic end-to-end)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.1
+    )
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    f"CASE WHEN len(list_filter(hs, h -> substr(h, {p+1}, 1) >= '8')) * 2 "
+    f"> len(hs) THEN '1' ELSE '0' END"
+    for p in range(32)
+)
+
+
+@_q(
+    "doc_simhash",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+        FROM documents
+    )
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM h
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (majority high-bit per hex nibble)."""
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+        FROM toks
+    )
+    SELECT doc_id,
+           list_min(list_transform(sh, s -> md5('0|' || s))) AS fingerprint,
+           len(sh) AS n_shingles
+    FROM shl WHERE len(sh) > 0
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-hash document fingerprint (winnowing, window=doc)."""
+    return text.fingerprints(_t(spark, sf_dir, "documents")).where(
+        F.col("n_shingles") > 0
+    )
+
+
+@_q(
+    "text_quality_stats",
+    """
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               len(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+               len(list_filter(string_split(text, ' '), t -> len(t) >= 6))
+                   AS n_long_words
+        FROM documents
+    )
+    SELECT *,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN n_distinct_words * 4 < n_words THEN 'repetitive'
+                ELSE 'ok' END AS quality_label
+    FROM q
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + label (integer arithmetic only)."""
+    return text.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT source, count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+               AS bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per source."""
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_lang_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per (lang, source)."""
+    return text.lang_source_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"(len(text) - len(replace(text, '{m}', ''))) // {len(m)} AS s_{lang}"
+    for lang, m in text.LANG_MARKERS.items()
+)
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(text.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH s AS (SELECT doc_id, lang AS labeled_lang, {_LANG_SCORES_SQL} FROM documents),
+    b AS (SELECT *, greatest({", ".join("s_" + lang for lang in text.LANG_MARKERS)})
+                    AS best FROM s)
+    SELECT doc_id, labeled_lang, {_LANG_CASE_SQL} AS predicted_lang FROM b
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count argmax language ID (deterministic tie-break)."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# emb_*: similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+@_q(
+    "emb_ann_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {_QUANT_SQL} AS qe
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    s AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                                            i -> q.qe[i] * c.qe[i])) AS BIGINT)
+                   AS dot_q
+        FROM q, c WHERE c.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY dot_q DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, dot_q, rank FROM r WHERE rank <= 10
+    """,
+)
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 neighbors (quantized int dot product) for
+    every 50th vector as query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@_q(
+    "emb_neardup_pairs",
+    f"""
+    WITH c AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+                                            i -> a.qe[i] * b.qe[i])) AS BIGINT)
+                   AS dot_q
+        FROM c a, c b WHERE a.vec_id < b.vec_id
+    )
+    SELECT * FROM p WHERE dot_q >= 30000000000000
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with exact quantized dot ≥ threshold."""
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_dot_q=30_000_000_000_000
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_*: multimodal binary-column plumbing
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+               AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column + typed metadata (decode stays a stub;
+    see operators/multimodal.py)."""
+    return multimodal.media_from_documents(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible / rows-only queries (driver records weaker check)
+# --------------------------------------------------------------------------
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN — the 100 TB candidate-generation path.
+    Approximate by construction → no SQL oracle (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake decode; real decode is a documented stub)."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+QUERIES["emb_ann_lsh_topk"] = emb_ann_lsh_topk
+QUERIES["mm_feature_extract"] = mm_feature_extract
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's smoke-check query: full replication pipeline."""
+    return kr_replicated_records(spark, sf_dir)
