@@ -27,13 +27,17 @@ def word_tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as space-joined strings; [] for docs shorter than k.
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a *materialized* token-array column.
 
-    transform(sequence(...)) keeps the whole thing inside codegen — no
-    explode until the caller needs one.
+    IMPORTANT: ``toks`` must be an attribute reference (a column produced
+    by a previous projection), not an inline ``split(...)`` expression —
+    higher-order lambdas are interpreted (no common-subexpression
+    elimination), so an inline split would re-tokenize the document for
+    every element access: O(words²) per document.  Tokenize once in its
+    own projection (CollapseProject keeps non-cheap duplicated
+    expressions un-inlined), then call this.
     """
-    toks = word_tokens(text)
     n = F.size(toks)
     # sequence(1, 0) would be a DESCENDING [1, 0] in Spark — guard short docs.
     idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
@@ -42,6 +46,12 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles straight from text — ONLY for short/one-off use;
+    see shingles_of_tokens for the hot path."""
+    return shingles_of_tokens(word_tokens(text), k)
 
 
 def md5_seeded(value: Column, seed: int) -> Column:

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import md5_seeded, shingles, simhash_bits, word_tokens
+from ..functions.hashing import md5_seeded, shingles_of_tokens, simhash_bits, word_tokens
+from .util import spread
 
 
 def exact_dedup_clusters(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -50,9 +51,15 @@ def minhash_signatures(
     documents: DataFrame, k_shingle: int = 3, n_hashes: int = 8
 ) -> DataFrame:
     """doc_id + minhash array (n lexicographic-min md5s over shingles)."""
-    sh = documents.select(
-        "doc_id", F.explode(shingles(F.col("text"), k_shingle)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    sh = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     aggs = [
         F.min(md5_seeded(F.col("shingle"), i)).alias(f"h{i}") for i in range(n_hashes)
     ]
@@ -116,9 +123,15 @@ def ngram_jaccard_pairs(
     oracle matches bit-for-bit.  ``max_shingle_df`` caps hot shingles at
     scale.
     """
-    sh = documents.select(
-        "doc_id", F.explode(shingles(F.col("text"), k_shingle)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    sh = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot, "shingle", "left_anti")
@@ -153,13 +166,18 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """doc_id + 32-bit SimHash bitstring over word-token md5s."""
-    return documents.select(
+    """doc_id + 32-bit SimHash bitstring over word-token md5s.
+
+    The md5 array is materialized in its own projection first:
+    simhash_bits references it 64× (32 filters + sizes), and an inline
+    expression would be recomputed per reference (interpreted
+    higher-order lambdas get no subexpression elimination).
+    """
+    hashed = spread(documents).select(
         "doc_id",
-        simhash_bits(
-            F.transform(word_tokens(F.col("text")), lambda t: F.md5(t))
-        ).alias("simhash"),
+        F.transform(word_tokens(F.col("text")), lambda t: F.md5(t)).alias("hs"),
     )
+    return hashed.select("doc_id", simhash_bits(F.col("hs")).alias("simhash"))
 
 
 def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
@@ -173,7 +191,7 @@ def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, min_dot_q: int, id_col: str = "vec_id"
+    embeddings: DataFrame, min_dot_q: int, id_col: str = "vec_id", dim: int = 64
 ) -> DataFrame:
     """Embedding near-dup pairs by exact quantized dot product ≥ threshold.
 
@@ -186,13 +204,13 @@ def embedding_neardup_pairs(
     q = embeddings.select(
         F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
     )
-    a, b = q.alias("a"), q.alias("b")
+    a, b = spread(q).alias("a"), q.alias("b")
     return (
         a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            dot_q(F.col("a.qe"), F.col("b.qe")).alias("dot_q"),
+            dot_q(F.col("a.qe"), F.col("b.qe"), dim).alias("dot_q"),
         )
         .where(F.col("dot_q") >= F.lit(min_dot_q))
     )

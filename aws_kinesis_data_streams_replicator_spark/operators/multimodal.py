@@ -99,4 +99,6 @@ def extract_features(media: DataFrame, batch_hint_rows: int = 10_000) -> DataFra
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from .util import spread
+
+    return spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import dot_q, quantize_embedding
+from .util import spread
 
 
 def _quantized(embeddings: DataFrame, id_col: str) -> DataFrame:
-    return embeddings.select(
+    return spread(embeddings).select(
         F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
     )
 
@@ -35,6 +36,7 @@ def brute_force_topk(
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k by quantized dot product.
 
@@ -48,7 +50,7 @@ def brute_force_topk(
     scored = cand.join(F.broadcast(qs), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+        dot_q(F.col("q_qe"), F.col("qe"), dim).alias("dot_q"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("neighbor_id").asc()
@@ -113,7 +115,7 @@ def lsh_bucketed_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+        dot_q(F.col("q_qe"), F.col("qe"), dim).alias("dot_q"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("neighbor_id").asc()

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.hashing import md5_seeded, shingles, word_tokens
+from ..functions.hashing import md5_seeded, shingles_of_tokens, word_tokens
+from .util import spread
 
 # Tokens: runs of lowercase letters, runs of digits, or single other
 # non-space chars — a deterministic BPE-ish pre-tokenizer, same regex
@@ -40,7 +41,7 @@ def n_words(text: Column) -> Column:
 def quality_stats(documents: DataFrame) -> DataFrame:
     """Per-doc integer quality features + a CASE-based quality label."""
     toks = word_tokens(F.col("text"))
-    df = documents.select(
+    df = spread(documents).select(
         "doc_id",
         "lang",
         "source",
@@ -60,7 +61,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
 def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per source (corpus sizing)."""
     return (
-        documents.select(
+        spread(documents).select(
             "source",
             F.size(word_tokens(F.col("text"))).alias("ws"),
             F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).alias(
@@ -110,11 +111,21 @@ def fingerprints(documents: DataFrame, k_shingle: int = 3) -> DataFrame:
     """Rolling-hash document fingerprint: lexicographic-min seeded md5
     over k-word shingles (winnowing with window = whole doc) + shingle
     count.  Equal fingerprints ⇒ near-identical prefixes of content."""
-    sh = shingles(F.col("text"), k_shingle)
-    return documents.select(
-        "doc_id",
-        F.array_min(F.transform(sh, lambda s: md5_seeded(s, 0))).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+    # Explode + groupBy-min rather than array_min(transform(...)): the
+    # nested higher-order expression gets re-evaluated per reference
+    # (no common-subexpression reuse) and is ~10× slower; the exploded
+    # form is one codegen'd pass + a map-side-combined aggregation.
+    sh = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias("shingle"),
+        )
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(md5_seeded(F.col("shingle"), 0)).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
     )
 
 

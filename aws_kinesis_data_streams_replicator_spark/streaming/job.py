@@ -1,0 +1,107 @@
+"""The streaming replication job: the reference's hot path (SURVEY §3.1)
+as one incremental DataFrame graph.
+
+    envelope stream → decode (ops 2-4) → broadcast gate (op 5)
+      → observe(metrics)                      [op 10]
+      → foreachBatch:
+            sort within partitions by seq     [op 6]
+            append to replication sink        [op 7]
+            per-stream max(commitTs) upsert   [op 8]
+      checkpointLocation WAL                  [op 9 — retry/resume]
+
+Stream-static join note: the static config side is re-read every
+micro-batch by Structured Streaming — exactly matching the reference's
+one DynamoDB Query per batch (Handler.java:65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import replication
+from .sinks import append_replicated, read_checkpoint_table, upsert_checkpoint  # noqa: F401
+
+
+def run_replication_stream(
+    envelope_stream: DataFrame,
+    config: DataFrame,
+    current_region: str,
+    replicated_dir: str,
+    checkpoint_table_dir: str,
+    stream_checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
+) -> StreamingQuery:
+    gated = replication.gate_active_region(
+        replication.with_decoded(envelope_stream), config, current_region
+    )
+    observed = gated.observe(
+        "replication_metrics",
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("approximateArrivalTimestamp").alias("last_arrival"),
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            good = batch_df.where(F.col("commitTimestamp").isNotNull())
+            bad = batch_df.where(F.col("commitTimestamp").isNull())
+            if dead_letter_dir is not None:
+                # Malformed payloads: the reference aborts the batch and
+                # retries forever (Handler.java:90-93); a poison message
+                # would wedge the stream, so the engine dead-letters it
+                # instead (documented deviation — at-least-once is kept
+                # for well-formed records either way).
+                bad.write.mode("append").parquet(dead_letter_dir)
+                repl = good
+            else:
+                repl = batch_df
+            append_replicated(replication.replicated_records(repl), replicated_dir)
+            upsert_checkpoint(replication.checkpoint(good), checkpoint_table_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        observed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def streaming_dedup(
+    events_stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes — the state-size-safe dedup at 100 TB/day rates."""
+    return events_stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def windowed_counts_stream(
+    events_stream: DataFrame,
+    watermark_delay: str = "30 minutes",
+    size: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    operators/windows.tumbling; late data beyond the watermark is
+    dropped (late-data handling the reference lacks entirely)."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), size).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+        )
+    )

@@ -1,0 +1,66 @@
+"""foreachBatch sinks: replication append + keyed checkpoint upsert.
+
+Delivery contract (SURVEY §2 op 9, §2.1): Structured Streaming's
+``checkpointLocation`` WAL replays whole micro-batches after failure —
+the Spark analog of Lambda's retry-from-failed-sequence-number.  Both
+sinks therefore must tolerate replays:
+
+* replication sink — append-only ⇒ at-least-once, exactly like the
+  reference's PutRecord retries (README accepts target-stream dups);
+  downstream readers dedup on (streamName, sequenceNumber).
+* checkpoint sink — **idempotent keyed upsert** taking the per-stream
+  MAX commit timestamp merged with the existing table: replaying an old
+  batch can never move a checkpoint backwards (monotone, matching
+  last-writer-wins-in-sequence-order of Handler.java:85).
+
+The checkpoint "table" is a tiny parquet key-value table (one row per
+stream) — the DynamoDB Global Table stand-in.  At scale this would be
+Delta/Iceberg MERGE or an actual DynamoDB writer; the upsert semantics
+are identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CHECKPOINT_COLS = ("streamName", "lastReplicatedCommitTimestamp")
+
+
+def append_replicated(batch_df: DataFrame, out_dir: str) -> None:
+    """Replication sink: per-shard order preserved by sorting within
+    partitions on sequenceNumber before the write (op 6)."""
+    (
+        batch_df.sortWithinPartitions("sequenceNumber")
+        .write.mode("append")
+        .parquet(out_dir)
+    )
+
+
+def read_checkpoint_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    if os.path.isdir(table_dir) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(table_dir) for f in fs
+    ):
+        return spark.read.parquet(table_dir)
+    return spark.createDataFrame([], schema="streamName string, lastReplicatedCommitTimestamp string")
+
+
+def upsert_checkpoint(batch_checkpoint: DataFrame, table_dir: str) -> None:
+    """Idempotent monotone upsert: new value = max(existing, incoming)."""
+    spark = batch_checkpoint.sparkSession
+    existing = read_checkpoint_table(spark, table_dir)
+    merged = (
+        batch_checkpoint.select(*CHECKPOINT_COLS)
+        .unionByName(existing.select(*CHECKPOINT_COLS))
+        .groupBy("streamName")
+        .agg(F.max("lastReplicatedCommitTimestamp").alias("lastReplicatedCommitTimestamp"))
+    )
+    # Tiny table (one row per stream): write-new-then-swap for atomicity.
+    tmp = table_dir.rstrip("/") + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    os.rename(tmp, table_dir)
