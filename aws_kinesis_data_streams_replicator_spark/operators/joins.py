@@ -1,0 +1,117 @@
+"""Temporal joins the reference lacks (SURVEY §2.2): as-of and bounded
+range joins, built shuffle-lean.
+
+* ``as_of_join`` — "most recent right row at or before each left row".
+  NOT implemented as an inequality join (which Spark would execute as a
+  broadcast-nested-loop / cartesian): both sides are unioned and a
+  single ``last(..., ignorenulls)`` window pass picks the prior right
+  row.  One shuffle on the partition key, O(n log n) per key, no pair
+  explosion — the classic scalable formulation.
+
+* ``range_count_join`` — "count right rows within a bounded time range
+  of each left row".  Implemented as a *bucketed* equi-join: right rows
+  are exploded to (bucket, bucket+1) with bucket width == range width,
+  so each left row equi-joins exactly the two buckets that can contain
+  matches, then the precise range predicate filters.  Shuffle is keyed
+  on (partition key, bucket) — no theta-join, skew bounded by bucket
+  population.
+
+Scale notes (100 TB): both plans shuffle once by (key[, bucket]) and
+stream within partitions; neither materializes a cross product.  For
+as-of with a very hot key, pre-salt the union by hashing the right side
+into the same salt buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right_ts <= left_ts`` (per ``on`` key); NULLs when none exists.
+
+    Equal timestamps match (right sorts before left at the same instant).
+    ``tie_break`` orders concurrent right rows deterministically.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+        (F.lit(None).cast(right.schema[tie_break].dataType) if tie_break else F.lit(None)).alias("_tb"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        (F.col(tie_break) if tie_break else F.lit(None)).alias("_tb"),
+    ).select(*l.columns)  # align column order for union
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *u.columns,
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"asof_{c}") for c in right_payload]
+    )
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    range_micros: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: count of right rows with
+    ``left_ts - range <= right_ts < left_ts`` (same ``on`` key).
+
+    Bucket width == range width ⇒ every candidate right row lives in the
+    left row's bucket or the one before it; exploding the right side to
+    (bucket, bucket+1) turns the theta-join into an equi-join.
+    """
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(range_micros)).cast("long")
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(range_micros)).cast("long")
+    l = left.withColumn("_bucket", lb).withColumn("_lus", F.unix_micros(F.col(left_ts)))
+    r = (
+        right.select(
+            F.col(on).alias("_ron"),
+            F.unix_micros(F.col(right_ts)).alias("_rus"),
+            F.explode(F.array(rb, rb + 1)).alias("_bucket"),
+        )
+    )
+    matched = (
+        l.join(
+            r,
+            (F.col(on) == F.col("_ron"))
+            & (l["_bucket"] == r["_bucket"])
+            & (F.col("_rus") < F.col("_lus"))
+            & (F.col("_rus") >= F.col("_lus") - F.lit(range_micros)),
+            "left",
+        )
+        .groupBy(*[l[c] for c in left.columns])
+        .agg(F.count(F.col("_rus")).alias(count_alias))
+    )
+    return matched

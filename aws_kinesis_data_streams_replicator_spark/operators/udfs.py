@@ -1,0 +1,60 @@
+"""The Python-UDF surface — demonstrated the *right* way.
+
+The engine's rule (north star): built-in JVM expressions first; when
+Python is unavoidable, Arrow-batched pandas UDFs, never row-at-a-time.
+These operators exist to pin the three shapes down with integer-exact
+semantics (so even the Python path is oracle-checkable):
+
+* ``pandas_distinct_words``  — scalar @pandas_udf (vectorized per batch)
+* ``user_activity_stats``    — grouped-map applyInPandas (per-key pandas
+                               frame; the custom-aggregation escape hatch)
+* streaming stateful ops live in streaming/stateful.py
+  (applyInPandasWithState)
+
+Scale notes: scalar pandas UDFs stream Arrow batches (default 10k rows)
+— constant memory; applyInPandas materializes ONE GROUP per call, so key
+cardinality/size must be checked before reaching for it (a hot key with
+10 M rows becomes a 10 M-row pandas frame on one executor).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+@F.pandas_udf(LongType())
+def pandas_distinct_words(texts: pd.Series) -> pd.Series:
+    """Vectorized distinct-word count (Arrow batch in, Arrow batch out)."""
+    return texts.str.split(" ").map(lambda t: len(set(t))).astype("int64")
+
+
+def distinct_words_pandas(documents: DataFrame) -> DataFrame:
+    from .util import spread
+
+    return spread(documents).select(
+        "doc_id", pandas_distinct_words(F.col("text")).alias("n_distinct_words")
+    )
+
+
+def user_activity_stats(events: DataFrame) -> DataFrame:
+    """Per-user custom aggregation in pandas: event count, distinct
+    types, and the largest inter-event gap in microseconds (exact int)."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_us = pdf["ts"].sort_values().astype("int64") // 1000  # ns → µs
+        gaps = ts_us.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_types": [pdf["event_type"].nunique()],
+                "max_gap_us": [int(gaps.max()) if len(gaps) else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        stats, schema="user_id long, n_events long, n_types long, max_gap_us long"
+    )

@@ -929,6 +929,150 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (as-of / bounded range) + cube + the pandas-UDF surface
+# --------------------------------------------------------------------------
+
+_TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@_q(
+    "evt_asof_join_signup",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT * FROM e WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           s.event_id AS asof_event_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts_s
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def evt_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's most recent
+    prior (or simultaneous) signup.  Implemented union+window (one
+    shuffle, no pair explosion) — see operators/joins.py; oracle uses
+    DuckDB's native ASOF JOIN."""
+    from ..operators.joins import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    s = e.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("s_event_id")
+    )
+    out = as_of_join(
+        p, s, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["s_event_id", "ts"], tie_break="s_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_FMT).alias("ts_s"),
+        F.col("asof_s_event_id").alias("asof_event_id"),
+        F.date_format("asof_ts", _TS_US_FMT).alias("asof_ts_s"),
+    )
+
+
+@_q(
+    "evt_range_count_5m",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    err AS (SELECT * FROM e WHERE event_type = 'error'),
+    clk AS (SELECT * FROM e WHERE event_type = 'click')
+    SELECT err.event_id, err.user_id, count(clk.event_id) AS n_prior_clicks
+    FROM err LEFT JOIN clk
+      ON clk.user_id = err.user_id
+     AND clk.ts < err.ts AND clk.ts >= err.ts - INTERVAL 5 MINUTE
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def evt_range_count_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per error event, clicks by the same user in
+    the preceding 5 minutes.  Bucketed equi-join (operators/joins.py) —
+    never a theta/nested-loop join."""
+    from ..operators.joins import range_count_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_count_join(
+        err, clk, on="user_id", left_ts="ts", right_ts="ts",
+        range_micros=5 * 60 * 1_000_000, count_alias="n_prior_clicks",
+    )
+    return out.select("event_id", "user_id", "n_prior_clicks")
+
+
+@_q(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over order status × priority."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "sum_totalprice",
+        )
+    )
+
+
+@_q(
+    "udf_pandas_distinct_words",
+    """
+    SELECT doc_id, len(list_distinct(string_split(text, ' ')))
+               AS n_distinct_words
+    FROM documents
+    """,
+)
+def udf_pandas_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar @pandas_udf (Arrow-vectorized) with an integer-exact oracle
+    — the sanctioned Python escape hatch, proven equivalent."""
+    from ..operators.udfs import distinct_words_pandas
+
+    return distinct_words_pandas(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "udf_grouped_user_stats",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    d AS (SELECT user_id, event_type,
+                 us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS g
+          FROM e)
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           max(g) AS max_gap_us
+    FROM d GROUP BY user_id
+    """,
+)
+def udf_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas custom aggregation (exact integer µs)."""
+    from ..operators.udfs import user_activity_stats
+
+    return user_activity_stats(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible / rows-only queries (driver records weaker check)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference's checkpoint (op 8) is a degenerate stateful operator
+(per-key max).  This is the general form: arbitrary per-key state
+maintained across micro-batches — the escape hatch for semantics the
+built-in streaming aggregations can't express (counters with custom
+merge, per-key ML state, cross-batch sequence detection).
+
+Scale notes: state is partitioned by the group key and checkpointed via
+the WAL (RocksDB state store on a real cluster:
+``spark.sql.streaming.stateStore.providerClass``).  Always pair with a
+timeout (or watermark-scoped keys) in production so state can't grow
+unboundedly; NoTimeout here because stream names are finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "streamName string, total_records long, last_commit_ts string, n_batches long"
+)
+STATE_SCHEMA = "total_records long, last_commit_ts string, n_batches long"
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total, last_ts, n_batches = (
+        state.get if state.exists else (0, None, 0)
+    )
+    batch_rows = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+        ts = pdf["commitTimestamp"].dropna()
+        if len(ts):
+            m = ts.max()  # ISO-8601 strings: lexicographic == chronological
+            last_ts = m if last_ts is None else max(last_ts, m)
+    total += batch_rows
+    n_batches += 1
+    state.update((total, last_ts, n_batches))
+    yield pd.DataFrame(
+        {
+            "streamName": [key[0]],
+            "total_records": [total],
+            "last_commit_ts": [last_ts],
+            "n_batches": [n_batches],
+        }
+    )
+
+
+def running_stream_totals(decoded_stream: DataFrame) -> DataFrame:
+    """Per-stream running totals across ALL micro-batches seen so far —
+    state the per-batch reference can't express at all (its only memory
+    is the external checkpoint row)."""
+    return decoded_stream.select("streamName", "commitTimestamp").groupBy(
+        "streamName"
+    ).applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correct results aren't enough: these tests pin the plan properties that
+make each operator survive a 1000-executor scale-up (broadcasts where a
+dim table is small, pushdown into the scan, no nested-loop joins on the
+big-data paths, partial aggregation before every shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gate_join_is_broadcast(spark, sf_dir):
+    """Op 5: the config side must broadcast — the stream side never
+    shuffles for the gate (Handler does one tiny Query per batch)."""
+    plan = plan_of(spark, sf_dir, "kr_active_region_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: lineitem must reach its aggregation without a
+    single sort-merge join — every dim side broadcasts."""
+    plan = plan_of(spark, sf_dir, "tpch_q5_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: two HashAggregates around a single exchange."""
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """kr_checkpoint projects 2 of 5 envelope source columns; the events
+    scan must not read value/props-independent columns it doesn't need."""
+    plan = plan_of(spark, sf_dir, "kr_checkpoint")
+    assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_asof_join_has_no_pair_explosion(spark, sf_dir):
+    """The as-of join must be window-based: no join operator at all."""
+    plan = plan_of(spark, sf_dir, "evt_asof_join_signup")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Bucketing must turn the range predicate into a hash-joinable key."""
+    plan = plan_of(spark, sf_dir, "evt_range_count_5m")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_minhash_pairs_join_on_bucket(spark, sf_dir):
+    """LSH candidate generation must equi-join on the band bucket."""
+    plan = plan_of(spark, sf_dir, "doc_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["kr_replicated_records", "kr_payload_decode", "evt_tumbling_hourly"],
+)
+def test_narrow_queries_stay_jvm_side(spark, sf_dir, name):
+    """No joins, no shuffles beyond the agg, and crucially no Python in
+    the row path (BatchEvalPython = row-at-a-time UDF, the banned slow
+    path; Arrow* = pandas UDFs, allowed only where declared)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

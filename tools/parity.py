@@ -43,7 +43,13 @@ def _norm(v):
 
 def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # NULL-safe sort key: (is_null, type tag, value) per cell
+    def key(row):
+        return tuple(
+            (v is None, type(v).__name__, "" if v is None else str(v)) for v in row
+        )
+
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=key)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
