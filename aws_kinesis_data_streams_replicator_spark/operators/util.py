@@ -19,3 +19,34 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_aggregate(
+    df,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+):
+    """Skew-safe two-stage aggregation.
+
+    A single hot key sends all its rows to one reducer; salting splits
+    each key into ``n_salt`` sub-keys for a first partial aggregation,
+    then merges the partials in a second (tiny) aggregation.  ``aggs``
+    maps output name → (function, column) where function ∈
+    {sum, count, min, max} — the decomposable aggregates whose partials
+    merge losslessly (count merges via sum).
+
+    At 100 TB this is the fallback when AQE skew handling isn't enough
+    (e.g. one stream name carrying 50% of traffic in the checkpoint agg).
+    """
+    from pyspark.sql import functions as F
+
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salt).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[first_fn[fn](col).alias(name) for name, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )

@@ -84,6 +84,55 @@ def sessionize(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style hierarchical rollup: minute → hour → day, where
+    each coarser resolution RE-AGGREGATES the finer aggregate instead of
+    rescanning the raw events (the continuous-aggregate pattern: at
+    100 TB the minute layer is ~10⁴× smaller than raw, so hour/day cost
+    almost nothing and the source is scanned exactly once)."""
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_d").alias("sum_value_d"),
+        )
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_d").alias("sum_value_d"),
+        )
+    )
+
+    def shape(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("bucket", TS_OUT_FMT).alias("bucket"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+        )
+
+    return (
+        shape(minute, "minute").unionByName(shape(hour, "hour")).unionByName(shape(day, "day"))
+    )
+
+
 def user_event_deltas(events: DataFrame) -> DataFrame:
     """lag() analytics: per-user previous event value/type and seconds
     since previous event — the generalized per-key-latest machinery the

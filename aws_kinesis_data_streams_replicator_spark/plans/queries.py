@@ -1072,6 +1072,156 @@ def udf_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity_stats(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "evt_multires_rollup",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                      CAST(value AS DECIMAL(18,2)) AS v FROM events),
+    m AS (SELECT date_trunc('minute', ts) AS bucket, event_type,
+                 count(*) AS n_events, sum(v) AS sv FROM e GROUP BY 1, 2),
+    h AS (SELECT date_trunc('hour', bucket) AS bucket, event_type,
+                 sum(n_events) AS n_events, sum(sv) AS sv FROM m GROUP BY 1, 2),
+    d AS (SELECT date_trunc('day', bucket) AS bucket, event_type,
+                 sum(n_events) AS n_events, sum(sv) AS sv FROM h GROUP BY 1, 2)
+    SELECT 'minute' AS resolution, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, n_events, CAST(sv AS DOUBLE) AS sum_value FROM m
+    UNION ALL
+    SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type,
+           n_events, CAST(sv AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type,
+           n_events, CAST(sv AS DOUBLE) FROM d
+    """,
+)
+def evt_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style minute→hour→day continuous-aggregate rollup
+    (coarser levels re-aggregate finer ones; raw scanned once)."""
+    return windows.multires_rollup(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "agg_salted_event_type",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-stage aggregation — must produce exactly the
+    plain groupBy answer (the oracle IS the plain groupBy)."""
+    from ..operators.util import salted_aggregate
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_value_d": ("sum", "value_d"),
+            "min_event_id": ("min", "event_id"),
+            "max_event_id": ("max", "event_id"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value_d").cast("double").alias("sum_value"),
+        "min_event_id",
+        "max_event_id",
+    )
+
+
+@_q(
+    "fn_scalar_suite",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           lower(p_brand) AS brand_l,
+           substr(p_type, 1, 5) AS type_5,
+           len(p_name) AS name_len,
+           reverse(p_brand) AS brand_rev,
+           concat(p_brand, '::', p_type) AS brand_type,
+           strpos(p_name, 'a') AS first_a,
+           abs(p_size - 25) AS size_dist,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+               AS price_r1,
+           coalesce(nullif(p_brand, 'Brand#1'), 'sentinel') AS brand_nn,
+           CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid'
+                WHEN p_size < 10 THEN 'small' ELSE 'large' END AS size_class
+    FROM part
+    """,
+)
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function library parity sweep (string/math/conditional)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.substring("p_type", 1, 5).alias("type_5"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat(F.col("p_brand"), F.lit("::"), F.col("p_type")).alias("brand_type"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_r1"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("sentinel")).alias(
+            "brand_nn"
+        ),
+        F.when(F.col("p_size").between(10, 20), F.lit("mid"))
+        .when(F.col("p_size") < 10, F.lit("small"))
+        .otherwise(F.lit("large"))
+        .alias("size_class"),
+    )
+
+
+@_q(
+    "fn_date_parts",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) - 1 AS wd,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_95
+    FROM orders
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function parity sweep (extraction, arithmetic, diffs)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible / rows-only queries (driver records weaker check)
 # --------------------------------------------------------------------------
