@@ -27,6 +27,41 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import (  # noqa: E
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+_PYFILES_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    Python-UDF/UDTF objects defined at module level are cloudpickled BY
+    REFERENCE; if the driver process was started outside this repo, the
+    workers cannot import the package and every Python-path query dies
+    with ModuleNotFoundError.  Shipping a zip via addPyFile fixes that
+    for any driver cwd."""
+    global _PYFILES_SHIPPED
+    if _PYFILES_SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        pkg = "aws_kinesis_data_streams_replicator_spark"
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"akr_pkg_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(os.path.join(root, pkg)):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        spark.sparkContext.addPyFile(zpath)
+        _PYFILES_SHIPPED = True
+    except Exception:
+        pass  # already-on-path setups (tests) work without it
+
+
 def _apply_session_conf(spark: SparkSession) -> None:
     """The runtime confs the engine depends on (driver may own the session)."""
     for k, v in {
@@ -38,6 +73,7 @@ def _apply_session_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import DoubleType, LongType
 
 
 @F.pandas_udf(LongType())
@@ -37,6 +37,42 @@ def distinct_words_pandas(documents: DataFrame) -> DataFrame:
     return spread(documents).select(
         "doc_id", pandas_distinct_words(F.col("text")).alias("n_distinct_words")
     )
+
+
+# type OBJECT, not DDL string: workers that unpickle this module's
+# globals have no SparkSession to parse DDL with
+@F.pandas_udf(DoubleType())
+def pandas_median(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (vectorized UDAF): exact median — the mean
+    of the two middle int64s is exactly representable in a double."""
+    import numpy as np
+
+    return float(np.median(v))
+
+
+def event_id_median_by_type(events: DataFrame) -> DataFrame:
+    # A GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — count rides in a separate agg and
+    # joins back on the (tiny) group key.
+    med = events.groupBy("event_type").agg(
+        pandas_median(F.col("event_id").cast("double")).alias("median_event_id")
+    )
+    cnt = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return med.join(cnt, "event_type")
+
+
+class BigramUDTF:
+    """Python UDTF: first 5 word-bigrams of a text, with positions.
+
+    UDTFs are row-at-a-time Python — fine for API surface and small
+    inputs; at scale the same expansion belongs in explode(transform(...))
+    (see functions/hashing.py) or mapInPandas.
+    """
+
+    def eval(self, text: str):  # noqa: A002
+        toks = text.split(" ")
+        for i in range(min(5, len(toks) - 1)):
+            yield i + 1, f"{toks[i]} {toks[i + 1]}"
 
 
 def user_activity_stats(events: DataFrame) -> DataFrame:

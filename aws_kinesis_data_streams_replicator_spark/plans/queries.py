@@ -1222,6 +1222,177 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "udf_pandas_agg_median",
+    """
+    SELECT event_type, median(event_id) AS median_event_id,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_pandas_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (vectorized UDAF) vs DuckDB's median."""
+    from ..operators.udfs import event_id_median_by_type
+
+    return event_id_median_by_type(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "udtf_bigrams",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    x AS (SELECT doc_id, t,
+                 unnest(range(1, least(5, len(t) - 1) + 1)) AS pos
+          FROM toks)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           t[pos] || ' ' || t[pos + 1] AS bigram
+    FROM x
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join — the table-function API surface."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from ..operators.udfs import BigramUDTF
+
+    # explicit StructType: a DDL string would be parsed on the executor,
+    # where no SparkSession exists (SESSION_OR_CONTEXT_NOT_EXISTS)
+    fn = udtf(
+        BigramUDTF,
+        returnType=StructType(
+            [StructField("pos", IntegerType()), StructField("bigram", StringType())]
+        ),
+    )
+    spark.udtf.register("bigram_udtf", fn)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.bigram "
+        "FROM _docs_udtf d, LATERAL bigram_udtf(d.text) t"
+    )
+
+
+@_q(
+    "agg_percentiles_disc",
+    """
+    WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus, max(n) AS n_orders,
+           max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p50_totalprice,
+           max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p90_totalprice
+    FROM r GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles via deterministic rank selection (identical
+    index formula both engines; value passthrough, no interpolation)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderstatus")
+    r = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(q: float):
+        idx = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+
+    return r.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n_orders"),
+        pick(0.5).alias("p50_totalprice"),
+        pick(0.9).alias("p90_totalprice"),
+    )
+
+
+@_q(
+    "corr_subquery_cheapest_item",
+    """
+    WITH r AS (
+        SELECT l_orderkey, l_extendedprice, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice, l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey AS o_orderkey, l_extendedprice AS cheapest_price,
+           l_linenumber AS cheapest_linenumber
+    FROM r WHERE rn = 1
+    """,
+)
+def corr_subquery_cheapest_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Cheapest lineitem per order' — the correlated-scalar-subquery
+    shape, decorrelated into one ranking window pass (single shuffle)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("cheapest_price"),
+            F.col("l_linenumber").alias("cheapest_linenumber"),
+        )
+    )
+
+
+_MINHASH_PAIRS_CTES = f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@_q(
+    "doc_lsh_levenshtein_verify",
+    _MINHASH_PAIRS_CTES
+    + """
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(substr(da.text, 1, 60), substr(db.text, 1, 60))
+               AS edit_distance_60
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+)
+def doc_lsh_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-verify composition: LSH candidates re-scored with
+    exact edit distance on a 60-char prefix.  Levenshtein is O(L²) per
+    pair — affordable precisely BECAUSE the LSH stage bounded the pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, k_shingle=3, n_hashes=8, n_bands=4)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 60).alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 60).alias("tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("ta"), F.col("tb")).alias("edit_distance_60"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible / rows-only queries (driver records weaker check)
 # --------------------------------------------------------------------------

@@ -79,6 +79,11 @@ def get_spark(
         builder = builder.config(k, v)
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # bucketed-table storage (co-located joins); keep out of the repo tree
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/akr-warehouse"),
+    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
