@@ -89,6 +89,69 @@ def sign_lsh_bucket(qe_col, n_planes: int = 8, dim: int = 64):
     return F.concat(*bits)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors into cells, probe
+    only the query's ``n_probe`` nearest cells.
+
+    Centroids are the first ``n_cells`` vectors by id — deterministic and
+    cheap; a real deployment would k-means them offline.  The centroid
+    set is tiny by design (≤ a few thousand at any scale) so broadcasting
+    it is free; the candidate search is an equi-join on cell id — the
+    same shuffle shape as the LSH variant, with recall tuned by n_probe
+    instead of plane count.
+    """
+    cand = _quantized(embeddings, id_col)
+    cent = (
+        _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
+        .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
+    )
+
+    def assign(df: DataFrame, vec_col: str, n_keep: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).select(
+            *df.columns,
+            F.col("cell"),
+            dot_q(F.col(vec_col), F.col("c_qe")).alias("_cd"),
+        )
+        # partition by the id column only (first col) — the vector array
+        # is functionally dependent and hashing it as a key is wasted work
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_cd").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n_keep)
+            .select(*df.columns, F.col("cell").alias(out))
+        )
+
+    cand_cells = assign(cand, "qe", 1, "cell")
+    qs = _quantized(queries, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    q_cells = assign(qs, "q_qe", n_probe, "cell")
+    scored = cand_cells.join(F.broadcast(q_cells), "cell").where(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1406,6 +1406,14 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
 
 
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (coarse quantize + multi-probe) — approximate →
+    rows-only check; recall vs the exact `emb_ann_topk` is unit-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic fake decode; real decode is a documented stub)."""
@@ -1414,6 +1422,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["emb_ann_lsh_topk"] = emb_ann_lsh_topk
+QUERIES["emb_ann_ivf_topk"] = emb_ann_ivf_topk
 QUERIES["mm_feature_extract"] = mm_feature_extract
 
 

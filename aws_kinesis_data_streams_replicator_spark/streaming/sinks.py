@@ -38,6 +38,20 @@ def append_replicated(batch_df: DataFrame, out_dir: str) -> None:
     )
 
 
+def replicated_exactly_once(batch_df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Exactly-once variant for idempotent-capable targets: each
+    micro-batch overwrites its own ``batch_id=N`` partition, so a WAL
+    replay rewrites the identical data instead of appending duplicates.
+    (The reference's Kinesis target can't do this — PutRecord is
+    append-only, hence its documented at-least-once; a file/table target
+    can, and this is the standard foreachBatch idempotency pattern.)"""
+    (
+        batch_df.sortWithinPartitions("sequenceNumber")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+    )
+
+
 def read_checkpoint_table(spark: SparkSession, table_dir: str) -> DataFrame:
     if os.path.isdir(table_dir) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(table_dir) for f in fs

@@ -1,0 +1,67 @@
+"""Scale-pattern contracts: exactly-once sinks, partition pruning,
+IVF recall."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_streams_replicator_spark.operators import similarity
+from aws_kinesis_data_streams_replicator_spark.sources.tables import load_table
+from aws_kinesis_data_streams_replicator_spark.streaming.sinks import (
+    replicated_exactly_once,
+)
+
+
+def test_exactly_once_sink_tolerates_replay(spark, tmp_path):
+    """Replaying the same micro-batch (same batch_id) must not duplicate
+    rows — the foreachBatch idempotency pattern for file/table targets."""
+    out = str(tmp_path / "repl")
+    batch = spark.sql(
+        "SELECT CAST(id AS STRING) AS sequenceNumber, 'x' AS payload "
+        "FROM range(100)"
+    )
+    replicated_exactly_once(batch, out, batch_id=7)
+    replicated_exactly_once(batch, out, batch_id=7)  # WAL replay
+    replicated_exactly_once(batch, out, batch_id=8)  # next batch
+    got = spark.read.option("basePath", out).parquet(out)
+    assert got.count() == 200
+    assert got.where(F.col("batch_id") == 7).count() == 100
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + date filter ⇒ the scan must prune at
+    the partition level (PartitionFilters), not post-filter rows."""
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    want = events.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert df.count() == want and want > 0
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with 4-of-16 probes must recover a reasonable fraction of the
+    exact top-10 (random 64-dim data is a worst case for IVF; the
+    contract here is 'plausible recall + exact scoring of candidates')."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "inner").count()
+    total = exact.count()
+    assert total == 100
+    assert hits / total >= 0.15, f"IVF recall collapsed: {hits}/{total}"
+    # scores of returned candidates are EXACT (same quantized dot)
+    joined = exact.alias("e").join(
+        ivf.alias("i"), ["query_id", "neighbor_id"]
+    )
+    assert joined.where(F.col("e.dot_q") != F.col("i.dot_q")).count() == 0
