@@ -71,6 +71,14 @@ def test_range_join_is_equi_join(spark, sf_dir):
     )
 
 
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k + merge), never a full range-partitioned sort."""
+    plan = plan_of(spark, sf_dir, "tpch_q3_top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_minhash_pairs_join_on_bucket(spark, sf_dir):
     """LSH candidate generation must equi-join on the band bucket."""
     plan = plan_of(spark, sf_dir, "doc_minhash_lsh_pairs")
