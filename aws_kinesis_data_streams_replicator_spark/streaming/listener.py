@@ -25,8 +25,12 @@ log = logging.getLogger("akr.replication")
 class ReplicationMetricsListener(StreamingQueryListener):
     """Collects per-batch metrics rows: (batch_id, n_rows, lag_seconds)."""
 
-    def __init__(self) -> None:
+    def __init__(self, sink_path: str | None = None) -> None:
+        """``sink_path``: optional JSONL file the metrics are appended to
+        (the CloudWatch-table stand-in); kept driver-side and tiny (one
+        line per micro-batch)."""
         self.metrics: list[dict] = []
+        self.sink_path = sink_path
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -46,9 +50,13 @@ class ReplicationMetricsListener(StreamingQueryListener):
                     else last_arrival.replace(tzinfo=timezone.utc)
                 )
                 lag = (now - la).total_seconds()
-            self.metrics.append(
-                {"batch_id": p.batchId, "n_records": n, "replication_lag_seconds": lag}
-            )
+            row = {"batch_id": p.batchId, "n_records": n, "replication_lag_seconds": lag}
+            self.metrics.append(row)
+            if self.sink_path:
+                import json
+
+                with open(self.sink_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
             # Log-format contract (README.md:136-137).
             log.info("Total Batch Size: %s, Successfully Processed: %s", n, n)
         except Exception:  # noqa: BLE001 — metric failure is non-fatal (Handler.java:120-122)
