@@ -85,51 +85,57 @@ def sessionize(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 def multires_rollup(events: DataFrame) -> DataFrame:
-    """Hypertable-style hierarchical rollup: minute → hour → day, where
-    each coarser resolution RE-AGGREGATES the finer aggregate instead of
-    rescanning the raw events (the continuous-aggregate pattern: at
-    100 TB the minute layer is ~10⁴× smaller than raw, so hour/day cost
-    almost nothing and the source is scanned exactly once)."""
-    minute = (
-        events.groupBy(
-            F.date_trunc("minute", F.col("ts")).alias("bucket"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
-        )
-    )
-    hour = (
-        minute.groupBy(
-            F.date_trunc("hour", F.col("bucket")).alias("bucket"), F.col("event_type")
-        )
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_d").alias("sum_value_d"),
-        )
-    )
-    day = (
-        hour.groupBy(
-            F.date_trunc("day", F.col("bucket")).alias("bucket"), F.col("event_type")
-        )
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_d").alias("sum_value_d"),
-        )
-    )
+    """Hypertable-style hierarchical rollup: minute + hour + day grains
+    in ONE raw scan.
 
-    def shape(df: DataFrame, res: str) -> DataFrame:
-        return df.select(
-            F.lit(res).alias("resolution"),
+    A naive "minute → hour → day, union all three" DAG re-scans the raw
+    events once per branch (no exchange reuse across union branches —
+    measured, not assumed).  Instead: aggregate once at the finest
+    (minute) grain, explode each minute row to its three resolution
+    buckets (3× a ~10⁴×-reduced intermediate, not 3× raw), and
+    re-aggregate by (resolution, bucket).  Decimal sums/counts merge
+    losslessly, so the coarser grains are exact."""
+    minute = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m_bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+    )
+    expanded = minute.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("minute").alias("resolution"),
+                    F.col("m_bucket").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("hour").alias("resolution"),
+                    F.date_trunc("hour", F.col("m_bucket")).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("day").alias("resolution"),
+                    F.date_trunc("day", F.col("m_bucket")).alias("bucket"),
+                ),
+            )
+        ).alias("r"),
+        "event_type",
+        "n_events",
+        "sum_value_d",
+    )
+    return (
+        expanded.groupBy("r.resolution", "r.bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_d").alias("sum_value_d"),
+        )
+        .select(
+            "resolution",
             F.date_format("bucket", TS_OUT_FMT).alias("bucket"),
             "event_type",
             "n_events",
             F.col("sum_value_d").cast("double").alias("sum_value"),
         )
-
-    return (
-        shape(minute, "minute").unionByName(shape(hour, "hour")).unionByName(shape(day, "day"))
     )
 
 

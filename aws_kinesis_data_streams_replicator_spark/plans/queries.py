@@ -405,6 +405,60 @@ def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    tiny aggregation."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_q(
+    "tpch_q13_custdist",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving zero-order customers, then
+    a distribution-of-counts second aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
     "win_top_customers_per_nation",
     """
     SELECT * FROM (
@@ -1421,9 +1475,29 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def gen_replicate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication pipeline over the kds_generator custom Python
+    DataSource (ignores sf_dir — the source is synthetic).  Rows-only:
+    the generator is the source under test, not the SQL."""
+    from ..sources.generator import register
+
+    register(spark)
+    env = (
+        spark.read.format("kds_generator")
+        .option("rows", 2000)
+        .option("seed", 42)
+        .load()
+    )
+    gated = replication.gate_active_region(
+        replication.with_decoded(env), _config_df(spark), CURRENT_REGION
+    )
+    return replication.checkpoint(gated)
+
+
 QUERIES["emb_ann_lsh_topk"] = emb_ann_lsh_topk
 QUERIES["emb_ann_ivf_topk"] = emb_ann_ivf_topk
 QUERIES["mm_feature_extract"] = mm_feature_extract
+QUERIES["gen_replicate_pipeline"] = gen_replicate_pipeline
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,12 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_multires_rollup_scans_raw_once(spark, sf_dir):
+    """The hierarchical rollup must not re-scan raw events per grain."""
+    plan = plan_of(spark, sf_dir, "evt_multires_rollup")
+    assert plan.count("Scan parquet") == 1
+
+
 def test_minhash_pairs_join_on_bucket(spark, sf_dir):
     """LSH candidate generation must equi-join on the band bucket."""
     plan = plan_of(spark, sf_dir, "doc_minhash_lsh_pairs")
