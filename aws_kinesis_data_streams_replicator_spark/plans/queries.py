@@ -583,6 +583,189 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.unionAll(semi)
 
 
+@_q(
+    "win_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def win_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed window functions: running decimal sum, lead, ntile."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_spend"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "fn_collection_suite",
+    """
+    SELECT p_partkey,
+           len(string_split(p_type, ' ')) AS n_type_words,
+           array_to_string(list_sort(string_split(p_type, ' ')), '|')
+               AS type_sorted,
+           array_to_string(string_split(p_type, ' ')[1:2], '|') AS type_first2,
+           list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+           array_to_string(list_distinct(string_split(lower(p_name), ' ')), '')
+               IS NOT NULL AS distinct_ok,
+           len(list_filter(string_split(p_name, ' '), w -> len(w) > 5))
+               AS n_long_name_words
+    FROM part
+    """,
+)
+def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function parity: split, sort, slice, contains,
+    distinct, lambda filter."""
+    p = _t(spark, sf_dir, "part")
+    tw = F.split(F.col("p_type"), " ")
+    nw = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(tw).alias("n_type_words"),
+        F.array_join(F.sort_array(tw), "|").alias("type_sorted"),
+        F.array_join(F.slice(tw, 1, 2), "|").alias("type_first2"),
+        F.array_contains(tw, "BRUSHED").alias("has_brushed"),
+        F.array_join(F.array_distinct(F.split(F.lower(F.col("p_name")), " ")), "")
+        .isNotNull()
+        .alias("distinct_ok"),
+        F.size(F.filter(nw, lambda w: F.length(w) > 5)).alias("n_long_name_words"),
+    )
+
+
+@_q(
+    "agg_collect_sorted",
+    """
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           array_to_string(list_sort(list(c.c_name)), ',') AS customer_names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list aggregation made deterministic by sorting the
+    collected array before joining to a string."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+                "customer_names"
+            ),
+        )
+    )
+
+
+_EVT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_q(
+    "agg_pivot_event_types",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in _EVT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (deterministic columns)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVT_TYPES],
+    )
+    return out
+
+
+@_q(
+    "agg_unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def agg_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide metric columns into (metric, value) rows."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "metric",
+        "value",
+    )
+
+
+@_q(
+    "fn_null_semantics",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+           max(coalesce(nullif(o_orderstatus, 'P'), 'was_null')) AS coalesced,
+           bool_and(nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM
+                    nullif(o_orderstatus, 'P')) AS nsafe_self,
+           sum(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE 1 END)
+               AS sum_skips_null
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity: nullif, count(col) vs count(*), coalesce,
+    null-safe equality (<=>), aggregate NULL skipping."""
+    o = _t(spark, sf_dir, "orders")
+    nn = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nn).alias("n_nonnull"),
+        F.max(F.coalesce(nn, F.lit("was_null"))).alias("coalesced"),
+        F.bool_and(nn.eqNullSafe(nn)).alias("nsafe_self"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.lit(1))
+        ).alias("sum_skips_null"),
+    )
+
+
 # --------------------------------------------------------------------------
 # evt_*: event-time windows + sequence analytics over `events`
 # --------------------------------------------------------------------------
