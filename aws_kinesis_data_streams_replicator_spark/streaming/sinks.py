@@ -52,16 +52,39 @@ def replicated_exactly_once(batch_df: DataFrame, out_dir: str, batch_id: int) ->
     )
 
 
+_PTR = "CURRENT"
+
+
+def _current_version_dir(table_dir: str) -> str | None:
+    ptr = os.path.join(table_dir, _PTR)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    vdir = os.path.join(table_dir, v)
+    return vdir if os.path.isdir(vdir) else None
+
+
 def read_checkpoint_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    if os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(table_dir) for f in fs
-    ):
-        return spark.read.parquet(table_dir)
-    return spark.createDataFrame([], schema="streamName string, lastReplicatedCommitTimestamp string")
+    vdir = _current_version_dir(table_dir)
+    if vdir is not None:
+        return spark.read.parquet(vdir)
+    return spark.createDataFrame(
+        [], schema="streamName string, lastReplicatedCommitTimestamp string"
+    )
 
 
 def upsert_checkpoint(batch_checkpoint: DataFrame, table_dir: str) -> None:
-    """Idempotent monotone upsert: new value = max(existing, incoming)."""
+    """Idempotent monotone upsert: new value = max(existing, incoming).
+
+    Durability: versioned directories + an atomically-replaced pointer
+    file (``os.replace`` is atomic on POSIX).  A crash at ANY step
+    leaves the previous version intact and readable — there is no window
+    where the table is missing (a naive delete-then-rename swap has
+    one).  Old versions beyond the last two are garbage-collected.
+    At scale this becomes Delta/Iceberg MERGE (same log-plus-snapshot
+    idea) or a DynamoDB conditional write.
+    """
     spark = batch_checkpoint.sparkSession
     existing = read_checkpoint_table(spark, table_dir)
     merged = (
@@ -70,11 +93,18 @@ def upsert_checkpoint(batch_checkpoint: DataFrame, table_dir: str) -> None:
         .groupBy("streamName")
         .agg(F.max("lastReplicatedCommitTimestamp").alias("lastReplicatedCommitTimestamp"))
     )
-    # Tiny table (one row per stream): write-new-then-swap for atomicity.
-    tmp = table_dir.rstrip("/") + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(table_dir, exist_ok=True)
+    cur = _current_version_dir(table_dir)
+    next_v = 0 if cur is None else int(os.path.basename(cur).lstrip("v")) + 1
+    vdir = os.path.join(table_dir, f"v{next_v}")
+    merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+    ptr_tmp = os.path.join(table_dir, _PTR + ".tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(f"v{next_v}")
+    os.replace(ptr_tmp, os.path.join(table_dir, _PTR))  # atomic commit
+    # GC: keep current + previous
     import shutil
 
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    os.rename(tmp, table_dir)
+    for name in os.listdir(table_dir):
+        if name.startswith("v") and name not in (f"v{next_v}", f"v{next_v - 1}"):
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)

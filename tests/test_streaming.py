@@ -151,6 +151,36 @@ def test_checkpoint_upsert_is_idempotent_and_monotone(spark, tmp_path):
     assert got == {"s1": "2024-01-01T00:00:09Z", "s2": "2024-01-01T00:00:01Z"}
 
 
+def test_checkpoint_crash_leaves_previous_version_readable(spark, tmp_path):
+    """Kill between data write and pointer commit: the table must still
+    read as the PREVIOUS state (no missing-table window)."""
+    import os
+
+    table = str(tmp_path / "cp")
+
+    def cp_df(rows):
+        vals = ", ".join(f"('{s}', '{t}')" for s, t in rows)
+        return spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(streamName, lastReplicatedCommitTimestamp)"
+        )
+
+    upsert_checkpoint(cp_df([("s1", "2024-01-01T00:00:05Z")]), table)
+    # simulate a crashed upsert: new version dir written, pointer NOT moved
+    os.makedirs(os.path.join(table, "v99"), exist_ok=True)
+    got = {
+        r.streamName: r.lastReplicatedCommitTimestamp
+        for r in read_checkpoint_table(spark, table).collect()
+    }
+    assert got == {"s1": "2024-01-01T00:00:05Z"}
+    # recovery: the next successful upsert proceeds normally
+    upsert_checkpoint(cp_df([("s1", "2024-01-01T00:00:07Z")]), table)
+    got2 = {
+        r.streamName: r.lastReplicatedCommitTimestamp
+        for r in read_checkpoint_table(spark, table).collect()
+    }
+    assert got2 == {"s1": "2024-01-01T00:00:07Z"}
+
+
 def test_malformed_payload_goes_to_dead_letter(spark, tmp_path):
     out = str(tmp_path / "out")
     stage = str(tmp_path / "stage")
