@@ -1082,6 +1082,103 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "pipeline_corpus_curation",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text FROM q
+        WHERE n_words >= 20 AND n_distinct * 4 >= n_words
+    ),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    near_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id FROM near_pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1000 >= 300 * (sa.n_sh + sb.n_sh - n_inter)
+    ),
+    kept AS (
+        SELECT k.doc_id FROM exact_kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           sum(len(string_split(d.text, ' '))) AS total_tokens,
+           min(d.doc_id) AS first_doc
+    FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+    GROUP BY d.lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-pipeline composition, end-to-end in ONE plan:
+    quality filter → exact dedup (deterministic keeper) → near-dup
+    removal (Jaccard ≥ 0.3 drops the larger doc_id) → per-language
+    token accounting.  Every stage is one of the engine's operators;
+    the point is that they compose as DataFrames with no materialization
+    between stages."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_stats(docs).where(F.col("quality_label") == "ok").select("doc_id")
+    quality = docs.join(q, "doc_id", "left_semi")
+    exact_kept = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    near = dedup.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.3)
+    dropped = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact_kept.select("doc_id").join(dropped, "doc_id", "left_anti")
+    return (
+        kept.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_q(
+    "udf_cogrouped_counts",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    o AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders
+          GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udf_cogrouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: events and orders cogrouped per key, one
+    pandas frame pair per key — the two-sided custom-merge escape hatch."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"))
+
+    def merge(key, le: "pd.DataFrame", ro: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [len(le)], "n_orders": [len(ro)]}
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(merge, schema="user_id long, n_events long, n_orders long")
+    )
+
+
 # --------------------------------------------------------------------------
 # emb_*: similarity search over `embeddings`
 # --------------------------------------------------------------------------
