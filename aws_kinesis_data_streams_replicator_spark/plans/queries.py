@@ -737,6 +737,67 @@ def agg_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "win_rank_suite",
+    """
+    SELECT c.c_custkey, n.n_name,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prk,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey)
+    """,
+)
+def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family parity: rank / dense_rank / percent_rank /
+    cume_dist (identical (rank-1)/(n-1)-style formulas both engines)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name", "c_acctbal")
+        .withColumn("rk", F.rank().over(w))
+        .withColumn("drk", F.dense_rank().over(w))
+        .withColumn("prk", F.percent_rank().over(w).cast("double"))
+        .withColumn("cd", F.cume_dist().over(w).cast("double"))
+        .drop("c_acctbal")
+    )
+
+
+@_q(
+    "text_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+               '[a-z]{9,}', '<LONG>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_spans
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing/normalization pass (the PII-redaction shape): digit
+    runs and long tokens replaced by placeholder tags, span counts kept
+    for audit.  Pure regexp_replace — codegen'd, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"), "[a-z]{9,}", "<LONG>"
+    )
+    return docs.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_num_spans"
+        ),
+    )
+
+
+@_q(
     "fn_null_semantics",
     """
     SELECT o_orderstatus,

@@ -50,14 +50,13 @@ def test_running_totals_accumulate_across_batches(spark, sf_dir, tmp_path):
     ).collect()
     got = {r.streamName: (r.total_records, r.last_commit_ts, r.n_batches) for r in rows}
 
+    from pyspark.sql import functions as F
+
     want = {
         r.streamName: (r.n, r.last_ts)
         for r in replication.with_decoded(env)
         .groupBy("streamName")
-        .agg(
-            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n"),
-            __import__("pyspark.sql.functions", fromlist=["max"]).max("commitTimestamp").alias("last_ts"),
-        )
+        .agg(F.count("*").alias("n"), F.max("commitTimestamp").alias("last_ts"))
         .collect()
     }
     assert set(got) == set(want)
