@@ -907,6 +907,104 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fn_posexplode",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+               FROM documents WHERE doc_id < 20),
+    x AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM t)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS tok FROM x
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+
+
+@_q(
+    "fn_explode_outer",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), w -> len(w) > 6) AS l
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, NULL AS tok FROM t WHERE len(l) = 0
+    UNION ALL
+    SELECT doc_id, unnest(l) AS tok FROM t WHERE len(l) > 0
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows preserved (as NULL) for empty arrays."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda w: F.length(w) > 6
+    )
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@_q(
+    "agg_value_histogram",
+    """
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 20) AS INT), 0), 9) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucketing with an explicit clamped-floor formula
+    (width_bucket is missing in DuckDB 1.0 — same math spelled out)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 20).cast("int"), F.lit(0)), F.lit(9)
+    )
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "sql_interface_region_revenue",
+    """
+    SELECT r.r_name,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+        count(DISTINCT o.o_custkey) AS n_customers
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def sql_interface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-text interface: tables registered as views, the
+    query submitted as Spark SQL verbatim — Catalyst plans it exactly
+    like the DataFrame API (dims still auto-broadcast)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
+    return spark.sql(
+        """
+        SELECT r.r_name,
+            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+            count(DISTINCT o.o_custkey) AS n_customers
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@_q(
     "fn_null_semantics",
     """
     SELECT o_orderstatus,
