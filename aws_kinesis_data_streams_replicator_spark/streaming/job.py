@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import replication
-from .sinks import append_replicated, read_checkpoint_table, upsert_checkpoint  # noqa: F401
+from .sinks import (  # noqa: F401
+    append_replicated,
+    read_checkpoint_table,
+    replicated_exactly_once,
+    upsert_checkpoint,
+)
 
 
 def run_replication_stream(
@@ -31,7 +36,12 @@ def run_replication_stream(
     checkpoint_table_dir: str,
     stream_checkpoint_dir: str,
     dead_letter_dir: str | None = None,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
+    """``exactly_once=True`` writes each micro-batch into its own
+    ``batch_id=N`` partition (idempotent under WAL replay) — available
+    because the file target can overwrite; the default append mode
+    mirrors the reference's at-least-once Kinesis PutRecord contract."""
     gated = replication.gate_active_region(
         replication.with_decoded(envelope_stream), config, current_region
     )
@@ -56,7 +66,11 @@ def run_replication_stream(
                 repl = good
             else:
                 repl = batch_df
-            append_replicated(replication.replicated_records(repl), replicated_dir)
+            out = replication.replicated_records(repl)
+            if exactly_once:
+                replicated_exactly_once(out, replicated_dir, batch_id)
+            else:
+                append_replicated(out, replicated_dir)
             upsert_checkpoint(replication.checkpoint(good), checkpoint_table_dir)
         finally:
             batch_df.unpersist()

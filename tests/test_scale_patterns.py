@@ -30,6 +30,53 @@ def test_exactly_once_sink_tolerates_replay(spark, tmp_path):
     assert got.where(F.col("batch_id") == 7).count() == 100
 
 
+def test_exactly_once_mode_in_streaming_job(spark, sf_dir, tmp_path):
+    """The job's exactly_once flag: output readable with batch_id
+    partitions, counts equal the default append mode's."""
+    from aws_kinesis_data_streams_replicator_spark.sources.envelope import (
+        envelope_from_events,
+    )
+    from aws_kinesis_data_streams_replicator_spark.streaming.job import (
+        run_replication_stream,
+    )
+    from aws_kinesis_data_streams_replicator_spark.streaming.source import (
+        read_envelope_stream,
+        stage_envelope_files,
+    )
+
+    env = envelope_from_events(load_table(spark, sf_dir, "events")).limit(400)
+    stage = str(tmp_path / "stage")
+    stage_envelope_files(env, stage, n_files=2)
+    cfg = spark.sql(
+        "SELECT * FROM VALUES ('kds-click','us-east-1'), ('kds-view','US-EAST-1') "
+        "AS t(streamName, activeRegion)"
+    )
+    out = str(tmp_path / "out")
+    q = run_replication_stream(
+        read_envelope_stream(spark, stage),
+        cfg,
+        "us-east-1",
+        replicated_dir=os.path.join(out, "repl"),
+        checkpoint_table_dir=os.path.join(out, "cp"),
+        stream_checkpoint_dir=os.path.join(out, "wal"),
+        exactly_once=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = spark.read.option("basePath", os.path.join(out, "repl")).parquet(
+        os.path.join(out, "repl")
+    )
+    assert "batch_id" in got.columns
+    assert got.select("batch_id").distinct().count() == 2
+    from aws_kinesis_data_streams_replicator_spark.operators import replication
+
+    want = replication.gate_active_region(
+        replication.with_decoded(env), cfg, "us-east-1"
+    ).count()
+    assert got.count() == want
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Date-partitioned layout + date filter ⇒ the scan must prune at
     the partition level (PartitionFilters), not post-filter rows."""
