@@ -1418,9 +1418,10 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "udf_cogrouped_counts",
     """
-    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events
+               WHERE user_id < 200 GROUP BY user_id),
     o AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders
-          GROUP BY o_custkey)
+          WHERE o_custkey < 200 GROUP BY o_custkey)
     SELECT coalesce(e.user_id, o.user_id) AS user_id,
            coalesce(e.n_events, 0) AS n_events,
            coalesce(o.n_orders, 0) AS n_orders
@@ -1429,11 +1430,20 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_cogrouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas: events and orders cogrouped per key, one
-    pandas frame pair per key — the two-sided custom-merge escape hatch."""
+    pandas frame pair per key — the two-sided custom-merge escape hatch.
+
+    Key domain bounded (< 200): applyInPandas pays Python overhead PER
+    GROUP, so thousands of near-empty groups is exactly the shape NOT to
+    use it on — the point here is the API semantics, demonstrated on a
+    group count where the pattern is appropriate."""
     import pandas as pd
 
-    e = _t(spark, sf_dir, "events").select("user_id")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"))
+    e = _t(spark, sf_dir, "events").select("user_id").where(F.col("user_id") < 200)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .where(F.col("user_id") < 200)
+    )
 
     def merge(key, le: "pd.DataFrame", ro: "pd.DataFrame") -> "pd.DataFrame":
         return pd.DataFrame(
