@@ -214,3 +214,71 @@ def embedding_neardup_pairs(
         )
         .where(F.col("dot_q") >= F.lit(min_dot_q))
     )
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    min_dot_q: int,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bands: int = 8,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs: banded sign-LSH candidates + exact verify.
+
+    The 100 TB path that replaces the brute-force self-join above:
+    each vector gets ``n_bands`` bucket ids (disjoint ``band_planes``-plane
+    sign-LSH per band); candidate pairs are vectors sharing ≥1 (band,
+    bucket) — a BUCKET EQUI-JOIN, so cost is Σ bucket² per band, never
+    N².  Candidates are then verified with the exact quantized dot
+    product, so every emitted pair is exact; only recall is probabilistic
+    (pair at cosine θ survives with 1-(1-(1-θ/π)^r)^b — at cos ≥ 0.95,
+    r=4, b=8 the miss probability is ~2·10⁻⁴; raise ``n_bands`` with
+    log N to hold recall at scale).
+    """
+    from ..functions.vectors import dot_q, quantize_embedding
+    from .similarity import sign_lsh_bucket
+
+    q = spread(embeddings).select(
+        F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    bands = q.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        sign_lsh_bucket(
+                            F.col("qe"),
+                            band_planes,
+                            dim,
+                            plane_offset=band * band_planes,
+                        ).alias("bucket"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    qa = q.select(F.col(id_col).alias("vec_a"), F.col("qe").alias("qe_a"))
+    qb = q.select(F.col(id_col).alias("vec_b"), F.col("qe").alias("qe_b"))
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", dot_q(F.col("qe_a"), F.col("qe_b"), dim).alias("dot_q"))
+        .where(F.col("dot_q") >= F.lit(min_dot_q))
+    )

@@ -62,16 +62,18 @@ def brute_force_topk(
     )
 
 
-def sign_lsh_bucket(qe_col, n_planes: int = 8, dim: int = 64):
+def sign_lsh_bucket(qe_col, n_planes: int = 8, dim: int = 64, plane_offset: int = 0):
     """Deterministic sign-LSH bucket id (string of n_planes sign bits).
 
     Plane p's weight for dimension d is +1 if md5('<p>|<d>') starts with
     a hex char >= '8' else -1 — reproducible everywhere, no RNG.
+    ``plane_offset`` selects a disjoint plane range so banded schemes can
+    derive independent buckets from one hash family.
     """
     import hashlib
 
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         signs = [
             1 if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] >= "8" else -1
             for d in range(dim)

@@ -1299,9 +1299,9 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     """
     SELECT source, count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
-               AS bpe_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_tokens
     FROM documents GROUP BY source
     """,
 )
@@ -1313,7 +1313,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "text_lang_stats",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY lang, source
     """,
@@ -1384,7 +1385,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
     )
     SELECT d.lang, count(*) AS n_docs,
-           sum(len(string_split(d.text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
            min(d.doc_id) AS first_doc
     FROM kept JOIN documents d ON d.doc_id = kept.doc_id
     GROUP BY d.lang
@@ -1692,9 +1693,11 @@ def udf_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT date_trunc('minute', ts) AS bucket, event_type,
                  count(*) AS n_events, sum(v) AS sv FROM e GROUP BY 1, 2),
     h AS (SELECT date_trunc('hour', bucket) AS bucket, event_type,
-                 sum(n_events) AS n_events, sum(sv) AS sv FROM m GROUP BY 1, 2),
+                 CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+          FROM m GROUP BY 1, 2),
     d AS (SELECT date_trunc('day', bucket) AS bucket, event_type,
-                 sum(n_events) AS n_events, sum(sv) AS sv FROM h GROUP BY 1, 2)
+                 CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+          FROM h GROUP BY 1, 2)
     SELECT 'minute' AS resolution, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
            event_type, n_events, CAST(sv AS DOUBLE) AS sum_value FROM m
     UNION ALL

@@ -41,6 +41,49 @@ def _norm(v):
     return str(v)
 
 
+def _pandas_kind(dtype) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    dtype-sensitive value hash distinguishes (round-1 evidence: int32 vs
+    int64 passes, int64 vs float64 FAILS — DuckDB HUGEINT→float64 while
+    Spark's null-free integer sum stays int64)."""
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    if pt.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+_SPARK_INT_TYPES = ("byte", "short", "integer", "long")
+
+
+def _spark_pandas_kinds(sdf, rows) -> dict[str, str]:
+    """Predict the pandas dtype kind of each column of ``sdf.toPandas()``
+    WITHOUT a second job: from the Spark schema plus null presence in the
+    already-collected rows (pandas promotes null-bearing ints/bools)."""
+    kinds = {}
+    for i, f in enumerate(sdf.schema.fields):
+        t = f.dataType.typeName()
+        has_null = any(r[i] is None for r in rows)
+        if t in _SPARK_INT_TYPES:
+            kinds[f.name] = "float" if has_null else "int"
+        elif t in ("float", "double"):
+            kinds[f.name] = "float"
+        elif t == "boolean":
+            kinds[f.name] = "object" if has_null else "bool"
+        elif t == "timestamp":
+            kinds[f.name] = "datetime"
+        else:
+            # decimal → object(Decimal), string/array/struct/binary/date → object
+            kinds[f.name] = "object"
+    return kinds
+
+
 def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # NULL-safe sort key: (is_null, type tag, value) per cell
@@ -74,6 +117,18 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
+    # dtype-kind gate: the driver hashes pandas values dtype-sensitively,
+    # so both engines must land on the same pandas dtype KIND per column.
+    d_kinds = {
+        c: _pandas_kind(dt)
+        for c, dt in con.execute(ORACLE_SQL[name]).df().dtypes.items()
+    }
+    s_kinds = _spark_pandas_kinds(sdf, s_rows)
+    kind_diffs = {
+        c: (s_kinds[c], d_kinds[c]) for c in s_kinds if s_kinds[c] != d_kinds.get(c, "?")
+    }
+    if kind_diffs:
+        return False, f"dtype-kind mismatch (spark, duck): {kind_diffs}"
     sm = _rows_to_multiset(s_cols, s_rows)
     dm = _rows_to_multiset(d_cols, d_rows)
     if sm != dm:
