@@ -2079,3 +2079,49 @@ QUERIES["gen_replicate_pipeline"] = gen_replicate_pipeline
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's smoke-check query: full replication pipeline."""
     return kr_replicated_records(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Registry ordering: the driver's correctness gate checks the FIRST 50
+# registered queries, so registration order is risk order.  Queries with
+# no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
+# round, and new queries go first; long-green unchanged queries last.
+# --------------------------------------------------------------------------
+
+_CHECK_FIRST = [
+    # round-1 unchecked (registered past the driver's 50-query window)
+    "evt_asof_join_signup",
+    "evt_range_count_5m",
+    "agg_cube_orders",
+    "udf_pandas_distinct_words",
+    "udf_grouped_user_stats",
+    "evt_multires_rollup",
+    "agg_salted_event_type",
+    "fn_scalar_suite",
+    "fn_date_parts",
+    "udf_pandas_agg_median",
+    "udtf_bigrams",
+    "agg_percentiles_disc",
+    "corr_subquery_cheapest_item",
+    "doc_lsh_levenshtein_verify",
+    "emb_ann_lsh_topk",
+    "emb_ann_ivf_topk",
+    "mm_feature_extract",
+    "gen_replicate_pipeline",
+    # round-1 hash-fails (fixed) + queries whose plan changed this round
+    "text_token_counts",
+    "text_lang_stats",
+    "pipeline_corpus_curation",
+    "doc_ngram_jaccard_pairs",
+    "emb_neardup_pairs",
+]
+
+
+def _risk_ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _CHECK_FIRST if k in d}
+    head.update({k: v for k, v in d.items() if k not in head})
+    return head
+
+
+QUERIES = _risk_ordered(QUERIES)
+ORACLE_SQL = _risk_ordered(ORACLE_SQL)
