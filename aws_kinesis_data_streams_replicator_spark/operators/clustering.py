@@ -1,0 +1,86 @@
+"""Near-dup clustering: connected components over a candidate-pair graph.
+
+The missing last stage of a dedup pipeline: pair generators (MinHash
+LSH, n-gram Jaccard, embedding LSH — see operators/dedup.py) emit
+EDGES; turning them into duplicate CLUSTERS so one representative per
+component survives requires connected components.  No reference
+counterpart (the reference has no dedup at all); this is the standard
+corpus-curation composition.
+
+Implemented as iterative min-label propagation with pure DataFrame
+joins — no graphframes dependency:
+
+* label(v) starts as v
+* each round: label(v) ← min(label(v), min over neighbors' labels)
+* converged when the global label sum stops changing (labels are
+  monotonically non-increasing, so the sum is a strict measure)
+
+Each round is one shuffle join + one aggregation; ``localCheckpoint``
+truncates the growing lineage so round N's plan doesn't replay rounds
+1..N-1.  Convergence takes at most graph-diameter rounds — near-dup
+components are short chains in practice (diameter ≪ 10).
+
+Scale notes (100 TB): min-label propagation is the right first tool
+while components are small (dedup graphs are mostly pairs/triangles);
+for adversarial long-chain graphs switch to alternating large-star /
+small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond"), which converges in O(log n) rounds with the
+same join-shape per round.  ``localCheckpoint`` becomes
+``checkpoint(reliable)`` on a real cluster so a lost executor doesn't
+recompute the whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    out_id: str = "doc_id",
+    out_label: str = "cluster_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node with ≥1 edge; component id =
+    min node id in the component (deterministic)."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("u").distinct().withColumn("lbl", F.col("u"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("u").alias(out_id), F.col("lbl").alias(out_label))
+
+
+def cluster_representatives(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per cluster: representative (= cluster_id = min doc_id)
+    and member count."""
+    return components.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("representative"),
+    )

@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
 from ..sources.envelope import envelope_from_events
-from ..operators import replication, dedup, similarity, text, windows, multimodal
+from ..operators import (
+    clustering,
+    dedup,
+    multimodal,
+    replication,
+    similarity,
+    text,
+    windows,
+)
 
 # --------------------------------------------------------------------------
 # Shared fixtures: gate config (all Handler.java:139-167 paths) + region.
@@ -2082,6 +2090,129 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the candidate-pair graph
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "doc_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    )
+    SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    (doc_id, cluster_id) for every doc in ≥1 pair, cluster id = min doc
+    id in the component.  Spark side is iterative min-label propagation
+    (operators/clustering.py); the oracle is DuckDB's recursive CTE
+    flooding labels over the same edges."""
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, n_hashes=8, n_bands=4
+    )
+    return clustering.connected_components(pairs)
+
+
+@_q(
+    "pipeline_corpus_curation_v2",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip()},
+    q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text FROM q
+        WHERE n_words >= 20 AND n_distinct * 4 >= n_words
+    ),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    near_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges_raw AS (
+        SELECT doc_a, doc_b FROM near_pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1000 >= 300 * (sa.n_sh + sb.n_sh - n_inter)
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges_raw
+        UNION SELECT doc_b, doc_a FROM edges_raw
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    ),
+    cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+    dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+    kept AS (
+        SELECT k.doc_id FROM exact_kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+           min(d.doc_id) AS first_doc
+    FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+    GROUP BY d.lang
+    """,
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v1 upgraded with CLUSTER-based near-dup removal: quality
+    filter → exact dedup → capped n-gram Jaccard (≥0.3) pair graph →
+    connected components → keep only each component's min-doc_id
+    representative → per-language token accounting.  Unlike v1's
+    drop-every-doc_b rule, clustering is transitive: in a star
+    a—c, b—c (a<b<c) it drops b AND c, not just c."""
+    docs = _t(spark, sf_dir, "documents")
+    ok = (
+        text.quality_stats(docs).where(F.col("quality_label") == "ok").select("doc_id")
+    )
+    quality = docs.join(ok, "doc_id", "left_semi")
+    exact_kept = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    edges = dedup.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.3, max_shingle_df=50
+    )
+    cc = clustering.connected_components(edges)
+    dropped = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = exact_kept.select("doc_id").join(dropped, "doc_id", "left_anti")
+    return (
+        kept.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
@@ -2114,6 +2245,9 @@ _CHECK_FIRST = [
     "pipeline_corpus_curation",
     "doc_ngram_jaccard_pairs",
     "emb_neardup_pairs",
+    # new this round
+    "doc_neardup_clusters",
+    "pipeline_corpus_curation_v2",
 ]
 
 
