@@ -2090,6 +2090,189 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q2 / Q7 / Q9 shapes (adapted: no partsupp table in the fixture —
+# lineitem is the part↔supplier bridge, p_retailprice the cost proxy)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH eur AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS supp_cost
+        FROM lineitem l JOIN eur e ON e.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(supp_cost) AS min_cost
+             FROM costs GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name AS supp_nation,
+           e.s_acctbal, CAST(c.supp_cost AS DOUBLE) AS supp_cost
+    FROM part p
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN costs c ON c.l_partkey = p.p_partkey AND c.supp_cost = b.min_cost
+    JOIN eur e ON e.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a joined+filtered fact —
+    the correlated-subquery-on-min pattern, decorrelated the way Catalyst
+    would: an aggregate computing the per-part min joined back on
+    (part, min).  Region-filtered supplier dim broadcasts; the min is an
+    exact DECIMAL so the equality join key is engine-portable."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supp_cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("supp_cost").alias("min_cost"))
+    return (
+        p.join(costs, p.p_partkey == costs.l_partkey)
+        .join(
+            best,
+            (costs.l_partkey == best.l_partkey)
+            & (costs.supp_cost == best.min_cost),
+        )
+        .join(F.broadcast(eur), costs.l_suppkey == eur.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "s_acctbal",
+            F.col("supp_cost").cast("double").alias("supp_cost"),
+        )
+    )
+
+
+@_q(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+               AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with TWO roles for the nation dim and a
+    cross-pair predicate — join-reordering pressure.  Both nation sides
+    are pre-filtered to the two names BEFORE the join (the pushdown that
+    matters at scale: the fact tables are then semi-filtered through two
+    2-row broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(ep * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join (two fact-sized sides: lineitem AND
+    orders) + string filter on part + two-level group.  Profit uses
+    p_retailprice·quantity as the supplycost stand-in (no partsupp
+    fixture); all arithmetic in exact DECIMAL, one cast to DOUBLE after
+    the sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    pr = F.col("p_retailprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(ep * (one - disc) - pr * qty).cast("double").alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: connected components over the candidate-pair graph
 # --------------------------------------------------------------------------
 
@@ -2248,6 +2431,9 @@ _CHECK_FIRST = [
     # new this round
     "doc_neardup_clusters",
     "pipeline_corpus_curation_v2",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
 ]
 
 
