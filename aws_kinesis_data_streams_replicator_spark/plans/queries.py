@@ -2090,6 +2090,79 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Map-type functions + approximate distinct
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "fn_map_suite",
+    """
+    WITH g AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events WHERE user_id < 500 GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           count(*) AS n_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS keys_csv,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           coalesce(string_agg(CASE WHEN n >= 3 THEN event_type END, ','
+                               ORDER BY event_type), '') AS frequent_csv,
+           CAST(max(n * 2) AS BIGINT) AS doubled_max
+    FROM g GROUP BY user_id
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface: per user, build map<event_type, count>
+    with map_from_entries, then size, sorted map_keys, aggregate over
+    map_values, map_filter, and transform_values — every output flattened
+    to engine-portable scalars (the oracle reproduces the semantics with
+    ordered string_agg, proving the map ops compute the same facts).
+    All map ops used are entry-order-insensitive, so the nondeterministic
+    collect_list order is safe."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 500)
+    g = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+    return (
+        g.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+            F.aggregate(
+                F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("total_events"),
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.map_keys(F.map_filter("m", lambda _k, v: v >= 3))
+                ),
+            ).alias("frequent_csv"),
+            F.array_max(
+                F.map_values(F.transform_values("m", lambda _k, v: v * 2))
+            ).alias("doubled_max"),
+        )
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact counts.
+    Rows-only: HLL sketches are engine-specific by nature, so no DuckDB
+    value oracle is possible — the pytest contract instead asserts the
+    approximation is within 5% of exact (tests/test_plans.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+QUERIES["agg_approx_distinct"] = agg_approx_distinct
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q2 / Q7 / Q9 shapes (adapted: no partsupp table in the fixture —
 # lineitem is the part↔supplier bridge, p_retailprice the cost proxy)
 # --------------------------------------------------------------------------
@@ -2434,6 +2507,8 @@ _CHECK_FIRST = [
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
+    "fn_map_suite",
+    "agg_approx_distinct",
 ]
 
 

@@ -103,3 +103,13 @@ def test_narrow_queries_stay_jvm_side(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """agg_approx_distinct has no DuckDB oracle (HLL sketches are
+    engine-specific); the contract is relative error < 5% vs exact."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+
+    for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+        assert r.approx_events > 0
