@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = (
     "streamName string, total_records long, last_commit_ts string, n_batches long"
@@ -66,4 +67,78 @@ def running_stream_totals(decoded_stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of ``_update_totals`` — the
+    Spark-4 arbitrary-state API (typed state handles, timers, TTL)
+    replacing applyInPandasWithState's single state tuple.  Kept
+    behavior-identical so the two APIs are directly comparable; the
+    pytest contract asserts equal final output."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        total, last_ts, n_batches = (
+            self._state.get() if self._state.exists() else (0, None, 0)
+        )
+        for pdf in rows:
+            total += len(pdf)
+            ts = pdf["commitTimestamp"].dropna()
+            if len(ts):
+                m = ts.max()  # ISO-8601: lexicographic == chronological
+                last_ts = m if last_ts is None else max(last_ts, m)
+        n_batches += 1
+        self._state.update((total, last_ts, n_batches))
+        yield pd.DataFrame(
+            {
+                "streamName": [key[0]],
+                "total_records": [total],
+                "last_commit_ts": [last_ts],
+                "n_batches": [n_batches],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def running_stream_totals_tws(decoded_stream: DataFrame) -> DataFrame:
+    """``running_stream_totals`` re-expressed on ``transformWithState``
+    (Spark 4's arbitrary-stateful-processing API): per-key ValueState,
+    update output mode, processing-time semantics.
+
+    The operator's schema-validation step runs the processor in a
+    dedicated DRIVER-side Python worker with a fresh sys.path — the same
+    pickle transport as the Python data-source planner (see
+    sources/generator.py), so this module must pickle BY VALUE.
+
+    Environment note: executing the query (not building it) additionally
+    requires ``google.protobuf`` — the transformWithState state server
+    speaks proto between JVM and Python.  This container ships no
+    protobuf and installs are forbidden, so the end-to-end test is
+    import-gated (tests/test_streaming_round2.py), exactly like the
+    multimodal decode stub."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    return (
+        decoded_stream.select("streamName", "commitTimestamp")
+        .groupBy("streamName")
+        .transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
