@@ -98,20 +98,24 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors into cells, probe
     only the query's ``n_probe`` nearest cells.
 
-    Centroids are the first ``n_cells`` vectors by id — deterministic and
-    cheap; a real deployment would k-means them offline.  The centroid
-    set is tiny by design (≤ a few thousand at any scale) so broadcasting
-    it is free; the candidate search is an equi-join on cell id — the
-    same shuffle shape as the LSH variant, with recall tuned by n_probe
-    instead of plane count.
+    Default centroids are the first ``n_cells`` vectors by id —
+    deterministic and cheap; pass ``centroids=kmeans_centroids(...)``
+    (cell, c_qe) for trained cells.  The centroid set is tiny by design
+    (≤ a few thousand at any scale) so broadcasting it is free; the
+    candidate search is an equi-join on cell id — the same shuffle shape
+    as the LSH variant, with recall tuned by n_probe instead of plane
+    count.
     """
     cand = _quantized(embeddings, id_col)
     cent = (
-        _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
+        centroids
+        if centroids is not None
+        else _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
         .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
     )
 
@@ -151,6 +155,47 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train IVF centroids with distributed k-means (MLlib, fixed seed).
+
+    The production replacement for ``ivf_topk``'s first-N-by-id
+    centroids: k-means|| init + Lloyd iterations over the full corpus,
+    per iteration one map-side assignment + one tiny reduce.  Returns
+    (cell, c_qe) quantized exactly like the vectors so the existing
+    assignment join works unchanged.  Deterministic: fixed seed, and
+    k-means|| is seed-stable for a fixed partitioning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = spread(embeddings).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centers = model.clusterCenters()
+    # inline the (tiny) center matrix as literal columns over range() —
+    # pure JVM, no Python workers, no extra job
+    arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in centers[i]])
+            for i in range(len(centers))
+        ]
+    )
+    return (
+        embeddings.sparkSession.range(len(centers))
+        .select(F.col("id").cast("int").alias("cell"))
+        .select(
+            "cell",
+            quantize_embedding(F.element_at(arr, F.col("cell") + 1)).alias("c_qe"),
+        )
     )
 
 

@@ -16,6 +16,15 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     full shuffle from ever firing on big data.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # Cheap metadata probe: a scan over >= target files always yields
+        # >= target partitions, so the big-data path never pays the
+        # plan->RDD conversion below (it materializes the physical plan
+        # on the driver - wasted work per invocation on a hot helper).
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file relation - fall through to the exact check
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

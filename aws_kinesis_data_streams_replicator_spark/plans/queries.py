@@ -2089,6 +2089,64 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kr_replicated_records(spark, sf_dir)
 
 
+def emb_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-TRAINED centroids (MLlib k-means||, fixed
+    seed) instead of the first-N-by-id heuristic.  Rows-only like the
+    other ANN variants (approximate by construction); the recall contract
+    vs brute force lives in tests/test_scale_patterns.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cent = similarity.kmeans_centroids(emb, n_cells=16, seed=42)
+    return similarity.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cent)
+
+
+QUERIES["emb_ann_ivf_kmeans_topk"] = emb_ann_ivf_kmeans_topk
+
+
+@_q(
+    "udf_broadcast_lookup",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-variable lookup inside an Arrow-batched pandas UDF: the
+    nation dim is collected once, broadcast to executors, and mapped
+    per-batch with pandas Series.map — the pattern for side-table lookups
+    too irregular for a join (feature stores, tokenizer vocabs).  The
+    oracle is the equivalent JOIN, proving the two formulations agree.
+    (For a plain key→name map a broadcast JOIN is still preferred —
+    see the scale note in the UDF body.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    n = _t(spark, sf_dir, "nation")
+    mapping = {r.n_nationkey: r.n_name for r in n.collect()}  # O(|nation|)=25
+    bmap = spark.sparkContext.broadcast(mapping)
+
+    @pandas_udf(StringType())
+    def nation_name(keys: pd.Series) -> pd.Series:
+        # executor-side: one dict lookup per row, Arrow-batched; the
+        # broadcast ships once per executor, not per task
+        return keys.map(bmap.value)
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.withColumn("nation", nation_name(F.col("c_nationkey")))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Map-type functions + approximate distinct
 # --------------------------------------------------------------------------
@@ -2509,6 +2567,8 @@ _CHECK_FIRST = [
     "tpch_q9_product_profit",
     "fn_map_suite",
     "agg_approx_distinct",
+    "emb_ann_ivf_kmeans_topk",
+    "udf_broadcast_lookup",
 ]
 
 

@@ -112,3 +112,22 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         ivf.alias("i"), ["query_id", "neighbor_id"]
     )
     assert joined.where(F.col("e.dot_q") != F.col("i.dot_q")).count() == 0
+
+
+def test_kmeans_ivf_recall_at_least_matches_heuristic_cells(spark, sf_dir):
+    """k-means-trained centroids (fixed seed) must give the IVF search at
+    least comparable recall to the first-N-by-id heuristic, with exact
+    candidate scoring either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    cent = similarity.kmeans_centroids(emb, n_cells=16, seed=42)
+    assert cent.count() == 16
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cent)
+    heur = similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "inner").count()
+    heur_hits = exact.join(heur, ["query_id", "neighbor_id"], "inner").count()
+    total = exact.count()
+    assert total == 100
+    assert hits / total >= 0.15, f"kmeans-IVF recall collapsed: {hits}/{total}"
+    assert hits >= heur_hits * 0.8, (hits, heur_hits)
