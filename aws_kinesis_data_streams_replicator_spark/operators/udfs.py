@@ -22,7 +22,26 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+
+def broadcast_map_udf(bc):
+    """Scalar pandas UDF closing over a broadcast dict — the side-table
+    lookup pattern for maps too irregular to join (tokenizer vocabs,
+    feature-store snapshots).  The broadcast ships once per executor;
+    each Arrow batch is one vectorized ``Series.map``.  For a plain
+    key→value relation a broadcast JOIN is still the first choice — this
+    exists for lookups inside otherwise-Python logic.
+
+    (Factory form: the annotations must resolve in THIS module's
+    namespace, where ``pd`` is a global — `pandas_udf` cannot resolve
+    ``pd.Series`` hints from modules that import pandas lazily.)"""
+
+    @F.pandas_udf(StringType())
+    def lookup(keys: pd.Series) -> pd.Series:
+        return keys.map(bc.value)
+
+    return lookup
 
 
 @F.pandas_udf(LongType())

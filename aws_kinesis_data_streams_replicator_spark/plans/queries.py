@@ -2120,20 +2120,11 @@ def udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the equivalent JOIN, proving the two formulations agree.
     (For a plain key→name map a broadcast JOIN is still preferred —
     see the scale note in the UDF body.)"""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
+    from ..operators.udfs import broadcast_map_udf
 
     n = _t(spark, sf_dir, "nation")
     mapping = {r.n_nationkey: r.n_name for r in n.collect()}  # O(|nation|)=25
-    bmap = spark.sparkContext.broadcast(mapping)
-
-    @pandas_udf(StringType())
-    def nation_name(keys: pd.Series) -> pd.Series:
-        # executor-side: one dict lookup per row, Arrow-batched; the
-        # broadcast ships once per executor, not per task
-        return keys.map(bmap.value)
-
+    nation_name = broadcast_map_udf(spark.sparkContext.broadcast(mapping))
     c = _t(spark, sf_dir, "customer")
     return (
         c.withColumn("nation", nation_name(F.col("c_nationkey")))
