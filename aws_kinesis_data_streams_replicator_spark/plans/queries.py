@@ -2394,6 +2394,117 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q8_market_share",
+    """
+    WITH flat AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nc.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 7-way join with nation in two roles feeding a
+    conditional-share ratio per year.  Exact decimal sums on both sides
+    of ONE double division (the only float op, order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = ep * (one - disc)
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+    )
+    return (
+        flat.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q20_excess_shippers",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%' AND year(l.l_shipdate) = 1996
+        GROUP BY l.l_suppkey
+    ),
+    tot AS (SELECT sum(q) AS total, count(*) AS n FROM shipped)
+    SELECT s.s_name, s.s_acctbal, CAST(sh.q AS DOUBLE) AS shipped_qty
+    FROM supplier s
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    CROSS JOIN tot
+    WHERE sh.q * tot.n > tot.total
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join against an aggregated subquery with a
+    scalar-aggregate threshold (above-average shippers of red parts in
+    1996).  The comparison is cross-multiplied (q·n > Σq) so it stays in
+    exact decimal/integer arithmetic — no float boundary flakiness."""
+    li = _t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1996)
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    tot = shipped.agg(
+        F.sum("q").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        s.join(shipped, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(tot))
+        .where(F.col("q") * F.col("n") > F.col("total"))
+        .select(
+            "s_name", "s_acctbal", F.col("q").cast("double").alias("shipped_qty")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup clustering: connected components over the candidate-pair graph
 # --------------------------------------------------------------------------
@@ -2560,6 +2671,8 @@ _CHECK_FIRST = [
     "agg_approx_distinct",
     "emb_ann_ivf_kmeans_topk",
     "udf_broadcast_lookup",
+    "tpch_q8_market_share",
+    "tpch_q20_excess_shippers",
 ]
 
 
