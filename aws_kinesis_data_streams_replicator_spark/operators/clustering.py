@@ -51,8 +51,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # lazy checkpoint: the convergence-check action below materializes it,
+    # so each round costs ONE job (materialize+sum), not two
     labels = adj.select("u").distinct().withColumn("lbl", F.col("u"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
         nbr_min = (
@@ -68,7 +70,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:

@@ -222,7 +222,7 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     dim: int = 64,
     n_bands: int = 8,
-    band_planes: int = 4,
+    band_planes: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs: banded sign-LSH candidates + exact verify.
 
@@ -231,10 +231,17 @@ def embedding_neardup_pairs_lsh(
     sign-LSH per band); candidate pairs are vectors sharing ≥1 (band,
     bucket) — a BUCKET EQUI-JOIN, so cost is Σ bucket² per band, never
     N².  Candidates are then verified with the exact quantized dot
-    product, so every emitted pair is exact; only recall is probabilistic
-    (pair at cosine θ survives with 1-(1-(1-θ/π)^r)^b — at cos ≥ 0.95,
-    r=4, b=8 the miss probability is ~2·10⁻⁴; raise ``n_bands`` with
-    log N to hold recall at scale).
+    product, so every emitted pair is exact; only recall is probabilistic:
+    a pair at cosine θ survives with 1-(1-(1-θ/π)^r)^b.
+
+    Parameter math (how to size r = band_planes, b = n_bands):
+    * random-pair collision cost ≈ (N²/2) · b · 2^(-r): r must grow with
+      log₂N to keep the candidate set near-linear (r=8 at N≈10³,
+      r≈20 at N≈10⁹); b then buys back recall.
+    * at the cos ≥ 0.95 near-DUP regime, r=8, b=8 ⇒ per-pair miss ≈ 1.2%
+      (and ≈3·10⁻⁵ at cos 0.99); sign-LSH is a candidate generator for
+      true near-duplicates, not a general cos-0.5 similarity search —
+      use the top-k paths in operators/similarity.py for that.
     """
     from ..functions.vectors import dot_q, quantize_embedding
     from .similarity import sign_lsh_bucket

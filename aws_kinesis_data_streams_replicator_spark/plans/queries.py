@@ -1522,21 +1522,21 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS dot_q
         FROM c a, c b WHERE a.vec_id < b.vec_id
     )
-    SELECT * FROM p WHERE dot_q >= 800000000000
+    SELECT * FROM p WHERE dot_q >= 950000000000
     """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at cosine ≥ 0.8 (quantized dot ≥ 8e11 for
-    unit vectors): banded sign-LSH candidate generation (bucket equi-join,
-    never N²) + exact quantized-dot verify, so every emitted pair is
-    exact.  The DuckDB oracle is the brute-force ground truth; at cos 0.8
-    with 8 bands × 4 planes the candidate stage's per-pair miss
-    probability is ≤ 2%, and the fixtures' random unit vectors top out
-    near cos 0.6, so oracle equality is exact here.  (The brute-force
-    variant remains in operators/dedup.py as the library baseline; a
-    planted-near-dup unit test proves LSH == brute force.)"""
+    """Embedding near-dup pairs at cosine ≥ 0.95 (quantized dot ≥ 9.5e11
+    for unit vectors): banded sign-LSH candidate generation (bucket
+    equi-join, never N²) + exact quantized-dot verify, so every emitted
+    pair is exact.  The DuckDB oracle is the brute-force ground truth;
+    at cos 0.95 with 8 bands × 8 planes the candidate stage's per-pair
+    miss probability is ~1%, and the fixtures' random unit vectors top
+    out near cos 0.6, so oracle equality is exact here.  (The
+    brute-force variant remains in operators/dedup.py as the library
+    baseline; a planted-near-dup unit test proves LSH == brute force.)"""
     return dedup.embedding_neardup_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), min_dot_q=800_000_000_000
+        _t(spark, sf_dir, "embeddings"), min_dot_q=950_000_000_000
     )
 
 

@@ -23,12 +23,11 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
 from aws_kinesis_data_streams_replicator_spark.session import get_spark
 
 
-def run_query(fn, spark, sf_dir: str, warmup: bool = True) -> float:
-    """Steady-state timing: one untimed run absorbs per-query codegen
-    compilation + parquet footer caching; best of two timed runs damps
-    GC/broadcast-rebuild noise in the long-lived bench session."""
-    if warmup:
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+def run_query(fn, spark, sf_dir: str) -> float:
+    """Steady-state timing: best of two runs — the first doubles as the
+    warmup (codegen compilation + parquet footer caching), so the second
+    is steady state and wins the min.  (A separate warmup run tripled the
+    suite's wall clock for <2% timing difference.)"""
     best = float("inf")
     for _ in range(2):
         t0 = time.time()

@@ -14,18 +14,18 @@ from pyspark.sql import functions as F
 
 from aws_kinesis_data_streams_replicator_spark.operators import dedup
 
-MIN_DOT_Q = 800_000_000_000  # cos 0.8 for unit vectors quantized at 1e6
+MIN_DOT_Q = 950_000_000_000  # cos 0.95 for unit vectors quantized at 1e6
 
 
 def _planted_embeddings_df(spark):
     """60 unit vectors: 40 random (pairwise cos < 0.6 w.h.p.) + 10 tight
-    dups of the first 10 (cos ≈ 0.999) + 10 looser dups of the next 10
+    dups of the first 10 (cos ≈ 0.99) + 10 looser dups of the next 10
     (cos ≈ 0.97) — deterministic seed, inline VALUES (no Python workers)."""
     rng = np.random.default_rng(7)
     base = rng.normal(size=(40, 64))
     base /= np.linalg.norm(base, axis=1, keepdims=True)
     tight = base[:10] + 0.02 * rng.normal(size=(10, 64))
-    loose = base[10:20] + 0.06 * rng.normal(size=(10, 64))
+    loose = base[10:20] + 0.03 * rng.normal(size=(10, 64))
     allv = np.vstack([base, tight, loose])
     allv /= np.linalg.norm(allv, axis=1, keepdims=True)
     rows = ", ".join(
