@@ -20,9 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from aws_kinesis_data_streams_replicator_spark.plans.queries import ORACLE_SQL, QUERIES
+import __spark_entry__ as _entry
 from aws_kinesis_data_streams_replicator_spark.sources.tables import TABLES
 from aws_kinesis_data_streams_replicator_spark.session import get_spark
+
+# Exercise the exact callables the driver runs (the __spark_entry__ wrap
+# applies session conf + ships the package zip to executors), not the raw
+# registry — a foreign-cwd ModuleNotFoundError only reproduces this way.
+QUERIES = _entry.queries()
+ORACLE_SQL = _entry.oracle_sql()
 
 
 def _norm(v):
