@@ -2629,6 +2629,376 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H batch 3 (round 2): Q10/Q12/Q15/Q17/Q19/Q21/Q22 shapes.  The
+# fixture schema is a reduced TPC-H (no partsupp; no l_shipmode /
+# l_commitdate / l_receiptdate / c_phone / p_container), so each query
+# keeps the REFERENCE SHAPE — the join/subquery/predicate structure the
+# optimizer must handle — with documented stand-in columns.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+    WITH rev AS (
+        SELECT o.o_custkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, CAST(r.rev_dec AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    QUALIFY row_number() OVER (ORDER BY r.rev_dec DESC, c.c_custkey) <= 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter, top 20.  The ranking window runs over the already-aggregated
+    per-customer rows (|customers|, not |lineitem|), and the tie-break on
+    c_custkey + exact DECIMAL revenue makes the top-20 cut deterministic
+    in both engines.  At scale the single-partition window is a top-k
+    over the agg output — cheap next to the fact scan."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(ep * (F.lit(1) - disc)).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@_q(
+    "tpch_q12_late_priority",
+    """
+    SELECT l.l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional aggregation (the
+    CASE-inside-SUM pivot on order priority).  l_linestatus stands in for
+    the absent l_shipmode; the shipdate year filter prunes the lineitem
+    scan before the join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-as-view + scalar-max subquery over the
+    same view.  The quarter revenue aggregate is computed once and
+    self-referenced: Spark joins it against its own 1-row max (broadcast),
+    exactly how Catalyst decorrelates the scalar subquery.  Exact DECIMAL
+    revenue makes the max-equality engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(ep * (F.lit(1) - disc)).alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(best), rev.total_rev == best.max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+@_q(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH pt AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 5
+    ),
+    stats AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               count(*) AS n_li
+        FROM lineitem l JOIN pt ON pt.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN pt ON pt.p_partkey = l.l_partkey
+    JOIN stats st ON st.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * st.n_li < st.sum_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-quantity subquery (qty < 0.2 ·
+    avg per part), decorrelated into a per-part aggregate joined back to
+    the fact.  The 0.2·avg comparison is done in exact integer/decimal
+    cross-multiplied form (qty·5·n < Σqty) — no float division on the
+    filter path.  p_size stands in for the absent p_container."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    fact = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    stats = fact.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        fact.join(stats, fact.l_partkey == stats.sk)
+        .where(qty * 5 * F.col("n_li") < F.col("sum_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "tpch_q19_bracket_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-brackets) join predicate mixing
+    columns from both sides.  Catalyst splits the common p_partkey
+    equi-key out of the OR so the join stays hash-based, and pushes the
+    per-side residuals (brand/size; quantity) below the join — the
+    pattern Q19 exists to test.  p_size/l_quantity stand in for the
+    absent container/shipmode legs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(bracket)
+        .agg(F.sum(ep * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH fo AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    lif AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, fo.o_orderdate
+        FROM lineitem l JOIN fo ON fo.o_orderkey = l.l_orderkey
+    ),
+    late AS (
+        SELECT * FROM lif WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+    ),
+    per_order AS (
+        SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+        FROM lif GROUP BY l_orderkey
+    ),
+    late_per_order AS (
+        SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late_supp
+        FROM late GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN per_order po ON po.l_orderkey = late.l_orderkey AND po.n_supp > 1
+    JOIN late_per_order lp
+         ON lp.l_orderkey = late.l_orderkey AND lp.n_late_supp = 1
+    JOIN supplier s ON s.s_suppkey = late.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order.  The classic EXISTS (another supplier)
+    / NOT EXISTS (another late supplier) pair is decorrelated into two
+    per-order distinct-supplier aggregates joined back — one pass over
+    the fact instead of two correlated probes.  "Late" is l_shipdate >
+    o_orderdate + 365d (no l_commitdate/l_receiptdate in the fixture)."""
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    lif = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = lif.where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    per_order = lif.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    return (
+        late.join(per_order.where(F.col("n_supp") > 1), "l_orderkey")
+        .join(
+            late_per_order.where(F.col("n_late_supp") == 1),
+            late.l_orderkey == F.col("lk"),
+        )
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@_q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH sel AS (
+        SELECT substr(c_name, 17, 1) AS cntrycode, c_custkey, c_acctbal
+        FROM customer
+        WHERE substr(c_name, 17, 1) IN ('1', '2', '3', '4', '6', '8')
+    ),
+    posavg AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+               count(*) AS bal_n
+        FROM sel WHERE c_acctbal > 0
+    )
+    SELECT s.cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(s.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM sel s, posavg a
+    WHERE CAST(s.c_acctbal AS DECIMAL(18,2)) * a.bal_n > a.bal_sum
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = s.c_custkey
+            AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY s.cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery + anti-join on recent orders,
+    grouped by country code.  The code is a digit of the zero-padded
+    customer number (no c_phone in the fixture); "above average" is the
+    exact cross-multiplied form bal·n > Σbal (no float division on the
+    filter path); customers with orders since 2000-01-01 are removed with
+    a left-anti join — Catalyst's NOT EXISTS plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    sel = c.select(
+        F.substring("c_name", 17, 1).alias("cntrycode"), "c_custkey", "c_acctbal"
+    ).where(F.col("cntrycode").isin("1", "2", "3", "4", "6", "8"))
+    posavg = sel.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("bal_sum"), F.count(F.lit(1)).alias("bal_n")
+    )
+    return (
+        sel.crossJoin(F.broadcast(posavg))
+        .where(bal * F.col("bal_n") > F.col("bal_sum"))
+        .join(o, sel.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
@@ -2673,6 +3043,13 @@ _CHECK_FIRST = [
     "udf_broadcast_lookup",
     "tpch_q8_market_share",
     "tpch_q20_excess_shippers",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
