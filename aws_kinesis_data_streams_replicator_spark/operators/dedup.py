@@ -190,6 +190,118 @@ def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    documents: DataFrame, n_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via band buckets.
+
+    The pigeonhole guarantee: two 32-bit fingerprints within Hamming
+    distance d share at least one of n_bands contiguous bands whenever
+    d < n_bands — so with n_bands=4, every pair at distance ≤ 3 appears
+    in the band equi-join (EXACT recall, unlike probabilistic LSH).
+    Candidates sharing a band are then verified with the full 32-position
+    Hamming count.  Cost is Σ bucket² per band over 8-bit buckets, never
+    N²; at 100 TB widen the fingerprint (64/128 bits) and keep
+    n_bands > max_hamming.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    width = 32 // n_bands
+    fp = simhash_fingerprints(documents)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * width + 1, width).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", p + 1, 1) != F.substring("sh_b", p + 1, 1), 1
+        ).otherwise(0)
+        for p in range(32)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def benchmark_contamination(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Per-training-document n-gram overlap against a benchmark corpus.
+
+    The decontamination primitive: any training document sharing a
+    k-gram with an eval benchmark is suspect.  The benchmark shingle set
+    is orders of magnitude smaller than the corpus, so it BROADCASTS and
+    the check is a map-side semi-join per shingle — the 100 TB plan needs
+    no shuffle of the training side beyond the per-doc count.
+    Returns doc_id, n_matched (distinct contaminated k-grams), n_sh
+    (doc's k-gram count), contamination_milli — only rows with ≥1 hit.
+    """
+
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias(
+                    "shingle"
+                ),
+            )
+            .dropDuplicates(["doc_id", "shingle"])
+        )
+
+    train_sh = doc_shingles(spread(train_docs))
+    bench_sh = bench_docs.select(
+        word_tokens(F.col("text")).alias("toks")
+    ).select(
+        F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias("shingle")
+    ).distinct()
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn(
+            "contamination_milli",
+            F.floor(F.col("n_matched") * F.lit(1000) / F.col("n_sh")).cast("long"),
+        )
+        .select("doc_id", "n_matched", "n_sh", "contamination_milli")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, min_dot_q: int, id_col: str = "vec_id", dim: int = 64
 ) -> DataFrame:

@@ -1,0 +1,96 @@
+"""Deterministic sampling & sequence-packing operators for training-data
+pipelines.
+
+Corpus curation needs reproducible subsets: language/domain rebalancing
+(downsample the dominant stratum), contamination-free eval splits, and
+token-budget packing of documents into training sequences.  Everything
+here is a pure map-side column expression — no shuffle for the sample,
+one windowed pass for the packing — and every decision is a
+deterministic function of the row's content, so re-running the pipeline
+(or resuming a failed 100 TB run) selects the identical subset.
+
+Scale notes (100 TB): the hash-threshold sample is embarrassingly
+parallel (no shuffle, no state, prunes at the scan when combined with a
+stratum partition column).  Packing is a per-stratum prefix sum — one
+window shuffle partitioned by stratum; at scale, partition the corpus by
+(stratum, shard) so each window partition fits an executor, then pack
+within shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def hash_rate_threshold(rate: float, digits: int = 4) -> str:
+    """Hex-string threshold t such that P(md5_prefix < t) ≈ rate.
+
+    md5 hex chars are uniform, so the first ``digits`` chars compared
+    lexicographically against ``format(rate · 16^digits)`` keep ≈rate of
+    rows — a pure string compare, bit-identical in Spark and DuckDB (no
+    hex→int conversion, which the engines spell differently).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**digits), 16**digits - 1), f"0{digits}x")
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "text",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample, keyed on content hash.
+
+    Keeps a row iff the first 4 hex chars of md5(key) fall below the
+    stratum's threshold — so the sample is a pure filter (no shuffle, no
+    RNG state), stable across runs/partitionings, and identical rows
+    sample identically (duplicate texts stay together, which exact-dedup
+    downstream relies on).
+    """
+    digits = 4
+    thr = F.lit(hash_rate_threshold(default_rate, digits))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(hash_rate_threshold(rate, digits))
+        ).otherwise(thr)
+    return documents.where(F.substring(F.md5(F.col(key_col)), 1, digits) < thr)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    token_budget: int = 2048,
+    stratum_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into fixed token-budget training bins, greedily in
+    ``order_col`` order within each stratum.
+
+    bin_id = (tokens before this doc) div budget — the contiguous-fill
+    rule: a document opens a new bin when the running total crosses the
+    budget.  One integer window pass; every assignment is a deterministic
+    function of (stratum, order), so packing is reproducible and
+    restartable.  Returns per-bin accounting (docs, tokens, fill span).
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = documents.select(
+        stratum_col,
+        order_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    ).withColumn("bin_id", F.expr(f"cum_before div {int(token_budget)}"))
+    return packed.groupBy(stratum_col, "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min(order_col).alias("first_doc"),
+        F.max(order_col).alias("last_doc"),
+    )

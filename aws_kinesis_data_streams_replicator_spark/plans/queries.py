@@ -2999,6 +2999,153 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline (round 2): deterministic sampling, sequence
+# packing, benchmark decontamination, SimHash hamming near-dup.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(text), 1, 4) <
+          CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000'
+                    ELSE 'ffff' END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing: downsample dominant
+    languages (en→25%, zh→50%) by comparing an md5 prefix of the TEXT
+    against a per-stratum hex threshold.  Pure map-side filter — no
+    shuffle, no RNG state, stable under re-runs and repartitioning;
+    identical texts sample identically.  (The ≈1.0 'ffff' default drops
+    1/65536 of rows — the price of the portable string compare.)"""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, {"en": 0.25, "zh": 0.5}).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT lang, cum_before // 512 AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY lang, cum_before // 512
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents fill 512-token training
+    bins greedily in doc_id order within each language.  One integer
+    prefix-sum window per stratum; bin assignment is a deterministic
+    function of (lang, doc_id) so packing is reproducible/restartable.
+    Returns per-bin accounting."""
+    from ..operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), token_budget=512)
+
+
+@_q(
+    "doc_contamination_check",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shraw AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   AS shingle
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shraw),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, count(*) AS n_matched FROM tsh
+        WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id
+    )
+    SELECT h.doc_id, CAST(h.n_matched AS BIGINT) AS n_matched,
+           CAST(s.n_sh AS BIGINT) AS n_sh,
+           (h.n_matched * 1000) // s.n_sh AS contamination_milli
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    4-gram with the held-out benchmark slice (doc_id ≡ 0 mod 37 stands in
+    for an eval set).  The benchmark shingle set broadcasts, so the scan
+    side never shuffles — the 100 TB plan is a map-side semi-join + one
+    per-doc count.  Production would use longer n-grams (8-13); k=4 keeps
+    the 500-doc fixture signal non-trivial."""
+    from ..operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        k_shingle=4,
+    )
+
+
+_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(sa, {p+1}, 1) <> substr(sb, {p+1}, 1) THEN 1 ELSE 0 END"
+    for p in range(32)
+)
+
+@_q(
+    "doc_simhash_neardup_pairs",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+        FROM documents
+    ),
+    f AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM h),
+    bands AS (
+        SELECT doc_id, simhash, b.band_id,
+               substr(simhash, b.band_id * 8 + 1, 8) AS bucket
+        FROM f, (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({_HAMMING_SQL} AS INTEGER) AS hamming
+    FROM cand WHERE {_HAMMING_SQL} <= 3
+    """,
+)
+def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3, found via 4-band
+    pigeonhole buckets: any pair within distance 3 must agree on one of
+    the four 8-bit bands, so the band equi-join has EXACT recall (unlike
+    probabilistic LSH) and cost Σ bucket², never N²."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
@@ -3050,6 +3197,11 @@ _CHECK_FIRST = [
     "tpch_q19_bracket_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "doc_stratified_sample",
+    "doc_contamination_check",
+    # (doc_pack_sequences / doc_simhash_neardup_pairs intentionally left in
+    # the tail: the front-50 window is full — kr_* must keep their rows —
+    # so they rotate in next round; until then they're pytest+parity-only.)
 ]
 
 
