@@ -190,41 +190,80 @@ def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash64_fingerprints(documents: DataFrame) -> DataFrame:
+    """doc_id + 64-bit SimHash bitstring (two seeded 32-bit md5 families).
+
+    The 32-bit fingerprint of ``simhash_fingerprints`` is too coarse for
+    pair generation on template-heavy corpora (hamming ≤ 3 of 32 admits
+    quadratically many pairs); 64 bits at k=3 is the standard
+    configuration (Manku et al., WWW'07).  Bits 0-31 come from md5(t),
+    bits 32-63 from the seeded family md5('1|' || t).
+    """
+    hashed = spread(documents).select(
+        "doc_id",
+        F.transform(word_tokens(F.col("text")), lambda t: F.md5(t)).alias("hs0"),
+        F.transform(word_tokens(F.col("text")), lambda t: md5_seeded(t, 1)).alias(
+            "hs1"
+        ),
+    )
+    return hashed.select(
+        "doc_id",
+        F.concat(
+            simhash_bits(F.col("hs0")), simhash_bits(F.col("hs1"))
+        ).alias("simhash"),
+    )
+
+
 def simhash_hamming_pairs(
     documents: DataFrame, n_bands: int = 4, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, via band buckets.
+    """Near-dup pairs by 64-bit SimHash Hamming distance, via band buckets.
 
-    The pigeonhole guarantee: two 32-bit fingerprints within Hamming
-    distance d share at least one of n_bands contiguous bands whenever
-    d < n_bands — so with n_bands=4, every pair at distance ≤ 3 appears
-    in the band equi-join (EXACT recall, unlike probabilistic LSH).
-    Candidates sharing a band are then verified with the full 32-position
-    Hamming count.  Cost is Σ bucket² per band over 8-bit buckets, never
-    N²; at 100 TB widen the fingerprint (64/128 bits) and keep
-    n_bands > max_hamming.
+    The pigeonhole guarantee: two fingerprints within Hamming distance d
+    share at least one of n_bands contiguous bands whenever d < n_bands —
+    so with n_bands=4, every pair at distance ≤ 3 appears in the band
+    equi-join (EXACT recall, unlike probabilistic LSH).  Candidates
+    sharing a 16-bit band are then verified with the full 64-position
+    Hamming count.  Cost is Σ bucket² per band, never N²; at larger
+    corpora widen the fingerprint (128 bits) and keep n_bands >
+    max_hamming.
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole needs max_hamming < n_bands")
-    width = 32 // n_bands
-    fp = simhash_fingerprints(documents)
+    n_bits = 64
+    width = n_bits // n_bands
+    # Materialize fingerprints ONCE behind a lineage barrier: the self-
+    # join otherwise (a) scans + re-fingerprints the corpus on BOTH
+    # sides, and (b) pushes its inferred isnotnull(fp) predicates below
+    # the band explode into the scan, re-running the 64-bit majority
+    # computation inside a Filter.  One doc_id+64-char-string row per
+    # document — tiny next to the corpus at any scale.
+    fp = simhash64_fingerprints(documents).localCheckpoint(eager=False)
+    # band rows CARRY the fingerprint as two 32-bit ints: the only
+    # shuffle is the (tiny) band-row exchange; the candidate blowup (hot
+    # buckets can be quadratic) is verified MAP-SIDE inside the join
+    # stage — hamming = bit_count(xor) on the halves, 2 JVM ops per
+    # candidate instead of 64 interpreted char compares — and filtered
+    # before anything else moves.  The final distinct sees only verified
+    # pairs.  AQE skew-join splits any remaining hot bucket.
     bands = fp.select(
         "doc_id",
-        "simhash",
-        F.explode(
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("bigint").alias("fp_hi"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("bigint").alias("fp_lo"),
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.substring("simhash", b * width + 1, width).alias("bucket"),
-                    )
+                    F.substring("simhash", b * width + 1, width)
                     for b in range(n_bands)
                 ]
             )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.bucket")
+        ).alias("band_id", "bucket"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
+    ) + F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -234,21 +273,10 @@ def simhash_hamming_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = sum(
-        F.when(
-            F.substring("sh_a", p + 1, 1) != F.substring("sh_b", p + 1, 1), 1
-        ).otherwise(0)
-        for p in range(32)
-    )
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -3103,9 +3103,16 @@ def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HAMMING_SQL = " + ".join(
-    f"CASE WHEN substr(sa, {p+1}, 1) <> substr(sb, {p+1}, 1) THEN 1 ELSE 0 END"
+_SIMHASH64_BITS_SQL = " || ".join(
+    f"CASE WHEN len(list_filter({arr}, h -> substr(h, {p+1}, 1) >= '8')) * 2 "
+    f"> len({arr}) THEN '1' ELSE '0' END"
+    for arr in ("hs0", "hs1")
     for p in range(32)
+)
+
+_HAMMING64_SQL = " + ".join(
+    f"CASE WHEN substr(sa, {p+1}, 1) <> substr(sb, {p+1}, 1) THEN 1 ELSE 0 END"
+    for p in range(64)
 )
 
 @_q(
@@ -3113,13 +3120,14 @@ _HAMMING_SQL = " + ".join(
     f"""
     WITH h AS (
         SELECT doc_id,
-               list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+               list_transform(string_split(text, ' '), t -> md5(t)) AS hs0,
+               list_transform(string_split(text, ' '), t -> md5('1|' || t)) AS hs1
         FROM documents
     ),
-    f AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM h),
+    f AS (SELECT doc_id, {_SIMHASH64_BITS_SQL} AS simhash FROM h),
     bands AS (
         SELECT doc_id, simhash, b.band_id,
-               substr(simhash, b.band_id * 8 + 1, 8) AS bucket
+               substr(simhash, b.band_id * 16 + 1, 16) AS bucket
         FROM f, (VALUES (0), (1), (2), (3)) b(band_id)
     ),
     cand AS (
@@ -3129,15 +3137,16 @@ _HAMMING_SQL = " + ".join(
         JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
                      AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST({_HAMMING_SQL} AS INTEGER) AS hamming
-    FROM cand WHERE {_HAMMING_SQL} <= 3
+    SELECT doc_a, doc_b, CAST({_HAMMING64_SQL} AS INTEGER) AS hamming
+    FROM cand WHERE {_HAMMING64_SQL} <= 3
     """,
 )
 def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance ≤ 3, found via 4-band
-    pigeonhole buckets: any pair within distance 3 must agree on one of
-    the four 8-bit bands, so the band equi-join has EXACT recall (unlike
-    probabilistic LSH) and cost Σ bucket², never N²."""
+    """64-bit SimHash near-dup pairs at Hamming distance ≤ 3 (the Manku
+    et al. WWW'07 configuration), found via 4-band pigeonhole buckets:
+    any pair within distance 3 must agree on one of the four 16-bit
+    bands, so the band equi-join has EXACT recall (unlike probabilistic
+    LSH) and cost Σ bucket², never N²."""
     from ..operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
