@@ -79,7 +79,11 @@ def minhash_lsh_candidate_pairs(
     → shuffle partitioned by bucket, each bucket tiny.
     """
     r = n_hashes // n_bands
-    sig = minhash_signatures(documents, k_shingle, n_hashes)
+    # signatures are referenced by both sides of the band self-join —
+    # materialize once instead of re-shingling the corpus per side
+    sig = minhash_signatures(documents, k_shingle, n_hashes).localCheckpoint(
+        eager=False
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -135,6 +139,10 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot, "shingle", "left_anti")
+    # (no materialization barrier here, deliberately: the shingle table
+    # is cheap to recompute but LARGE — ~200 rows per doc — so unlike the
+    # minhash/simhash fingerprint tables, checkpointing it costs more in
+    # serialization than the re-tokenization it saves; measured at sf0.1)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -386,8 +394,14 @@ def embedding_neardup_pairs_lsh(
     from ..functions.vectors import dot_q, quantize_embedding
     from .similarity import sign_lsh_bucket
 
-    q = spread(embeddings).select(
-        F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe")
+    # One materialization: the plan otherwise re-scans + re-quantizes the
+    # embeddings for each of its 4 references (band self-join + 2 verify
+    # joins) and re-evaluates the sign-LSH buckets inside pushed-down
+    # isnotnull filters.
+    q = (
+        spread(embeddings)
+        .select(F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe"))
+        .localCheckpoint(eager=False)
     )
     bands = q.select(
         id_col,
