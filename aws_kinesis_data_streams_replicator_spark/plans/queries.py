@@ -3155,6 +3155,104 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Function-library widening (round 2): JSON, regexp, bitwise suites.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "fn_json_suite",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.missing') AS k_missing,
+           coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+               AS k_or_default,
+           to_json(struct_pack(event_id := event_id,
+                               k := CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT))) AS rewrapped
+    FROM events
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON function sweep over the events ``props``
+    column: path extraction (string + cast), missing-path null
+    semantics, defaulting, and re-serialization (from_json → struct →
+    to_json round trip; Spark and DuckDB agree on compact encoding)."""
+    ev = _t(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+        F.coalesce(k_int, F.lit(-1)).alias("k_or_default"),
+        F.to_json(F.struct(F.col("event_id"), k_int.alias("k"))).alias("rewrapped"),
+    )
+
+
+@_q(
+    "fn_regexp_suite",
+    """
+    SELECT event_id,
+           regexp_extract(props, '([0-9]+)', 1) AS first_num,
+           regexp_extract(props, '(zzz-never)', 1) AS no_match,
+           regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+           regexp_matches(props, '"k": [0-9]+') AS has_k,
+           len(regexp_extract_all(event_type, '[aeiou]')) AS n_vowels
+    FROM events
+    """,
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function sweep: group extraction, no-match → empty string
+    (both engines), replace-all (Spark's default == DuckDB's 'g' flag),
+    boolean match, and match counting via extract_all."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_extract("props", r"(zzz-never)", 1).alias("no_match"),
+        F.regexp_replace("props", "[0-9]", "#").alias("masked"),
+        F.col("props").rlike('"k": [0-9]+').alias("has_k"),
+        F.size(F.regexp_extract_all("event_type", F.lit("[aeiou]"), 0)).alias(
+            "n_vowels"
+        ),
+    )
+
+
+@_q(
+    "fn_bitwise_suite",
+    """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 7 AS or7,
+           xor(event_id, user_id) AS ux,
+           CAST(user_id << 3 AS BIGINT) AS shl3,
+           event_id >> 2 AS shr2,
+           bit_count(event_id) AS pop,
+           ~user_id AS neg
+    FROM events
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator sweep (and/or/xor/shifts/popcount/not) — the
+    primitives behind the engine's own hash-partition, bloom, and
+    simhash arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(7)).alias("or7"),
+        eid.bitwiseXOR(uid).alias("ux"),
+        F.shiftleft(uid, 3).cast("bigint").alias("shl3"),
+        F.shiftright(eid, 2).alias("shr2"),
+        F.bit_count(eid).alias("pop"),
+        F.bitwise_not(uid).alias("neg"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
