@@ -3154,6 +3154,166 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value * 1000 > (SELECT sum(part_value) FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value share vs a scalar total over the
+    SAME aggregate (HAVING against a fraction-of-total subquery).  The
+    per-part aggregate is computed once; its grand total (1 row)
+    broadcasts back as the threshold.  lineitem price·qty stands in for
+    partsupp supplycost·availqty (no partsupp fixture); the exact
+    DECIMAL cross-multiply (value·1000 > total) avoids float division
+    on the filter path."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("part_value")
+        )
+    )
+    total = val.agg(F.sum("part_value").alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") * 1000 > F.col("grand_total"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+    )
+
+
+@_q(
+    "pipeline_corpus_curation_v3",
+    """
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents WHERE doc_id % 37 <> 0
+    ),
+    quality AS (
+        SELECT doc_id, lang, text FROM q
+        WHERE n_words >= 20 AND n_distinct * 4 >= n_words
+    ),
+    btoks AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 37 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT unnest(list_transform(
+            range(1, greatest(len(t) - 3, 0) + 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+            AS shingle
+        FROM btoks
+    ),
+    ttoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM quality),
+    tshraw AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(t) - 3, 0) + 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+            AS shingle
+        FROM ttoks
+    ),
+    tsh AS (SELECT DISTINCT doc_id, shingle FROM tshraw),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, count(*) AS n_matched FROM tsh
+        WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id
+    ),
+    contaminated AS (
+        SELECT h.doc_id FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+        WHERE (h.n_matched * 1000) // s.n_sh >= 100
+    ),
+    clean AS (
+        SELECT * FROM quality
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (
+        SELECT * FROM clean
+        WHERE substr(md5(text), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' ELSE 'ffff' END
+    ),
+    tk AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM sampled
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM tk
+    ),
+    b AS (
+        SELECT lang, cum_before // 512 AS bin_id,
+               count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM c GROUP BY lang, cum_before // 512
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+    FROM b GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data flow as ONE composed DataFrame plan:
+    quality gate → benchmark decontamination (drop docs ≥10% 4-gram
+    overlap with the held-out slice) → deterministic stratified
+    downsampling (en→50%) → 512-token sequence packing → per-language
+    bin accounting.  No materialization between stages; the only
+    shuffles are the contamination count, the packing window, and the
+    final aggregate — everything else is map-side."""
+    from ..operators.dedup import benchmark_contamination
+    from ..operators.sampling import pack_sequences, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    ok = (
+        text.quality_stats(train)
+        .where(F.col("quality_label") == "ok")
+        .select("doc_id")
+    )
+    quality = train.join(ok, "doc_id", "left_semi")
+    contaminated = (
+        benchmark_contamination(quality, bench, k_shingle=4)
+        .where(F.col("contamination_milli") >= 100)
+        .select("doc_id")
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti")
+    sampled = stratified_sample(clean, {"en": 0.5})
+    bins = pack_sequences(sampled, token_budget=512)
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Function-library widening (round 2): JSON, regexp, bitwise suites.
 # --------------------------------------------------------------------------
