@@ -59,6 +59,38 @@ def stratified_sample(
     return documents.where(F.substring(F.md5(F.col(key_col)), 1, digits) < thr)
 
 
+def balanced_sample(
+    documents: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "text",
+) -> DataFrame:
+    """Downsample every stratum to ≈ the minority stratum's size — the
+    domain-rebalancing step of corpus mixing, fully deterministic.
+
+    Per-stratum rate = min_count / stratum_count, applied via the same
+    md5-prefix threshold as ``stratified_sample`` but with the threshold
+    DERIVED IN-PLAN from the stratum counts (integer floor arithmetic +
+    %04x formatting, identical in the DuckDB oracle): no driver-side
+    collect, so the plan composes into pipelines.  The count aggregate is
+    tiny (|strata| rows) and broadcasts back onto the scan.
+    """
+    cnt = documents.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    m = cnt.agg(F.min("_n").alias("_m"))
+    thr = cnt.crossJoin(F.broadcast(m)).select(
+        stratum_col,
+        F.format_string(
+            "%04x",
+            # exact integer floor division — a truncated double quotient
+            # could round across an integer boundary and diverge from the
+            # oracle's `//`
+            F.least(F.lit(65535).cast("long"), F.expr("(_m * 65536) div _n")),
+        ).alias("_thr"),
+    )
+    return documents.join(F.broadcast(thr), stratum_col).where(
+        F.substring(F.md5(F.col(key_col)), 1, 4) < F.col("_thr")
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     token_budget: int = 2048,

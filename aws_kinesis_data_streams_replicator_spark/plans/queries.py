@@ -3314,6 +3314,41 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_balanced_sample",
+    """
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM cnt),
+    thr AS (
+        SELECT lang, printf('%04x', least(65535, (m.mn * 65536) // n)) AS t
+        FROM cnt, m
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(d.doc_id) AS first_doc, max(d.doc_id) AS last_doc
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE substr(md5(d.text), 1, 4) < thr.t
+    GROUP BY d.lang
+    """,
+)
+def doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing: every language downsampled to ≈ the minority
+    language's count, with the per-stratum rate DERIVED IN-PLAN from the
+    count aggregate (exact integer floor → %04x hex threshold → md5
+    prefix compare).  No driver collect, no RNG — the mixture is a pure
+    function of the corpus."""
+    from ..operators.sampling import balanced_sample
+
+    return (
+        balanced_sample(_t(spark, sf_dir, "documents"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Function-library widening (round 2): JSON, regexp, bitwise suites.
 # --------------------------------------------------------------------------
