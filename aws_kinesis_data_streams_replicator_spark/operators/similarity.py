@@ -164,23 +164,53 @@ def kmeans_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Train IVF centroids with distributed k-means (MLlib, fixed seed).
+    """Train IVF centroids: sampled Lloyd k-means on the driver.
 
-    The production replacement for ``ivf_topk``'s first-N-by-id
-    centroids: k-means|| init + Lloyd iterations over the full corpus,
-    per iteration one map-side assignment + one tiny reduce.  Returns
-    (cell, c_qe) quantized exactly like the vectors so the existing
-    assignment join works unchanged.  Deterministic: fixed seed, and
-    k-means|| is seed-stable for a fixed partitioning.
+    The way production ANN indexes (faiss, ScaNN) train their coarse
+    quantizers: collect a bounded deterministic sample (top-N by id —
+    one TakeOrdered job), run k-means++ + Lloyd in numpy locally, and
+    broadcast the tiny centroid matrix back as literal columns.  A
+    distributed k-means (MLlib) costs ~15 cluster jobs for init + Lloyd
+    rounds — pure overhead when the training set is a sample by
+    construction; the sample bound (4096·dim floats) keeps the driver
+    safe at any corpus size.  Returns (cell, c_qe) quantized exactly
+    like the vectors so the existing assignment join works unchanged.
+    Deterministic: fixed seed + deterministic sample (k-means|| depends
+    on partitioning; this does not).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    train = spread(embeddings).select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    max_train = 4096
+    sample = (
+        embeddings.select(id_col, F.col("embedding").cast("array<double>"))
+        .orderBy(id_col)
+        .limit(max_train)
+        .collect()
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centers = model.clusterCenters()
+    x = np.array([r[1] for r in sample])
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(n_cells - 1):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    centers = np.array(centers)
+    for _ in range(10):  # Lloyd
+        assign = np.argmin(
+            ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        new = np.array(
+            [
+                x[assign == c].mean(axis=0) if (assign == c).any() else centers[c]
+                for c in range(n_cells)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
     # inline the (tiny) center matrix as literal columns over range() —
     # pure JVM, no Python workers, no extra job
     arr = F.array(
