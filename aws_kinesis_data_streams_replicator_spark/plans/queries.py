@@ -3349,6 +3349,124 @@ def doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_gapfill_hourly",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM b
+    ),
+    c AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT s.event_type, strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM s LEFT JOIN c ON c.event_type = s.event_type AND c.bucket = s.bucket
+    """,
+)
+def evt_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill``
+    shape): per event type, generate the full hourly bucket series
+    between its first and last event with ``sequence()`` + explode, then
+    left-join the real counts and zero-fill the holes.  The series
+    generator is driven by a tiny per-type bounds aggregate, so the
+    explode is |types| × |hours| — never a scan blowup."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    series = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        series.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "fn_string_agg",
+    """
+    SELECT c.c_nationkey,
+           array_to_string(list_sort(list_distinct(list(c.c_mktsegment))), ',')
+               AS segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c GROUP BY c.c_nationkey
+    """,
+)
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg shape): the
+    engine-portable form is collect_set → sort_array → array_join, which
+    is deterministic regardless of row arrival order — the property a
+    naive string_agg lacks under distributed execution."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+
+
+@_q(
+    "evt_range_frame_sum",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_10m,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def evt_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per user, rolling 10-minute
+    count and exact-decimal sum.  The frame is keyed on epoch SECONDS
+    (floor) in both engines — Spark's rangeBetween needs a numeric
+    ordering key, and flooring keeps the two engines' frame boundaries
+    bit-identical (DuckDB's native INTERVAL frame would include
+    microseconds)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_10m"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_10m"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Function-library widening (round 2): JSON, regexp, bitwise suites.
 # --------------------------------------------------------------------------
