@@ -3467,6 +3467,57 @@ def evt_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cdc_merge_upsert",
+    """
+    WITH tgt AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+    ),
+    src AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2))
+               + CAST(100 AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 100000, CAST(99.99 AS DECIMAL(18,2))
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CAST(COALESCE(s.bal, t.bal) AS DOUBLE) AS bal,
+           CASE WHEN s.c_custkey IS NULL THEN 'kept'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM tgt t FULL OUTER JOIN src s ON s.c_custkey = t.c_custkey
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (CDC upsert): a deterministic change set (+100
+    balance updates for every 10th customer, synthetic inserts for every
+    100th) merged into the customer snapshot — update-when-matched,
+    insert-when-not-matched, keep the rest, with the per-row MERGE
+    verdict.  One full-outer shuffle on the merge key, exactly the plan
+    Delta/Iceberg compile MERGE into."""
+    from ..operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    tgt = c.select("c_custkey", bal.alias("bal"))
+    src = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", (bal + F.lit(100).cast("decimal(18,2)")).alias("bal")
+        )
+        .unionAll(
+            c.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit("99.99").cast("decimal(18,2)").alias("bal"),
+            )
+        )
+    )
+    return merge_upsert(tgt, src, "c_custkey", with_action=True).select(
+        "c_custkey", F.col("bal").cast("double").alias("bal"), "merge_action"
+    )
+
+
 # --------------------------------------------------------------------------
 # Function-library widening (round 2): JSON, regexp, bitwise suites.
 # --------------------------------------------------------------------------
