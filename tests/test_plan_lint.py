@@ -1,0 +1,61 @@
+"""Registry-wide physical-plan lint: scale discipline enforced in CI.
+
+Every registered batch query's executed plan is checked for the two
+shapes that kill a 100 TB run:
+
+* ``CartesianProduct`` — never acceptable;
+* ``BroadcastNestedLoopJoin`` — acceptable ONLY for the deliberate
+  1-row scalar-broadcast pattern (threshold against a grand total) or
+  an explicitly allowlisted small-fixture baseline.
+
+Catching a regression here is cheap (plan build only); catching it in
+production is a cluster on fire.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+
+# queries whose CONSTRUCTION runs jobs (iterative connected components)
+# — plan text of the final frame is meaningless for lint and building it
+# is expensive; their plans are audited by their own tests
+_SKIP = {
+    "doc_neardup_clusters",
+    "pipeline_corpus_curation_v2",
+}
+
+# deliberate scalar-broadcast (1-row build side) nested-loop joins
+_BNLJ_OK = {
+    "tpch_q11_important_stock",  # grand-total threshold
+    "tpch_q15_top_supplier",  # max-revenue scalar
+    "tpch_q22_global_sales_opportunity",  # positive-balance average
+    "doc_balanced_sample",  # min-stratum-count scalar
+    "pipeline_corpus_curation_v3",  # stratified threshold composition
+    "tpch_q17_small_qty_revenue",  # single-row final aggregate join
+    "tpch_q20_excess_shippers",  # above-average scalar total
+    "emb_ann_topk",  # fixture-scale brute-force baseline (documented)
+    # IVF cell assignment is vectors × centroids with a BOUNDED build
+    # side (|cells|, ≤ thousands at any corpus size) — a deliberate
+    # broadcast cross, not a join-key bug
+    "emb_ann_ivf_topk",
+    "emb_ann_ivf_kmeans_topk",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP))
+def test_no_pathological_joins(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name} builds a cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} has an unexpected broadcast nested-loop join — "
+            "either fix the join key or allowlist a deliberate scalar "
+            "broadcast"
+        )
