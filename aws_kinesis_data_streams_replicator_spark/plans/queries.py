@@ -3518,6 +3518,42 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint per-dimension marginals + grand
+    total in one pass) with grouping() disambiguation — the multi-
+    grouping shape rollup/cube don't cover.  Expressed through the SQL
+    interface, like a BI tool would issue it."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("akr_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM akr_gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Function-library widening (round 2): JSON, regexp, bitwise suites.
 # --------------------------------------------------------------------------
