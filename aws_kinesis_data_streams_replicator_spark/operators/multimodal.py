@@ -102,3 +102,87 @@ def extract_features(media: DataFrame, batch_hint_rows: int = 10_000) -> DataFra
     from .util import spread
 
     return spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("target_w", LongType()),
+        StructField("target_h", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize (real impl: PIL/vips).
+
+    Truncates/tiles the byte stream to w*h//64 bytes so output size is a
+    pure function of the target box — tests can assert the contract."""
+    n = max(1, (w * h) // 64)
+    reps = (n // max(1, len(payload))) + 1
+    return (payload * reps)[:n]
+
+
+def resize_media(media: DataFrame, w: int = 64, h: int = 48) -> DataFrame:
+    """Batch resize via ``mapInPandas``: one Arrow crossing per batch,
+    output is again an opaque binary column + target metadata — the
+    shape a real thumbnail/normalization stage has.  At scale,
+    repartition upstream by BYTES (payloads dominate) so each task's
+    batches fit executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda p: fake_resize(p, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": out.map(len),
+                    "target_w": w,
+                    "target_h": h,
+                }
+            )
+
+    from .util import spread
+
+    return spread(media).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 256
+) -> DataFrame:
+    """Frame sampling for video-like payloads: each input row fans out to
+    ``n_frames`` rows of fixed-offset byte windows (a real decoder would
+    seek keyframes; the fan-out shape, schema, and batch behavior are
+    identical).  Row explosion happens INSIDE the pandas batch, so the
+    Arrow boundary is still crossed once per input batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(n_frames):
+                    off = (n * i) // n_frames
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(payload[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    from .util import spread
+
+    return spread(media).mapInPandas(run, schema=FRAME_SCHEMA)
