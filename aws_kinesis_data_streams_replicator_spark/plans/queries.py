@@ -1564,6 +1564,73 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm_resize",
+    """
+    WITH m AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                           ELSE 'audio/wav' END AS media_type,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    r AS (SELECT doc_id, media_type,
+                 substr(repeat(hx, CAST(48 // greatest(1, n) + 1 AS INTEGER)),
+                        1, 96) AS out_hx
+          FROM m)
+    SELECT doc_id, media_type,
+           md5(out_hx) AS payload_md5,
+           CAST(length(out_hx) // 2 AS BIGINT) AS n_bytes,
+           CAST(64 AS BIGINT) AS target_w,
+           CAST(48 AS BIGINT) AS target_h
+    FROM r
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media resize (stubbed decode): output payload is a
+    deterministic function of the input bytes, so the DuckDB oracle can
+    reproduce it with hex-space tiling (repeat + substr on the hex
+    string = byte-level tile + truncate).  md5 over hex compresses the
+    binary for the value-hash; see operators/multimodal.py."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    out = multimodal.resize_media(media, w=64, h=48)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        "n_bytes",
+        "target_w",
+        "target_h",
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    f AS (SELECT doc_id, hx, n,
+                 unnest(generate_series(0, 3)) AS frame_idx
+          FROM m)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substr(hx, 2 * ((n * frame_idx) // 4) + 1, 512)) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 4 fixed-offset 256-byte windows per
+    payload, fanned out inside the pandas batch (one Arrow crossing per
+    input batch).  Oracle slices the same windows in hex space
+    (2 hex chars per byte); see operators/multimodal.py."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    out = multimodal.sample_frames(media, n_frames=4, frame_bytes=256)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (as-of / bounded range) + cube + the pandas-UDF surface
 # --------------------------------------------------------------------------
