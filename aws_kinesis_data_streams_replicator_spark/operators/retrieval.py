@@ -1,0 +1,127 @@
+"""Ranked retrieval over the ``documents`` table: TF-IDF and BM25.
+
+LLM-pipeline ops (not in the reference — SURVEY §2.2 extension): corpus
+indexing and ranked search are how training pipelines mine for
+high-quality or on-topic documents at scale (quality-classifier seed
+sets, targeted decontamination, domain probes).
+
+All scoring is **integer-exact**: the classic ``ln``-based idf is
+replaced by its rational argument scaled to int64 (a strictly monotone
+per-term surrogate), and the BM25 term saturation ``tf·(k1+1) /
+(tf + k1·(1-b+b·dl/avgdl))`` is multiplied through by the corpus token
+count so every division is a single integer floor-div.  Engines disagree
+on the last ulp of ``ln``/double math; they cannot disagree on int64
+arithmetic — which is what lets the DuckDB oracle hash-match.  At 100 TB
+you would flip these expressions to plain doubles (1-ulp rank jitter is
+irrelevant in production; the integer form exists for the parity gate).
+
+Scale notes: the postings build is one explode + one map-side-combined
+aggregation (shuffle on (doc_id, term)); document frequency is a second
+small aggregation over the postings; corpus scalars (N, Σdl) are a
+1-row aggregate joined back by broadcast — never a driver collect.  The
+query-term filter lands BEFORE the df/score joins, so BM25's joins only
+move postings rows matching the query (|q| terms × df rows, not the
+whole index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import word_tokens
+from .util import spread
+
+IDF_SCALE = 1_000_000  # tfidf idf surrogate scale
+BM25_IDF_SCALE = 1_000  # bm25 idf surrogate scale (keeps int64 headroom)
+
+
+def term_postings(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — the inverted-index fact table."""
+    toks = spread(documents).select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by integer-scaled TF-IDF.
+
+    score = tf · (N·IDF_SCALE div df); ties broken by term asc so the
+    cut is total-order deterministic.
+    """
+    tf = term_postings(documents).localCheckpoint(eager=False)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((n * 1000000) DIV df)"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def bm25_topk(
+    documents: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under integer-exact BM25
+    (k1 = 1.2, b = 0.75 — multiplied through as 6/5 and 3/4).
+
+    Per matching (doc, term):
+        idf_s = ((2N − 2·df + 1)·1000) div (2·df + 1)      # rational idf arg
+        sat   = (44·tf·Σdl) div (20·tf·Σdl + 6·Σdl + 18·dl·N)
+                # = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) ×20Σdl/20Σdl
+        score = Σ_terms (idf_s · 44·tf·Σdl) div (20·tf·Σdl + 6·Σdl + 18·dl·N)
+
+    Int64 headroom: idf_s ≤ 2N·10³, 44·tf·Σdl ≲ 10¹⁰ at the fixture
+    scale — the product stays under 2⁶³.  The query-term filter is
+    pushed to the postings before any join.
+    """
+    spark = documents.sparkSession
+    # inline VALUES, not createDataFrame: a local-list DataFrame spawns a
+    # Python worker per partition just to serve constants.
+    values = ", ".join("('" + t.replace("'", "''") + "')" for t in query_terms)
+    qdf = spark.sql(f"SELECT * FROM VALUES {values} AS q(term)")
+
+    docs = spread(documents).select(
+        "doc_id", word_tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qdf), "term")  # prune to query terms pre-shuffle
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(((2*n - 2*df + 1) * 1000) DIV (2*df + 1)) * (44*tf*sdl) "
+                "DIV (20*tf*sdl + 6*sdl + 18*dl*n)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
+    )

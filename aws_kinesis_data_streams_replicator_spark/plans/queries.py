@@ -1565,6 +1565,69 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                      tf.tf * ((n.n * 1000000) // df.df) AS score
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by integer-scaled TF-IDF
+    (rational idf surrogate — see operators/retrieval.py)."""
+    from ..operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "doc_bm25_search",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    q AS (SELECT unnest(['data', 'spark', 'table']) AS term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    s AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               sum((((2*s.n - 2*df.df + 1) * 1000) // (2*df.df + 1))
+                   * (44*tf.tf*s.sdl)
+                   // (20*tf.tf*s.sdl + 6*s.sdl + 18*dl.dl*s.n)) AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+        GROUP BY tf.doc_id),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a 3-term query, integer-exact scoring (k1=1.2,
+    b=0.75 multiplied through — see operators/retrieval.py)."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["data", "spark", "table"], k=20
+    )
+
+
+@_q(
     "mm_resize",
     """
     WITH m AS (SELECT doc_id,

@@ -41,6 +41,8 @@ _BNLJ_OK = {
     # broadcast cross, not a join-key bug
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
+    "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
+    "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
 }
 
 
