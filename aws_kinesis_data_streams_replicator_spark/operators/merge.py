@@ -52,3 +52,40 @@ def merge_upsert(
             .alias("merge_action")
         )
     return merged.select(*out)
+
+
+# --------------------------------------------------------------------------
+# Position-based deletion vectors (merge-on-read soft delete)
+# --------------------------------------------------------------------------
+
+def _pos():
+    # built lazily: column construction needs the classic/connect dispatch
+    # that only resolves once a session exists
+    return [
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    ]
+
+
+def position_deletes(scan: DataFrame, predicate) -> DataFrame:
+    """Build a deletion vector for rows matching ``predicate``: the
+    (file_path, row_index) positions Delta/Iceberg DVs record.  Narrow
+    scan — only the predicate's columns plus constant-cost metadata are
+    read; emitting positions instead of rewriting files is the whole
+    point of the DV pattern (a delete touches KBs of bitmap, not TBs of
+    parquet)."""
+    return scan.where(predicate).select(*_pos())
+
+
+def read_with_deletes(scan: DataFrame, dv: DataFrame) -> DataFrame:
+    """Merge-on-read: survive = scan ANTI JOIN dv on position.
+
+    At 100 TB the DV side is small-per-file bitmaps — Spark broadcasts
+    it and the anti join never shuffles the base table.  (Real DV
+    readers push the bitmap into the scan; the relational anti-join is
+    the same plan one level up.)"""
+    keyed = scan.select(*_pos(), "*")
+    out = keyed.join(
+        F.broadcast(dv), on=["_dv_file", "_dv_pos"], how="left_anti"
+    )
+    return out.drop("_dv_file", "_dv_pos")

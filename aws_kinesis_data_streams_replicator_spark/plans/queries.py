@@ -3649,6 +3649,36 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_position_deletes",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read soft delete via position deletion vectors: the
+    delete set is recorded as (file_path, row_index) — the Delta/Iceberg
+    DV shape — and the read survives rows by broadcast anti-join on
+    position, never rewriting the base files.  Oracle expresses the same
+    survivors at the key level."""
+    from ..operators.merge import position_deletes, read_with_deletes
+
+    o = _t(spark, sf_dir, "orders")
+    dv = position_deletes(o, F.col("o_orderkey") % 97 == 0)
+    live = read_with_deletes(o, dv)
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@_q(
     "agg_grouping_sets",
     """
     SELECT coalesce(o_orderpriority, '(all)') AS priority,
