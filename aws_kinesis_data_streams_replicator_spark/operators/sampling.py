@@ -91,6 +91,65 @@ def balanced_sample(
     )
 
 
+def bottom_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str = "text",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample: keep the k smallest
+    content hashes (the distributed equivalent of a reservoir sample —
+    same marginal distribution, but reproducible and mergeable).
+
+    Per-stratum: one window shuffle on the stratum key.  Global: sort +
+    limit compiles to ``TakeOrderedAndProject`` — per-partition top-k
+    then a driver merge of k·partitions rows, never a full sort — and
+    the rank window runs over just k rows.
+    """
+    h = F.md5(F.col(key_col)).alias("_h")
+    if stratum_col is not None:
+        w = Window.partitionBy(stratum_col).orderBy("_h")
+        return (
+            df.select("*", h)
+            .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("sample_rank") <= k)
+            .drop("_h")
+        )
+    topk = df.select("*", h).orderBy("_h").limit(k)
+    w = Window.orderBy("_h")
+    return (
+        topk.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: priority =
+    hash₆₀(key) div weight, keep the k smallest priorities — heavier
+    rows draw proportionally smaller priorities (the integer-exact
+    analogue of A-ES exponential-jump sampling; ``u^(1/w)`` keys need
+    doubles, which the oracle gate can't hash).
+
+    Pure map-side priority + ``TakeOrderedAndProject`` — no shuffle of
+    the full table at any scale.
+    """
+    # integer floor-div (DIV) so Spark and the oracle agree exactly
+    pri = F.expr(
+        f"CAST(conv(substring(md5({key_col}), 1, 15), 16, 10) AS BIGINT) "
+        f"DIV greatest(1L, CAST({weight_col} AS BIGINT))"
+    )
+    topk = df.withColumn("priority", pri).orderBy("priority", key_col).limit(k)
+    w = Window.orderBy("priority", key_col)
+    return topk.withColumn(
+        "sample_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     token_budget: int = 2048,

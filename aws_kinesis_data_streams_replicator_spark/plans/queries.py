@@ -3159,6 +3159,59 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_reservoir_sample",
+    """
+    WITH r AS (SELECT doc_id, lang, md5(text) AS h,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5(text)) AS sample_rank
+               FROM documents)
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+)
+def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per language via bottom-k content
+    hashes — the deterministic, mergeable distributed equivalent of a
+    reservoir sample (operators/sampling.py)."""
+    from ..operators.sampling import bottom_k_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return bottom_k_sample(docs, k=20, stratum_col="lang").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@_q(
+    "doc_weighted_sample",
+    """
+    WITH p AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                      // greatest(1, n_chars) AS priority,
+                      text
+               FROM documents),
+    r AS (SELECT doc_id, n_chars, priority,
+                 row_number() OVER (ORDER BY priority, text) AS sample_rank
+          FROM p)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(priority AS BIGINT) AS priority,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample without replacement:
+    priority = hash₆₀(text) div n_chars, keep the 100 smallest —
+    integer-exact A-ES analogue; plan is map-side priority +
+    TakeOrderedAndProject (operators/sampling.py)."""
+    from ..operators.sampling import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, k=100, weight_col="n_chars"
+    ).select("doc_id", "n_chars", "priority", "sample_rank")
+
+
+@_q(
     "doc_pack_sequences",
     """
     WITH t AS (
