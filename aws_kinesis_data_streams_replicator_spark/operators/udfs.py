@@ -80,6 +80,36 @@ def event_id_median_by_type(events: DataFrame) -> DataFrame:
     return med.join(cnt, "event_type")
 
 
+class TopTokensUDTF:
+    """UDTF with ``analyze()``: the output schema (tok_1..tok_k) is
+    derived from the CONSTANT k argument at plan time — the polymorphic
+    table-function API (Spark 3.5+ static analysis), demoed with
+    deterministic semantics: the k lexicographically-smallest distinct
+    tokens per document.
+
+    ``analyze`` runs in the driver-side UDTF analyzer process and the
+    class is pickled by value, so all imports stay inside the methods.
+    """
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import LongType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if k.value is None or int(k.value) < 1:
+            raise ValueError("k must be a positive constant")
+        schema = StructType().add("n_tokens", LongType())
+        for i in range(int(k.value)):
+            schema = schema.add(f"tok_{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):
+        toks = sorted(set(text.split(" ")))
+        yield tuple(
+            [len(toks)] + [toks[i] if i < len(toks) else None for i in range(k)]
+        )
+
+
 class BigramUDTF:
     """Python UDTF: first 5 word-bigrams of a text, with positions.
 

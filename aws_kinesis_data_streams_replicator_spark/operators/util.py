@@ -30,6 +30,41 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def file_stats(scan: DataFrame) -> DataFrame:
+    """Per-file row counts + size from the scan's ``_metadata`` column —
+    the layout diagnostic behind compaction decisions (a 100 TB table of
+    1 MB files spends more time opening footers than reading data).
+    One map-side-combined aggregation; no data columns are read when the
+    source supports metadata-only projection."""
+    from pyspark.sql import functions as F
+
+    return (
+        scan.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_path", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def layout_report(scan: DataFrame, target_bytes: int = 128 * 1024 * 1024):
+    """1-row summary of file layout health: file count, row totals,
+    min/max rows per file, and how many files are under half the target
+    size (the compaction backlog)."""
+    from pyspark.sql import functions as F
+
+    return file_stats(scan).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("n_rows").alias("min_file_rows"),
+        F.max("n_rows").alias("max_file_rows"),
+        F.sum(
+            F.when(F.col("file_size") < target_bytes // 2, 1).otherwise(0)
+        ).alias("n_small_files"),
+    )
+
+
 def salted_aggregate(
     df,
     keys: list[str],

@@ -2041,6 +2041,33 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "udtf_analyze_top_tokens",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(string_split(text, ' '))) AS l
+               FROM documents)
+    SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           l[1] AS tok_1, l[2] AS tok_2, l[3] AS tok_3
+    FROM t
+    """,
+)
+def udtf_analyze_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF: ``analyze()`` expands the constant k=3 into
+    output columns tok_1..tok_3 at plan time (operators/udfs.py)."""
+    from pyspark.sql.functions import udtf
+
+    from ..operators.udfs import TopTokensUDTF
+
+    # no returnType: schema comes from TopTokensUDTF.analyze
+    spark.udtf.register("top_tokens_udtf", udtf(TopTokensUDTF))
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf2")
+    return spark.sql(
+        "SELECT d.doc_id, t.n_tokens, t.tok_1, t.tok_2, t.tok_3 "
+        "FROM _docs_udtf2 d, LATERAL top_tokens_udtf(d.text, 3) t"
+    )
+
+
+@_q(
     "agg_percentiles_disc",
     """
     WITH r AS (
@@ -2182,6 +2209,15 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
 
 
+def files_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-layout health report from scan ``_metadata`` (rows-only: the
+    oracle's views can't see file boundaries) — see operators/util.py
+    layout_report."""
+    from ..operators.util import layout_report
+
+    return layout_report(_t(spark, sf_dir, "lineitem"))
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic fake decode; real decode is a documented stub)."""
@@ -2211,6 +2247,7 @@ def gen_replicate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_ann_lsh_topk"] = emb_ann_lsh_topk
 QUERIES["emb_ann_ivf_topk"] = emb_ann_ivf_topk
 QUERIES["mm_feature_extract"] = mm_feature_extract
+QUERIES["files_layout_lineitem"] = files_layout_lineitem
 QUERIES["gen_replicate_pipeline"] = gen_replicate_pipeline
 
 
