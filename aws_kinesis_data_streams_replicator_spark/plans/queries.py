@@ -3249,6 +3249,27 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_kfold_assign",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 5 AS fold
+    FROM documents
+    """,
+)
+def doc_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split: fold = content-hash mod k.  Pure
+    map-side, reproducible, duplicate texts land in the same fold (so
+    leakage-free CV even pre-dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+    )
+
+
+@_q(
     "doc_pack_sequences",
     """
     WITH t AS (
@@ -3736,6 +3757,56 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(tgt, src, "c_custkey", with_action=True).select(
         "c_custkey", F.col("bal").cast("double").alias("bal"), "merge_action"
     )
+
+
+@_q(
+    "graph_pagerank",
+    """
+    WITH e AS (SELECT DISTINCT l_orderkey % 1000 AS src,
+                               l_partkey % 1000 AS dst
+               FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    b AS (SELECT id, (1000000000000 // nn.n) AS base_r
+          FROM nodes CROSS JOIN nn),
+    r0 AS (SELECT id, base_r AS r FROM b),
+    c1 AS (SELECT e.dst AS id, sum(r0.r // od.outdeg) AS c
+           FROM e JOIN r0 ON e.src = r0.id JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+    r1 AS (SELECT b.id,
+                  ((15 * b.base_r) // 100) + ((85 * coalesce(c1.c, 0)) // 100)
+                      AS r
+           FROM b LEFT JOIN c1 USING (id)),
+    c2 AS (SELECT e.dst AS id, sum(r1.r // od.outdeg) AS c
+           FROM e JOIN r1 ON e.src = r1.id JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+    r2 AS (SELECT b.id,
+                  ((15 * b.base_r) // 100) + ((85 * coalesce(c2.c, 0)) // 100)
+                      AS r
+           FROM b LEFT JOIN c2 USING (id)),
+    c3 AS (SELECT e.dst AS id, sum(r2.r // od.outdeg) AS c
+           FROM e JOIN r2 ON e.src = r2.id JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+    r3 AS (SELECT b.id,
+                  ((15 * b.base_r) // 100) + ((85 * coalesce(c3.c, 0)) // 100)
+                      AS r
+           FROM b LEFT JOIN c3 USING (id))
+    SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 rounds, d=0.85) over a derived
+    order→part graph — the iterative-join algorithm shape; oracle is the
+    same recurrence unrolled as chained CTEs (operators/graph.py)."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3)
 
 
 @_q(
