@@ -129,6 +129,110 @@ def fingerprints(documents: DataFrame, k_shingle: int = 3) -> DataFrame:
     )
 
 
+def vocab_oov(documents: DataFrame, min_df: int = 5) -> DataFrame:
+    """Vocabulary build + per-doc OOV rate — the tokenizer-coverage
+    check run before committing a vocab to a training run.
+
+    vocab = terms appearing in ≥ ``min_df`` documents; per doc emit
+    total tokens, out-of-vocab tokens, and the OOV per-mille
+    (integer-exact: ``(n_oov·1000) div n_tokens``).
+
+    Scale notes: one explode + two map-side-combined aggregations; the
+    vocab membership join is a shuffle equi-join on term (NOT broadcast
+    — a 100 TB corpus's vocab is itself large), and everything else is
+    per-doc arithmetic.
+    """
+    tf = (
+        spread(documents)
+        .select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("term")
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_tokens"))
+    inv = (
+        tf.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_inv"))
+    )
+    return (
+        tot.join(inv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_inv"), F.lit(0))).alias(
+                "n_oov"
+            ),
+            F.expr(
+                "((n_tokens - coalesce(n_inv, 0L)) * 1000) DIV n_tokens"
+            ).alias("oov_pm"),
+        )
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame, min_cooc: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k adjacent-word collocations by an integer-exact PMI
+    surrogate: score ∝ cooc / (cnt_a · cnt_b) (the corpus-constant
+    bigram total drops out of the ranking), scaled as
+    ``(cooc · N_tokens · 1000) div (cnt_a · cnt_b)``.
+
+    Scale notes: unigram and bigram counts are both map-side-combined
+    aggregations over one tokenized scan; the ``min_cooc`` filter prunes
+    the bigram table BEFORE its two joins against the unigram counts
+    (shuffle equi-joins on term).  The corpus token total is a 1-row
+    broadcast.
+    """
+    toks = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    nu = uni.agg(F.sum("cnt").cast("long").alias("nu"))
+    big = (
+        toks.select(F.explode(shingles_of_tokens(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .where(F.col("cooc") >= min_cooc)
+    )
+    parts = big.select(
+        "bg",
+        "cooc",
+        F.split(F.col("bg"), " ").getItem(0).alias("term_a"),
+        F.split(F.col("bg"), " ").getItem(1).alias("term_b"),
+    )
+    scored = (
+        parts.join(uni.select(F.col("term").alias("term_a"), F.col("cnt").alias("cnt_a")), "term_a")
+        .join(uni.select(F.col("term").alias("term_b"), F.col("cnt").alias("cnt_b")), "term_b")
+        .join(F.broadcast(nu))
+        .select(
+            "bg",
+            "cooc",
+            F.expr("(cooc * nu * 1000) DIV (cnt_a * cnt_b)").alias("score_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # sort+limit → TakeOrderedAndProject (per-partition top-k, no full
+    # sort); the rank window then runs over just k rows
+    topk = scored.orderBy(F.desc("score_q"), F.asc("bg")).limit(k)
+    w = Window.orderBy(F.desc("score_q"), F.asc("bg"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def lang_source_stats(documents: DataFrame) -> DataFrame:
     """Corpus rollup: docs + exact char sums per (lang, source)."""
     return documents.groupBy("lang", "source").agg(

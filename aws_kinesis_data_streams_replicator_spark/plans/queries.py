@@ -1565,6 +1565,68 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_vocab_oov",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    v AS (SELECT term FROM df WHERE df >= 5),
+    tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY 1),
+    inv AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_inv
+            FROM tf JOIN v USING (term) GROUP BY 1)
+    SELECT tot.doc_id, tot.n_tokens,
+           tot.n_tokens - coalesce(inv.n_inv, 0) AS n_oov,
+           ((tot.n_tokens - coalesce(inv.n_inv, 0)) * 1000) // tot.n_tokens
+               AS oov_pm
+    FROM tot LEFT JOIN inv USING (doc_id)
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary (df ≥ 5) coverage: per-doc OOV counts and per-mille
+    rate — see operators/text.py vocab_oov."""
+    from ..operators.text import vocab_oov
+
+    return vocab_oov(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+@_q(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    ucnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+    nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM ucnt),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cooc
+             FROM (SELECT unnest(list_transform(
+                              range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1])) AS bg
+                   FROM toks)
+             GROUP BY 1 HAVING count(*) >= 5),
+    s AS (SELECT b.bg, b.cooc,
+                 (b.cooc * nu.nu * 1000) // (a.cnt * c.cnt) AS score_q
+          FROM bcnt b
+          JOIN ucnt a ON a.term = string_split(b.bg, ' ')[1]
+          JOIN ucnt c ON c.term = string_split(b.bg, ' ')[2]
+          CROSS JOIN nu),
+    r AS (SELECT *, row_number() OVER (ORDER BY score_q DESC, bg) AS rnk
+          FROM s)
+    SELECT bg, cooc, CAST(score_q AS BIGINT) AS score_q,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by integer-exact PMI surrogate
+    (operators/text.py pmi_collocations)."""
+    from ..operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_cooc=5, k=50)
+
+
+@_q(
     "doc_tfidf_top_terms",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

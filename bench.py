@@ -109,7 +109,12 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     try:
-        stream_sec, stream_rps = bench_streaming(spark, sf_dir)
+        # best-of-2, same rationale as run_query: the first run absorbs
+        # streaming-path codegen + state-store init (~2x slower)
+        stream_sec, stream_rps = min(
+            (bench_streaming(spark, sf_dir) for _ in range(2)),
+            key=lambda sr: sr[0],
+        )
         timings["streaming_replication"] = stream_sec
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming failed: {e}", file=sys.stderr)

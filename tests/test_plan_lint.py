@@ -44,6 +44,7 @@ _BNLJ_OK = {
     "emb_ann_ivf_kmeans_topk",
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
+    "text_pmi_collocations",  # corpus token total 1-row scalar broadcast
 }
 
 
