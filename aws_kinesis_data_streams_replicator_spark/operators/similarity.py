@@ -31,6 +31,31 @@ def _quantized(embeddings: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def group_centroids(embeddings: DataFrame, group_col: str = "label") -> DataFrame:
+    """Per-group embedding centroid as exact quantized component sums:
+    (group, pos, sum_q, n_vecs) with pos 1-based.
+
+    The vector-average behind k-means seeding, per-domain drift
+    monitoring, and class prototypes — emitted as (Σ quantized
+    component, count) so the aggregation is exact int64 and the caller
+    divides at whatever precision it wants.  posexplode + one map-side-
+    combined aggregation on (group, pos): dims × |groups| output rows,
+    shuffle bounded by that product, never by N.
+    """
+    q = spread(embeddings).select(
+        F.col(group_col),
+        F.posexplode(quantize_embedding(F.col("embedding"))).alias("pos0", "q"),
+    )
+    return (
+        q.select(group_col, (F.col("pos0") + 1).cast("long").alias("pos"), "q")
+        .groupBy(group_col, "pos")
+        .agg(
+            F.sum("q").cast("long").alias("sum_q"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1546,6 +1546,24 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_group_centroids",
+    f"""
+    WITH e AS (SELECT label, {_QUANT_SQL} AS qe FROM embeddings),
+    x AS (SELECT label, unnest(generate_series(1, len(qe))) AS pos, qe
+          FROM e)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(qe[pos]) AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM x GROUP BY label, pos
+    """,
+)
+def emb_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid as exact quantized component sums
+    (operators/similarity.py group_centroids)."""
+    return similarity.group_centroids(_t(spark, sf_dir, "embeddings"), "label")
+
+
+@_q(
     "mm_binary_meta",
     """
     SELECT doc_id,
