@@ -97,6 +97,82 @@ def streaming_dedup(
     )
 
 
+def topk_users_per_window_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    watermark_delay: str = "30 minutes",
+    size: str = "1 hour",
+):
+    """Streaming top-k per event-time window (the Q18 shape on a
+    stream).  Ranking windows aren't allowed inside a streaming
+    aggregation, so the production recipe is: watermarked windowed agg
+    (update mode) → ``foreachBatch`` ranks the CHANGED windows and
+    overwrite-upserts each window's top-k partition.  State is the
+    windowed agg's (bounded by the watermark); the rank runs per batch
+    over only the updated windows' rows.
+    """
+    agg = (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), size).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+    def rank_and_upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if not batch_df.head(1):
+            return
+        # update mode emits only CHANGED (window, user) rows.  Merging
+        # them with the previously-written top-k is sufficient: counts
+        # are monotone, so a user absent from both the update and the
+        # old top-k was below the bar and the bar only rises.
+        spark = batch_df.sparkSession
+        merged = batch_df
+        try:
+            prior = (
+                spark.read.parquet(out_dir)
+                .drop("rnk")
+                .join(
+                    F.broadcast(batch_df.select("window_start").distinct()),
+                    "window_start",
+                )
+            )
+            merged = batch_df.unionByName(prior)
+        except Exception:
+            pass  # first batch: nothing written yet
+        latest = merged.groupBy("window_start", "user_id").agg(
+            F.max("n_events").alias("n_events")
+        )
+        rw = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+        top = latest.withColumn("rnk", F.row_number().over(rw)).where(
+            F.col("rnk") <= k
+        )
+        # dynamic partition overwrite rewrites exactly the changed
+        # windows' top-k files, nothing else
+        (
+            top.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(rank_and_upsert)
+        .start()
+    )
+
+
 def windowed_counts_stream(
     events_stream: DataFrame,
     watermark_delay: str = "30 minutes",
