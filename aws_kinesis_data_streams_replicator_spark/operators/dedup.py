@@ -392,7 +392,6 @@ def embedding_neardup_pairs_lsh(
       use the top-k paths in operators/similarity.py for that.
     """
     from ..functions.vectors import dot_q, quantize_embedding
-    from .similarity import sign_lsh_bucket
 
     # One materialization: the plan otherwise re-scans + re-quantizes the
     # embeddings for each of its 4 references (band self-join + 2 verify
@@ -403,25 +402,17 @@ def embedding_neardup_pairs_lsh(
         .select(F.col(id_col), quantize_embedding(F.col("embedding")).alias("qe"))
         .localCheckpoint(eager=False)
     )
+    # all band buckets in one Arrow-batched numpy matmul: the JVM
+    # higher-order-lambda form is interpreted and ~100x slower here
+    # (same md5 sign family, same int64 math -> identical buckets;
+    # equality vs sign_lsh_bucket is unit-tested)
+    from .udfs import sign_lsh_all_bands_udf
+
+    all_buckets = sign_lsh_all_bands_udf(n_bands, band_planes, dim)
     bands = q.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        sign_lsh_bucket(
-                            F.col("qe"),
-                            band_planes,
-                            dim,
-                            plane_offset=band * band_planes,
-                        ).alias("bucket"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.bucket")
+        F.posexplode(all_buckets(F.col("qe"))).alias("band_id", "bucket"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -80,6 +80,58 @@ def event_id_median_by_type(events: DataFrame) -> DataFrame:
     return med.join(cnt, "event_type")
 
 
+def sign_lsh_all_bands_udf(n_bands: int, band_planes: int, dim: int):
+    """Factory: pandas UDF computing ALL banded sign-LSH bucket ids in
+    one numpy matmul per Arrow batch.
+
+    The JVM expression form (similarity.sign_lsh_bucket per band) is
+    n_bands·band_planes interpreted higher-order ``aggregate(zip_with)``
+    passes per row — measured ~6s for 2000×64-dim at 8×8; this matmul
+    path is <50ms for the same work (the one place the pandas UDF IS the
+    fast path, because Catalyst doesn't codegen higher-order lambdas).
+    Same md5 sign family, same int64 arithmetic → bit-identical buckets.
+    """
+    import hashlib
+
+    import numpy as np
+
+    total = n_bands * band_planes
+    signs = np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] >= "8"
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(total)
+        ],
+        dtype=np.int64,
+    )
+
+    from pyspark.sql.types import ArrayType, StringType as _Str
+
+    @F.pandas_udf(ArrayType(_Str()))
+    def all_buckets(qe: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        m = _np.array(qe.tolist(), dtype=_np.int64)  # rows × dim
+        bits = (m @ signs.T) >= 0  # rows × total planes
+        out = [
+            [
+                "".join(
+                    "1" if b else "0"
+                    for b in row[band * band_planes : (band + 1) * band_planes]
+                )
+                for band in range(n_bands)
+            ]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return all_buckets
+
+
 class TopTokensUDTF:
     """UDTF with ``analyze()``: the output schema (tok_1..tok_k) is
     derived from the CONSTANT k argument at plan time — the polymorphic

@@ -108,3 +108,35 @@ def test_hot_shingle_cap_bounds_posting_lists_and_keeps_true_dups(spark):
         .count()
     )
     assert sh.agg(F.max("count")).first()[0] > 5  # fixture IS skewed
+
+
+def test_pandas_buckets_equal_jvm_buckets(spark, sf_dir):
+    """The numpy-matmul bucket path must be bit-identical to the JVM
+    sign_lsh_bucket expression family it replaced."""
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_streams_replicator_spark.functions.vectors import (
+        quantize_embedding,
+    )
+    from aws_kinesis_data_streams_replicator_spark.operators.similarity import (
+        sign_lsh_bucket,
+    )
+    from aws_kinesis_data_streams_replicator_spark.operators.udfs import (
+        sign_lsh_all_bands_udf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    q = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    jvm = q.select(
+        "vec_id",
+        *[
+            sign_lsh_bucket(F.col("qe"), 8, 64, plane_offset=b * 8).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    pdu = q.select(
+        "vec_id", sign_lsh_all_bands_udf(4, 8, 64)(F.col("qe")).alias("bs")
+    )
+    want = {r.vec_id: [r.b0, r.b1, r.b2, r.b3] for r in jvm.collect()}
+    got = {r.vec_id: list(r.bs) for r in pdu.collect()}
+    assert got == want
