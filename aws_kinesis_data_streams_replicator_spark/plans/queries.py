@@ -1583,6 +1583,91 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "set_ops_all_quantifiers",
+    """
+    SELECT 'both' AS tag, o_orderpriority FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'only_open' AS tag, o_orderpriority FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_all_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate counts (min/difference of multiplicities) — the quantified
+    complement to the distinct set-ops query."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    final = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    both = open_.intersectAll(final).select(
+        F.lit("both").alias("tag"), "o_orderpriority"
+    )
+    only = open_.exceptAll(final).select(
+        F.lit("only_open").alias("tag"), "o_orderpriority"
+    )
+    return both.unionAll(only)
+
+
+@_q(
+    "win_value_functions",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events WHERE user_id < 200)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           first_value(event_id) OVER w1 AS first_id,
+           last_value(nullif(event_type, 'click') IGNORE NULLS) OVER w1
+               AS last_nonclick,
+           nth_value(event_type, 3) OVER w2 AS third_type,
+           lead(event_id, 1, -1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+    FROM e
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function family: first_value, last_value IGNORE
+    NULLS (last non-click event so far), nth_value over the full frame,
+    and lead with an explicit default — deterministic via the unique
+    (ts, event_id) ordering."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    order = [F.col("ts"), F.col("event_id")]
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_FMT).alias("ts_s"),
+        F.first("event_id").over(w1).alias("first_id"),
+        F.last(F.expr("nullif(event_type, 'click')"), ignorenulls=True)
+        .over(w1)
+        .alias("last_nonclick"),
+        F.nth_value("event_type", 3).over(w2).alias("third_type"),
+        F.lead("event_id", 1, -1).over(wl).alias("next_id"),
+    )
+
+
+@_q(
     "text_vocab_oov",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
