@@ -1583,6 +1583,95 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fn_datetime_suite",
+    """
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey,
+           strftime(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(last_day(d), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start,
+           strftime(date_trunc('quarter', d), '%Y-%m-%d') AS quarter_start,
+           CAST(date_diff('day', d, DATE '1998-12-31') AS BIGINT)
+               AS days_to_eoy
+    FROM o
+    """,
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function family: add_months (month-end clamped),
+    last_day, Monday week / quarter truncation, day difference — all
+    emitted as formatted strings / exact ints for engine parity."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.datediff(F.lit("1998-12-31").cast("date"), d)
+        .cast("long")
+        .alias("days_to_eoy"),
+    )
+
+
+@_q(
+    "doc_curriculum_phases",
+    """
+    WITH q AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_words,
+                      len(list_distinct(string_split(text, ' ')))
+                          AS n_distinct
+               FROM documents),
+    s AS (SELECT doc_id, lang, n_words,
+                 (n_distinct * 1000) // n_words AS diversity_pm
+          FROM q)
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           CAST(diversity_pm AS BIGINT) AS diversity_pm,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY diversity_pm, doc_id) AS BIGINT)
+               AS phase
+    FROM s
+    """,
+)
+def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents by a lexical-diversity score
+    (distinct/total words, per-mille) and cut each language into 4
+    training phases with ntile — easy→hard scheduling, deterministic
+    tie-break by doc_id."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens
+
+    toks = word_tokens(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    s = q.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.expr("(n_distinct * 1000) DIV n_words").alias("diversity_pm"),
+    )
+    w = Window.partitionBy("lang").orderBy("diversity_pm", "doc_id")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "diversity_pm",
+        F.ntile(4).over(w).cast("long").alias("phase"),
+    )
+
+
+@_q(
     "set_ops_all_quantifiers",
     """
     SELECT 'both' AS tag, o_orderpriority FROM (
