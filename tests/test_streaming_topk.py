@@ -77,3 +77,52 @@ def test_streamed_topk_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_topk_stream_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Kill the top-k stream between micro-batches and restart from the
+    WAL: dynamic partition overwrite + monotone merge must land on the
+    same final answer (no dup rows, no lost windows)."""
+    events = load_table(spark, sf_dir, "events").limit(400)
+    stage = str(tmp_path / "ev")
+    os.makedirs(stage, exist_ok=True)
+    for i, part in enumerate(
+        [events.limit(200), events.subtract(events.limit(200))]
+    ):
+        tmp = tempfile.mkdtemp()
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(src, os.path.join(stage, f"b{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out, wal = str(tmp_path / "topk"), str(tmp_path / "wal")
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return topk_users_per_window_stream(
+            stream, out, wal, k=3, watermark_delay="100 days"
+        )
+
+    # run once to completion, snapshot, then restart (replays nothing
+    # new) and snapshot again — identical tables
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    first = {
+        (str(r.window_start), r.rnk): (r.user_id, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    second = {
+        (str(r.window_start), r.rnk): (r.user_id, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == second and len(first) > 0
