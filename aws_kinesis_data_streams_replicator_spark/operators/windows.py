@@ -157,3 +157,83 @@ def user_event_deltas(events: DataFrame) -> DataFrame:
         ).alias("secs_since_prev"),
         F.row_number().over(w).alias("event_seq"),
     )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization by inactivity gap (gaps-and-islands): a new
+    session starts when the pause since the previous event exceeds the
+    gap.  One window pass for the gap flags + running session number,
+    one aggregation for the per-session rollup — the batch twin of the
+    streaming ``session_window`` operator above, with identical gap
+    semantics and integer-exact outputs.
+
+    Scale notes (100 TB): both passes shuffle on user_id only; sessions
+    never cross users, so pre-bucketing the event log by user_id makes
+    the window pass shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > gap_minutes * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_s"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("end_s"),
+        (
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_secs"),
+    )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """SCD-2 history build from an event log: collapse each user's
+    event-type stream into change rows with validity intervals
+    [valid_from, valid_to) — valid_to = next change's timestamp, open
+    intervals marked with a sentinel.  The dimension-table maintenance
+    shape CDC pipelines feed.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("state"),
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("valid_to"),
+    )

@@ -1133,6 +1133,184 @@ def evt_user_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_sessionize_batch",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    f AS (SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_seq
+          FROM f)
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+               AS duration_secs
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def evt_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity) — batch twin
+    of the streaming session_window op (operators/windows.py)."""
+    return windows.sessionize_batch(_t(spark, sf_dir, "events"), 30)
+
+
+@_q(
+    "cdc_scd2_intervals",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    c AS (SELECT user_id, event_id, ts, event_type AS state,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_state
+          FROM e)
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to
+    FROM c WHERE prev_state IS NULL OR state <> prev_state
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from the event-type change stream
+    (operators/windows.py scd2_intervals)."""
+    return windows.scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "evt_funnel_ordered",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    s1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+           FROM e GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS signup_s,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS click_s,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def evt_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: each stage's
+    timestamp is the earliest occurrence AT OR AFTER the previous stage
+    (sequential dependency = three chained aggregations, each joined on
+    the shrinking surviving-user set — at scale each stage's join input
+    only shrinks, and all three shuffles share the user_id key)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t1"
+            )
+        )
+        .where(F.col("t1").isNotNull())
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t1"
+            )
+        )
+    )
+    out = base.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return out.select(
+        "user_id",
+        F.date_format("t1", _TS_US_FMT).alias("signup_s"),
+        F.date_format("t2", _TS_US_FMT).alias("click_s"),
+        F.date_format("t3", _TS_US_FMT).alias("purchase_s"),
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+    )
+
+
+@_q(
+    "evt_retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id,
+                 date_trunc('week', e.ts) AS active_week
+          FROM e),
+    j AS (SELECT c.user_id,
+                 strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week_s,
+                 CAST(date_diff('day', c.cohort_week, a.active_week) // 7
+                      AS BIGINT) AS week_offset
+          FROM c JOIN a USING (user_id))
+    SELECT cohort_week_s, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j GROUP BY cohort_week_s, week_offset
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per active-week offset — the cohort-retention matrix in
+    long form."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    c = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    j = c.join(a, "user_id").select(
+        "user_id",
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week_s"),
+        F.expr(
+            "CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)"
+        ).alias("week_offset"),
+    )
+    return j.groupBy("cohort_week_s", "week_offset").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_active")
+    )
+
+
+@_q(
     "evt_dedup_exact",
     """
     SELECT user_id, event_type, props,
