@@ -142,3 +142,74 @@ def running_stream_totals_tws(decoded_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, n_events long, first_us long, last_us long, closed boolean"
+)
+SESSION_STATE_SCHEMA = "n_events long, first_us long, last_us long"
+
+
+def _session_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap_ms = 10 * 60 * 1000
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+                "closed": [True],
+            }
+        )
+        return
+    n, first_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        n += len(pdf)
+        # plain ints: the state tuple is JSON-serialized, np.int64 isn't
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, first_us, last_us))
+    # close when the EVENT-TIME watermark passes last event + gap
+    state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "first_us": [first_us],
+            "last_us": [last_us],
+            "closed": [False],
+        }
+    )
+
+
+def expiring_user_sessions(
+    events_stream: DataFrame, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """Custom sessionization WITH state expiry: per-user counters that
+    emit a final ``closed=true`` row and DELETE their state when the
+    event-time watermark passes (last event + 10-minute gap) — the
+    EventTimeTimeout pattern that keeps 100 TB keyed state bounded
+    (the NoTimeout totals operator above is the unbounded-keys
+    counterexample; finite stream names make that safe, user ids do
+    not)."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
