@@ -1761,6 +1761,69 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_exact_median_2x",
+    """
+    WITH c AS (SELECT o_orderstatus,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS cents
+               FROM orders),
+    r AS (SELECT o_orderstatus, cents,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM c)
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * cents
+                         WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1)
+                             THEN cents END) AS BIGINT) AS median_2x_cents,
+           CAST(max(n) AS BIGINT) AS n_orders
+    FROM r GROUP BY o_orderstatus
+    """,
+)
+def agg_exact_median_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median without floats: prices as integer cents,
+    median emitted as 2×median (sum of the two middle elements — equal
+    when n is odd) so even-n interpolation never divides.  One sort
+    window per group + one aggregation; the float-free trick that makes
+    an exact median oracle-checkable."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = o.select("o_orderstatus", cents)
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    wn = Window.partitionBy("o_orderstatus")
+    r = c.select(
+        "o_orderstatus",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = (
+        F.when(
+            (F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) DIV 2")),
+            2 * F.col("cents"),
+        )
+        .when(
+            (F.col("n") % 2 == 0)
+            & (
+                (F.col("rn") == F.expr("n DIV 2"))
+                | (F.col("rn") == F.expr("n DIV 2 + 1"))
+            ),
+            F.col("cents"),
+        )
+    )
+    return r.groupBy("o_orderstatus").agg(
+        F.sum(mid).cast("long").alias("median_2x_cents"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+@_q(
     "fn_datetime_suite",
     """
     WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d

@@ -27,12 +27,20 @@ def run_query(fn, spark, sf_dir: str) -> float:
     """Steady-state timing: best of two runs — the first doubles as the
     warmup (codegen compilation + parquet footer caching), so the second
     is steady state and wins the min.  (A separate warmup run tripled the
-    suite's wall clock for <2% timing difference.)"""
+    suite's wall clock for <2% timing difference.)
+
+    After each query, drop Python refs so the ContextCleaner unpersists
+    that query's localCheckpoint blocks: across 100+ queries the cached
+    blocks otherwise accumulate until BlockManager eviction thrash makes
+    late-registry queries look 10-30x slower than they are."""
+    import gc
+
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+    gc.collect()
     return best
 
 
@@ -102,12 +110,17 @@ def main() -> None:
     spark.sql("SELECT count(*) FROM range(1000000)").collect()
 
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for i, name in enumerate(sorted(QUERIES)):
         try:
             timings[name] = round(run_query(QUERIES[name], spark, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        if i % 25 == 24:
+            # JVM GC so the ContextCleaner actually reaps unreferenced
+            # localCheckpoint blocks (python gc alone only detaches the
+            # py4j refs; the JVM needs a cycle to enqueue the weak refs)
+            spark.sparkContext._jvm.System.gc()
     try:
         # best-of-2, same rationale as run_query: the first run absorbs
         # streaming-path codegen + state-store init (~2x slower)
