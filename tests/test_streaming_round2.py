@@ -28,6 +28,7 @@ from aws_kinesis_data_streams_replicator_spark.streaming.source import (
     stage_envelope_files,
 )
 from aws_kinesis_data_streams_replicator_spark.streaming.stateful import (
+    running_stream_totals_ttl,
     running_stream_totals_tws,
 )
 
@@ -45,6 +46,24 @@ def test_transform_with_state_plan_builds(spark, sf_dir, tmp_path):
         "last_commit_ts:string,n_batches:bigint>"
     )
     assert "transformWithState" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_transform_with_state_ttl_plan_builds(spark, sf_dir, tmp_path):
+    """TTL variant: same output schema, ProcessingTime time mode (TTL is
+    wall-clock), and the TTL config reaches the ValueState handle (plan
+    construction validates the processor's init against the real API, so
+    a bad ttlDurationMs kwarg would fail here, protobuf or not)."""
+    env = envelope_from_events(load_table(spark, sf_dir, "events")).limit(50)
+    stage = str(tmp_path / "stage-ttl")
+    stage_envelope_files(env, stage, n_files=1)
+    decoded = replication.with_decoded(read_envelope_stream(spark, stage))
+    out = running_stream_totals_ttl(decoded, ttl_ms=5_000)
+    assert out.schema.simpleString() == (
+        "struct<streamName:string,total_records:bigint,"
+        "last_commit_ts:string,n_batches:bigint>"
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "transformWithState" in plan and "ProcessingTime" in plan
 
 
 def test_transform_with_state_matches_apply_in_pandas_with_state(
