@@ -4469,6 +4469,46 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_anomaly_sigma",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS q
+        FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN
+                    (CAST(n AS HUGEINT) * CAST(cents AS HUGEINT)
+                        - CAST(s AS HUGEINT))
+                  * (CAST(n AS HUGEINT) * CAST(cents AS HUGEINT)
+                        - CAST(s AS HUGEINT))
+                  > 9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+                         - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(s) AS BIGINT) AS sum_cents,
+           CAST(max(s) AS BIGINT) // CAST(max(n) AS BIGINT) AS mean_cents
+    FROM ev JOIN st USING (event_type)
+    GROUP BY ev.event_type
+    """,
+)
+def evt_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ anomaly counts per event type with denominators cleared so the
+    whole comparison is exact integer arithmetic
+    (operators/stats.py:sigma_outlier_counts) — DECIMAL(38,0) vs HUGEINT
+    for the ~10²¹ squares."""
+    from ..operators.stats import sigma_outlier_counts
+
+    return sigma_outlier_counts(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "text_gopher_rules",
     """
     WITH w AS (
