@@ -4469,6 +4469,125 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fn_variant_suite",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_k,
+           json_extract_string(props, '$.k') AS v_k_str,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS v_missing,
+           CAST(json_extract('{"arr":[' || json_extract_string(props, '$.k')
+                    || ',' || CAST(CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) * 2 AS VARCHAR) || ']}',
+                '$.arr[1]') AS BIGINT) AS v_arr_1
+    FROM events
+    """,
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over schema-on-read JSON: ``parse_json`` once,
+    then typed ``variant_get`` path extraction (scalar, string, missing
+    path → null, nested array index).  VARIANT keeps the parsed binary
+    form across the projection — one parse per row versus one per
+    ``get_json_object`` call, the Spark-4 upgrade path for the JSON
+    suite.  Oracle mirrors with DuckDB JSON extraction (same typed
+    results; VARIANT is Spark-side representation, not semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    arr = F.parse_json(
+        F.concat(
+            F.lit('{"arr":['),
+            k.cast("string"),
+            F.lit(","),
+            (k * 2).cast("string"),
+            F.lit("]}"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        k.alias("v_k"),
+        F.try_variant_get(v, "$.k", "string").alias("v_k_str"),
+        F.try_variant_get(v, "$.missing", "long").alias("v_missing"),
+        F.try_variant_get(arr, "$.arr[1]", "long").alias("v_arr_1"),
+    )
+
+
+@_q(
+    "fn_try_errors",
+    """
+    WITH e AS (
+        SELECT event_id, value,
+               json_extract_string(props, '$.k') AS k_str,
+               event_id % 3 AS d3, event_id % 2 AS d2
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN d3 = 0 THEN NULL ELSE value / d3 END AS safe_div,
+           TRY_CAST(CASE WHEN d2 = 0 THEN k_str ELSE k_str || 'x' END
+                    AS BIGINT) AS safe_cast,
+           CASE WHEN d2 = 1 THEN NULL
+                ELSE 9223372036854775807 END AS safe_add_max,
+           coalesce(TRY_CAST(k_str AS BIGINT), -1) AS cast_or_default
+    FROM e
+    """,
+)
+def fn_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function family: ``try_divide`` (÷0 → null),
+    ``try_cast`` (malformed → null), ``try_add`` (int64 overflow → null)
+    — the functions that keep a 100 TB job from dying on one bad row
+    while ANSI SQL mode stays on.  Oracle mirrors each null-production
+    rule with explicit CASE (DuckDB's TRY_CAST matches; its ÷0 and
+    overflow raise, so the CASE spells out when Spark yields null)."""
+    ev = _t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    d3 = F.col("event_id") % 3
+    d2 = F.col("event_id") % 2
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), d3).alias("safe_div"),
+        F.when(d2 == 0, k_str)
+        .otherwise(F.concat(k_str, F.lit("x")))
+        .try_cast("bigint")
+        .alias("safe_cast"),
+        F.try_add(F.lit(9223372036854775807), d2).alias("safe_add_max"),
+        F.coalesce(k_str.try_cast("bigint"), F.lit(-1)).alias("cast_or_default"),
+    )
+
+
+@_q(
+    "corr_lateral_topn",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal_c
+    FROM nation n,
+    LATERAL (SELECT c_name,
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS c_acctbal_c
+             FROM customer c WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal_c DESC, c_name LIMIT 2) t
+    """,
+)
+def corr_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-outer-row ORDER BY/LIMIT —
+    top-2 customers per nation through the lateral-join planner path
+    (DecorrelateInnerQuery), not a window function.  Submitted as SQL
+    text like sql_interface_region_revenue; Catalyst rewrites the
+    correlation to a ranked join under the hood."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal_c
+        FROM nation n,
+        LATERAL (SELECT c_name,
+                        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            AS c_acctbal_c
+                 FROM customer c WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal_c DESC, c_name LIMIT 2) t
+        """
+    )
+
+
+@_q(
     "evt_anomaly_sigma",
     """
     WITH ev AS (
