@@ -4469,6 +4469,27 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "udf_arrow_byte_stats",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(len(text) - len(replace(text, 'a', '')) AS BIGINT) AS n_a
+    FROM documents
+    """,
+)
+def udf_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow byte accounting (operators/udfs.py:arrow_byte_stats):
+    RecordBatch → pyarrow kernels → RecordBatch, no pandas round-trip —
+    the fourth Python-crossing shape next to scalar/grouped/cogrouped
+    pandas UDFs."""
+    from ..operators.udfs import arrow_byte_stats
+
+    return arrow_byte_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "fn_variant_suite",
     """
     SELECT event_id,
