@@ -1,0 +1,97 @@
+"""Data profiling + expectation checking — the admission control in
+front of a training-data pipeline (Deequ-style, DataFrame-native).
+
+``profile_table`` computes per-column completeness/cardinality/range in
+ONE aggregation pass (every metric is an agg expression over the same
+scan — no per-column jobs, which at 100 TB would mean N full scans).
+``check_rules`` evaluates boolean expectations as summed flags in one
+pass, plus optional referential checks as broadcast anti-join counts.
+
+Scale notes (100 TB): one map-side-combined aggregation each; distinct
+counts use approx_count_distinct (exact distinct per column would be a
+shuffle per column — the profiler's documented trade; the oracle query
+therefore pins only the exact metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: rows, nulls, exact distincts, min/max as
+    strings — one wide aggregation, then an unpivot to (column, metric)
+    rows.
+
+    Exact ``count(DISTINCT col)`` for several columns in one agg makes
+    Spark plan a single `expand` (one extra shuffle total, not one per
+    column) — acceptable for profiling runs; swap to
+    approx_count_distinct for continuous monitoring.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            # min/max in the column's NATIVE ordering, cast to string
+            # after — casting first would rank '9' above '14999'
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def check_rules(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Expectation suite: ``{rule_name: boolean SQL}`` → one row per rule
+    with violation count and a pass flag.  All rules evaluate in a single
+    scan (each is a summed CASE over the same rows)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum((~F.expr(sql_pred)).cast("long")).cast("long").alias(f"v__{name}")
+        for name, sql_pred in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', v__{name}" for name in rules)
+    out = wide.select(
+        "n_rows",
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule_name, n_violations)"),
+    )
+    return out.select(
+        "rule_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+
+
+def check_referential(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, rule_name: str
+) -> DataFrame:
+    """Referential-integrity expectation: count fact rows whose key has
+    no match in the dimension (broadcast anti-join — the dim is the
+    small side by definition of the check)."""
+    orphans = fact.join(
+        F.broadcast(dim.select(dim_key).distinct()),
+        fact[fact_key] == dim[dim_key],
+        "left_anti",
+    )
+    n = fact.select(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    v = orphans.select(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    return (
+        n.crossJoin(v)
+        .select(
+            F.lit(rule_name).alias("rule_name"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
+        )
+    )

@@ -4468,6 +4468,108 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@_q(
+    "dq_profile_orders",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM orders
+    """
+        for c in _DQ_PROFILE_COLS
+    ),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler (operators/profiling.py:profile_table):
+    per-column completeness, exact cardinality, and min/max — one wide
+    aggregation + stack, never a scan per column."""
+    from ..operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"), _DQ_PROFILE_COLS)
+
+
+@_q(
+    "dq_check_orders",
+    """
+    WITH w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_price,
+               CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+               CAST(sum(CASE WHEN NOT (o_custkey IS NOT NULL)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_custkey,
+               CAST(sum(CASE WHEN NOT
+                        (o_orderdate >= TIMESTAMP '1990-01-01')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        FROM orders
+    )
+    SELECT t.rule_name, w.n_rows, t.n_violations,
+           CAST(CASE WHEN t.n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS passed
+    FROM w, LATERAL (VALUES
+        ('positive_price', v_price), ('status_domain', v_status),
+        ('custkey_not_null', v_custkey), ('date_in_range', v_date))
+        t(rule_name, n_violations)
+    """,
+)
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite (operators/profiling.py:check_rules):
+    four boolean rules over orders evaluated as summed flags in ONE scan,
+    emitted one row per rule with violation counts."""
+    from ..operators.profiling import check_rules
+
+    return check_rules(
+        _t(spark, sf_dir, "orders"),
+        {
+            "positive_price": "o_totalprice > 0",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+            "custkey_not_null": "o_custkey IS NOT NULL",
+            "date_in_range": "o_orderdate >= TIMESTAMP '1990-01-01'",
+        },
+    )
+
+
+@_q(
+    "dq_referential_orders_customer",
+    """
+    SELECT 'orders_custkey_in_customer' AS rule_name,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations,
+           CAST(CASE WHEN (SELECT count(*) FROM orders o
+                           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                             WHERE c.c_custkey = o.o_custkey))
+                          = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS passed
+    """,
+)
+def dq_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity expectation
+    (operators/profiling.py:check_referential): orphaned orders.o_custkey
+    counted with a broadcast LEFT ANTI join against the distinct
+    dimension keys."""
+    from ..operators.profiling import check_referential
+
+    return check_referential(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "orders_custkey_in_customer",
+    )
+
+
 @_q(
     "udf_arrow_byte_stats",
     """
