@@ -77,21 +77,23 @@ def check_referential(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, rule_name: str
 ) -> DataFrame:
     """Referential-integrity expectation: count fact rows whose key has
-    no match in the dimension (broadcast anti-join — the dim is the
-    small side by definition of the check)."""
-    orphans = fact.join(
-        F.broadcast(dim.select(dim_key).distinct()),
-        fact[fact_key] == dim[dim_key],
-        "left_anti",
+    no match in the dimension, in ONE fact scan — broadcast LEFT join
+    against the distinct dim keys, then a single aggregate counting
+    null-probe rows.  (The two-subquery formulation scans the fact twice
+    and cross-joins two 1-row frames; one scan + one agg is the 100 TB
+    plan.)"""
+    dimk = dim.select(F.col(dim_key).alias("__dim_key")).distinct()
+    probed = fact.select(F.col(fact_key).alias("__fact_key")).join(
+        F.broadcast(dimk), F.col("__fact_key") == F.col("__dim_key"), "left"
     )
-    n = fact.select(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    v = orphans.select(F.count(F.lit(1)).cast("long").alias("n_violations"))
-    return (
-        n.crossJoin(v)
-        .select(
-            F.lit(rule_name).alias("rule_name"),
-            "n_rows",
-            "n_violations",
-            (F.col("n_violations") == 0).cast("int").alias("passed"),
-        )
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__dim_key").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(
+        F.lit(rule_name).alias("rule_name"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
