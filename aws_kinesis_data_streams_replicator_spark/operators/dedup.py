@@ -434,3 +434,99 @@ def embedding_neardup_pairs_lsh(
         .select("vec_a", "vec_b", dot_q(F.col("qe_a"), F.col("qe_b"), dim).alias("dot_q"))
         .where(F.col("dot_q") >= F.lit(min_dot_q))
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k_tokens: int = 8,
+    min_docs: int = 2,
+    max_span_df: int | None = None,
+) -> DataFrame:
+    """Substring-level duplicate detection: k-token spans repeated across
+    documents (the span-dedup shape of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — boilerplate, licenses,
+    templated headers show up as long repeated token spans even when the
+    documents as wholes are distinct).
+
+    Every overlapping k-token window is hashed (md5, oracle-portable);
+    one hash aggregation groups identical spans corpus-wide.  Returns
+    span_hash, n_docs (distinct documents containing it), n_occurrences
+    (total, counting within-doc repeats), first_doc (min doc_id —
+    deterministic exemplar), filtered to spans seen in ≥ ``min_docs``
+    documents.
+
+    Scale notes (100 TB): cost is one explode (≈ n_tokens rows per doc)
+    + one partial-agg'd groupBy on the span hash — fully map-side
+    combinable since count/count-distinct-by-doc decompose.  A
+    pathological span shared by millions of docs only ever contributes
+    one output row (this is an AGGREGATION, not the pairwise join of
+    ngram_jaccard_pairs — no quadratic blowup), but ``max_span_df``
+    caps the output tail if wanted.
+    """
+    spans = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_tokens)).alias("span"),
+        )
+        .select("doc_id", F.md5(F.col("span")).alias("span_hash"))
+    )
+    out = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+    if max_span_df is not None:
+        out = out.where(F.col("n_docs") <= F.lit(max_span_df))
+    return out
+
+
+def span_dup_fraction(
+    documents: DataFrame, k_tokens: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span fraction — the quality gate built on
+    :func:`duplicate_spans`: what fraction of a document's k-token spans
+    also appear in other documents?  Documents above a threshold are
+    boilerplate/templated and get dropped or down-weighted in curation.
+
+    Plan: spans exploded once, aggregated to corpus-wide doc frequencies,
+    joined back per-(doc, span) occurrence, one per-doc aggregate.
+    The join key is the span hash (same partitioning as the DF
+    aggregation → AQE reuses the shuffle side).  Output is integer-exact:
+    dup_milli = (n_dup * 1000) // n_spans.
+    """
+    spans = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_tokens)).alias("span"),
+        )
+        .select("doc_id", F.md5(F.col("span")).alias("span_hash"))
+    )
+    df_counts = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("span_df")
+    )
+    return (
+        spans.join(df_counts, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("span_df") >= F.lit(min_docs), 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.floor(F.col("n_dup") * F.lit(1000) / F.col("n_spans"))
+            .cast("long")
+            .alias("dup_milli"),
+        )
+    )

@@ -219,3 +219,40 @@ def mixture_weights(
         "n_strata",
         F.expr("(total_docs * 1000000) DIV (n_strata * n_docs)").alias("weight_ppm"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-group document cap: keep the top ``cap`` rows per group by
+    (``order_col`` DESC, ``id_col`` ASC) — the per-domain cap every
+    web-corpus pipeline applies so one mega-site cannot dominate the
+    training mixture (C4/RefinedWeb-style host capping).
+
+    Deterministic: the tiebreak on ``id_col`` makes row_number stable
+    across retries and engines.
+
+    Scale notes (100 TB): one hash shuffle on ``group_col`` + a windowed
+    rank with an early ``<= cap`` filter — rank windows stream (no full
+    buffering: WindowExec only holds a frame's rows, here 1).  A single
+    pathological group (one domain = 10% of the web) makes one hot
+    partition; the standard mitigation is a two-stage cap — pre-cap per
+    (group, salt) at ``cap`` then re-cap per group — which multiplies
+    the shuffle by a small constant and bounds any partition at
+    salt·cap rows; at fixture scale the single-stage plan is the right
+    one, and the two-stage variant is the same two lines repeated.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("group_rank") <= F.lit(cap))
+    )

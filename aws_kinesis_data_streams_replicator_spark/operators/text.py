@@ -344,3 +344,41 @@ def char_bigram_scores(documents: DataFrame) -> DataFrame:
             F.expr("familiarity DIV n_bigrams").alias("familiarity_per_bigram"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 32
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window packing):
+    fixed-size token chunks with overlap, ``chunk_tokens`` wide every
+    ``stride`` tokens; the final chunks are shorter tails.
+
+    Chunk starts are a ``sequence(1, n_tokens, stride)`` + ``explode`` —
+    chunk text is ``slice`` over the one materialized token array, so the
+    whole operator is narrow, JVM-side, shuffle-free.  Chunk identity is
+    ``(doc_id, chunk_id)`` with ``chunk_id = (start-1)/stride`` — a pure
+    function of the input, so re-chunking after a retry yields identical
+    ids (idempotent downstream writes).  Emits the md5 of the chunk text
+    (compact, oracle-portable) alongside the token count.
+
+    Scale notes (100 TB): output is ≈ n_tokens/stride rows per doc and
+    never wider than the document itself; there is no shuffle at all —
+    chunking composes with a downstream repartition-by-chunk-hash write.
+    """
+    toks = spread(documents).select(
+        "doc_id", word_tokens(F.col("text")).alias("toks")
+    )
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(chunk_tokens))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -4910,6 +4910,131 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN8_MD5_SQL = (
+    "md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || "
+    "t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])"
+)
+
+
+@_q(
+    "doc_dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                   i -> {_SPAN8_MD5_SQL})) AS span_hash
+        FROM toks
+    )
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM sp GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (operators/dedup.py:duplicate_spans):
+    8-token windows repeated across ≥2 documents — the span-dedup signal
+    (boilerplate/templates) that document-level dedup misses.  One
+    explode + one map-side-combinable hash aggregation; no pairwise
+    join, so a million-doc-frequency span is still one output row."""
+    from ..operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k_tokens=8)
+
+
+@_q(
+    "doc_dup_span_fraction",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                   i -> {_SPAN8_MD5_SQL})) AS span_hash
+        FROM toks
+    ),
+    dfc AS (
+        SELECT span_hash, count(DISTINCT doc_id) AS span_df
+        FROM sp GROUP BY span_hash
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           CAST((sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) * 1000)
+               // count(*) AS BIGINT) AS dup_milli
+    FROM sp JOIN dfc USING (span_hash)
+    GROUP BY doc_id
+    """,
+)
+def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction
+    (operators/dedup.py:span_dup_fraction) — the curation gate built on
+    doc_dup_spans: spans exploded once, corpus span-DF aggregated, joined
+    back on the span hash (shuffle reused), one per-doc aggregate;
+    integer-exact milli ratio."""
+    from ..operators.dedup import span_dup_fraction
+
+    return span_dup_fraction(_t(spark, sf_dir, "documents"), k_tokens=8)
+
+
+@_q(
+    "doc_chunk_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS st
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 32 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, st, st + 63)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, st, st + 63), ' '))
+               AS chunk_hash
+    FROM s
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.py:chunk_documents):
+    64-token chunks every 32 tokens via sequence+explode+slice — narrow,
+    JVM-only, shuffle-free; chunk ids are a pure function of the input
+    (idempotent re-chunking)."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+@_q(
+    "doc_domain_cap",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS group_rank
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(group_rank AS BIGINT) AS group_rank
+    FROM r WHERE group_rank <= 50
+    """,
+)
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py:cap_per_group):
+    keep the 50 largest docs per source with a deterministic doc_id
+    tiebreak — the C4/RefinedWeb-style per-domain cap that stops one
+    mega-site from dominating the mixture.  One shuffle on source + a
+    streaming rank window."""
+    from ..operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs, group_col="source", order_col="n_chars", id_col="doc_id", cap=50
+    ).select("doc_id", "source", "n_chars", "group_rank")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
