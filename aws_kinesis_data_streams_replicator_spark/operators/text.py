@@ -382,3 +382,90 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: how much of a document is its own
+    most frequent unigram / word-bigram (Rae et al., Gopher §A1.1 —
+    machine-generated and boilerplate text is dominated by a few repeated
+    n-grams; Gopher drops docs whose top n-gram exceeds a fraction cap).
+
+    Per document: the most frequent unigram and bigram (ties broken by
+    lexicographic order — deterministic across engines and retries) and
+    their integer-exact milli occurrence fractions
+    ``top1_milli = cnt*1000 // n_grams``.
+
+    Plan: one explode per n-gram order, per-(doc, gram) count, then a
+    streaming rank window per doc — both shuffles hash on doc_id-carrying
+    keys, map-side combined; no joins.  At 100 TB each stage is linear in
+    corpus token count and the rank window holds one row per frame.
+    """
+    toks = spread(documents).select(
+        "doc_id", word_tokens(F.col("text")).alias("toks")
+    )
+    from pyspark.sql import Window
+
+    def _top(grams: DataFrame, gram_col: str, prefix: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", gram_col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col(gram_col).asc()
+        )
+        totals = grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams")
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .join(totals, "doc_id")
+            .select(
+                "doc_id",
+                F.col(gram_col).alias(f"top_{prefix}"),
+                F.col("cnt").alias(f"top_{prefix}_cnt"),
+                F.expr("(cnt * 1000) DIV n_grams").alias(
+                    f"top_{prefix}_milli"
+                ),
+                F.col("n_grams").alias(f"n_{prefix}s"),
+            )
+        )
+
+    unis = toks.select("doc_id", F.explode("toks").alias("term"))
+    bis = toks.select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("toks"), 2)).alias("bg")
+    )
+    return _top(unis, "term", "term").join(_top(bis, "bg", "bigram"), "doc_id")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for near-exact dedup: lowercase,
+    collapse punctuation to nothing, squeeze whitespace runs, trim.
+    Catches the case/punctuation/extra-space variants that byte-exact
+    dedup misses but that are unambiguously the same document.
+    Pure JVM expression; identical semantics in DuckDB for the oracle
+    (lower / regexp_replace with the same RE2-safe patterns).
+    """
+    lowered = F.lower(text)
+    no_punct = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    squeezed = F.regexp_replace(no_punct, " +", " ")
+    return F.trim(squeezed)
+
+
+def dedup_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup AFTER canonical normalization — one hash aggregation
+    on md5(normalize_text(text)), deterministic min-doc_id keeper, with
+    the group size kept as evidence.  Same single-shuffle shape (and
+    100 TB story) as dedup.exact_dedup; the normalization is a narrow
+    map stage fused into the scan.
+    """
+    return (
+        spread(documents)
+        .select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash")
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
