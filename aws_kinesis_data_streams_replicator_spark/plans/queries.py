@@ -276,7 +276,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(18,2)")
     one = F.lit(1).cast("decimal(3,2)")
     return (
-        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
@@ -394,8 +394,8 @@ def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -429,8 +429,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
     tiny aggregation."""
     o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     semi = o.join(
@@ -489,8 +489,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (exact decimal sums,
     one correctly-rounded double division at the end)."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
-        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
     )
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -2978,8 +2978,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters at scale: the fact tables are then semi-filtered through two
     2-row broadcasts)."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
-        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -5117,55 +5117,70 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # round-1 unchecked (registered past the driver's 50-query window)
-    "evt_asof_join_signup",
+    # round-2 failures, fixed this round (TIMESTAMP_NTZ normalization in
+    # sources/tables.py: driver-regenerated parquet stores timestamp[us]
+    # which Spark 4 reads as TIMESTAMP_NTZ; loader now casts to TIMESTAMP)
     "evt_range_count_5m",
-    "agg_cube_orders",
-    "udf_pandas_distinct_words",
-    "udf_grouped_user_stats",
-    "evt_multires_rollup",
-    "agg_salted_event_type",
-    "fn_scalar_suite",
-    "fn_date_parts",
-    "udf_pandas_agg_median",
-    "udtf_bigrams",
-    "agg_percentiles_disc",
-    "corr_subquery_cheapest_item",
-    "doc_lsh_levenshtein_verify",
-    "emb_ann_lsh_topk",
-    "emb_ann_ivf_topk",
-    "mm_feature_extract",
-    "gen_replicate_pipeline",
-    # round-1 hash-fails (fixed) + queries whose plan changed this round
-    "text_token_counts",
-    "text_lang_stats",
-    "pipeline_corpus_curation",
-    "doc_ngram_jaccard_pairs",
-    "emb_neardup_pairs",
-    # new this round
-    "doc_neardup_clusters",
-    "pipeline_corpus_curation_v2",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "fn_map_suite",
-    "agg_approx_distinct",
-    "emb_ann_ivf_kmeans_topk",
-    "udf_broadcast_lookup",
-    "tpch_q8_market_share",
-    "tpch_q20_excess_shippers",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_bracket_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "doc_stratified_sample",
-    "doc_contamination_check",
-    # (doc_pack_sequences / doc_simhash_neardup_pairs intentionally left in
-    # the tail: the front-50 window is full — kr_* must keep their rows —
-    # so they rotate in next round; until then they're pytest+parity-only.)
+    "kr_batch_metrics",
+    # never-checked in r01/r02 (the driver's window is the first 50
+    # registered queries; these 48 rotate in this round)
+    "evt_sessionize_batch",
+    "cdc_scd2_intervals",
+    "evt_funnel_ordered",
+    "evt_retention_cohorts",
+    "emb_group_centroids",
+    "agg_exact_median_2x",
+    "fn_datetime_suite",
+    "doc_curriculum_phases",
+    "set_ops_all_quantifiers",
+    "win_value_functions",
+    "text_vocab_oov",
+    "text_pmi_collocations",
+    "doc_tfidf_top_terms",
+    "doc_bm25_search",
+    "mm_resize",
+    "mm_frame_sample",
+    "udtf_analyze_top_tokens",
+    "doc_reservoir_sample",
+    "doc_weighted_sample",
+    "doc_kfold_assign",
+    "doc_pack_sequences",
+    "doc_simhash_neardup_pairs",
+    "tpch_q11_important_stock",
+    "pipeline_corpus_curation_v3",
+    "doc_balanced_sample",
+    "evt_gapfill_hourly",
+    "fn_string_agg",
+    "evt_range_frame_sum",
+    "cdc_merge_upsert",
+    "graph_pagerank",
+    "cdc_position_deletes",
+    "agg_grouping_sets",
+    "fn_json_suite",
+    "fn_regexp_suite",
+    "dq_profile_orders",
+    "dq_check_orders",
+    "dq_referential_orders_customer",
+    "udf_arrow_byte_stats",
+    "fn_variant_suite",
+    "fn_try_errors",
+    "corr_lateral_topn",
+    "evt_anomaly_sigma",
+    "text_gopher_rules",
+    "text_char_bigram_score",
+    "doc_mixture_weights",
+    "emb_int8_quantize",
+    "doc_dup_spans",
+    "text_repetition_stats",
+    # ---- driver window ends here (50) ----
+    # deferred to round 4's window: simple deterministic ops already
+    # parity-verified locally this round
+    "files_layout_lineitem",
+    "fn_bitwise_suite",
+    "doc_dup_span_fraction",
+    "doc_chunk_overlap",
+    "doc_domain_cap",
+    "doc_dedup_normalized",
 ]
 
 

@@ -4,11 +4,15 @@ Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file per table under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-The ``events`` table stores its ``ts`` column as parquet TIMESTAMP(NANOS),
-which Spark reads (under ``spark.sql.legacy.parquet.nanosAsLong``) as a
-raw nanosecond long; we convert to a microsecond timestamp with integer
-division so the value matches what DuckDB sees (DuckDB truncates ns→µs
-the same way).
+Timestamp normalization: the driver's parquet has shipped timestamps
+both as TIMESTAMP(NANOS) (read, under ``spark.sql.legacy.parquet.
+nanosAsLong``, as a raw nanosecond long) and as TIMESTAMP(MICROS)
+without timezone (read by Spark 4 as TIMESTAMP_NTZ under the default
+``spark.sql.parquet.inferTimestampNTZ.enabled``).  Both are normalized
+here to plain TIMESTAMP so every downstream operator sees ONE timestamp
+type: ns-longs via integer division (matching DuckDB's ns→µs
+truncation), NTZ via a cast that is value-preserving because the engine
+pins ``spark.sql.session.timeZone=UTC`` (session.py / __spark_entry__).
 
 Scale notes: at 100 TB each "table" is a directory of many parquet files,
 ideally partitioned (events by date, lineitem by ship-date month);
@@ -44,6 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → µs timestamp; integer division (no double rounding).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz}
+        )
     return df
 
 
