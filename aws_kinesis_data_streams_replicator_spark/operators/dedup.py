@@ -127,18 +127,53 @@ def ngram_jaccard_pairs(
     oracle matches bit-for-bit.  ``max_shingle_df`` caps hot shingles at
     scale.
     """
-    sh = (
+    base = (
         spread(documents)
         .select("doc_id", word_tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
             F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias("shingle"),
         )
-        .dropDuplicates(["doc_id", "shingle"])
     )
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
-        sh = sh.join(hot, "shingle", "left_anti")
+        # Posting-list formulation: ONE aggregation builds the per-shingle
+        # doc list (collect_set doubles as the per-doc dedup, so the
+        # tokenize+explode subtree runs exactly once — the naive self-join
+        # recomputes it per branch, 4×), hot shingles are dropped by a
+        # size() filter instead of a second aggregation + anti-join, and
+        # candidate pairs come from an in-array combination expansion —
+        # no join at all.  Per-shingle work is bounded by the cap
+        # (≤ cap²/2 pairs), so skew is structurally impossible.
+        postings = (
+            base.groupBy("shingle")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+            .where(F.size("docs") <= F.lit(max_shingle_df))
+        )
+        sizes = (
+            postings.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        docs_arr = F.col("docs")
+        pair_structs = F.flatten(
+            F.transform(
+                docs_arr,
+                lambda x, i: F.transform(
+                    F.slice(docs_arr, i + F.lit(2), F.size(docs_arr)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        inter = (
+            postings.where(F.size("docs") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .groupBy(
+                F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        return _jaccard_tail(inter, sizes, threshold)
+    sh = base.dropDuplicates(["doc_id", "shingle"])
     # (no materialization barrier here, deliberately: the shingle table
     # is cheap to recompute but LARGE — ~200 rows per doc — so unlike the
     # minhash/simhash fingerprint tables, checkpointing it costs more in
@@ -156,6 +191,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_tail(inter, sizes, threshold)
+
+
+def _jaccard_tail(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Attach set sizes, compute exact integer Jaccard, apply threshold."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
