@@ -24,7 +24,7 @@ production scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import md5_seeded, shingles_of_tokens, simhash_bits, word_tokens
 from .util import spread
@@ -66,25 +66,50 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidate_pairs(
-    documents: DataFrame,
+def minhash_signatures_narrow(
+    documents: DataFrame, k_shingle: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """Shuffle-free minhash signatures: ``array_min`` over per-row
+    transforms instead of explode + groupBy.  Identical output for docs
+    with ≥1 shingle (min over duplicate shingles equals min over the
+    set); short docs yield NULL hashes rather than being absent.  The
+    narrow plan is streaming-safe (no stateful aggregation) and avoids
+    the batch version's shuffle — use it whenever downstream doesn't
+    need the absent-row semantics."""
+    sh = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", shingles_of_tokens(F.col("toks"), k_shingle).alias("shs")
+        )
+    )
+    return sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("shs"), lambda s: md5_seeded(s, i))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
+def minhash_band_buckets(
+    documents: DataFrame | None = None,
     k_shingle: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
-
-    Banding: concat r = n_hashes/n_bands consecutive minhashes per band;
-    self-equi-join on (band_id, bucket).  The join key is the bucket hash
-    → shuffle partitioned by bucket, each bucket tiny.
-    """
+    """(doc_id, band_id, bucket) LSH band rows — the reusable index side
+    of MinHash dedup.  Pass ``signatures`` to band pre-computed (and
+    possibly checkpointed) signatures; otherwise they are derived from
+    ``documents``.  Works on streaming inputs (no materialization
+    barrier here — callers that self-join add their own)."""
+    if signatures is None:
+        signatures = minhash_signatures(documents, k_shingle, n_hashes)
     r = n_hashes // n_bands
-    # signatures are referenced by both sides of the band self-join —
-    # materialize once instead of re-shingling the corpus per side
-    sig = minhash_signatures(documents, k_shingle, n_hashes).localCheckpoint(
-        eager=False
-    )
-    bands = sig.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -100,6 +125,28 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.bucket")
+
+
+def minhash_lsh_candidate_pairs(
+    documents: DataFrame,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    Banding: concat r = n_hashes/n_bands consecutive minhashes per band;
+    self-equi-join on (band_id, bucket).  The join key is the bucket hash
+    → shuffle partitioned by bucket, each bucket tiny.
+    """
+    # signatures are referenced by both sides of the band self-join —
+    # materialize once instead of re-shingling the corpus per side
+    sig = minhash_signatures(documents, k_shingle, n_hashes).localCheckpoint(
+        eager=False
+    )
+    bands = minhash_band_buckets(
+        signatures=sig, n_hashes=n_hashes, n_bands=n_bands
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -474,6 +521,111 @@ def embedding_neardup_pairs_lsh(
         .select("vec_a", "vec_b", dot_q(F.col("qe_a"), F.col("qe_b"), dim).alias("dot_q"))
         .where(F.col("dot_q") >= F.lit(min_dot_q))
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then emit high-cosine pairs only WITHIN
+    each cluster — the all-pairs search collapses to Σ cluster², never N².
+
+    Fully deterministic + integer-exact so a SQL oracle reproduces it
+    bit-for-bit:
+
+    * seed centroids = the ``n_cells`` lowest-id vectors (no RNG);
+    * one Lloyd update in exact int64: assignment by integer squared
+      distance (ties → lowest cell id), centroid update = element-wise
+      ``sum DIV count`` (truncating division — Spark ``DIV`` and DuckDB
+      ``//`` both truncate toward zero);
+    * pair predicate ≈ cosine ≥ threshold: ``dot > 0 AND sdot² ≥
+      t²·((sna·snb) DIV 10⁶)`` with every factor pre-scaled by ``DIV
+      10⁵`` to stay inside int64 — the truncation is part of the defined
+      semantics, identical in both engines.
+
+    Scale notes (100 TB): assignment is a broadcast of ≤ a few thousand
+    tiny centroids (the IVF shape, similarity.py); the pair join is an
+    equi-join on cell id.  Real deployments raise n_cells ∝ √N to keep
+    cluster populations bounded, and swap the seed centroids for
+    ``kmeans_centroids()``'s trained ones — the plan shape is unchanged.
+    """
+    from ..functions.vectors import quantize_embedding
+
+    e = spread(embeddings).select(
+        F.col(id_col).alias("vid"), quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    seeds = (
+        e.orderBy("vid")
+        .limit(n_cells)
+        .select(F.col("vid").alias("cell"), F.col("qe").alias("c_qe"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(F.col("qe"), F.col("c_qe"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        scored = e.join(F.broadcast(cent)).select("vid", "qe", "cell", dist.alias("_d"))
+        w = Window.partitionBy("vid").orderBy(F.col("_d").asc(), F.col("cell").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("vid", "qe", "cell")
+        )
+
+    a1 = assign(seeds)
+    means = (
+        a1.select("cell", F.posexplode("qe").alias("pos", "q"))
+        .groupBy("cell", "pos")
+        .agg(F.expr("sum(q) DIV count(1)").alias("mq"))
+    )
+    c1 = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mq"))), lambda s: s["mq"]
+        ).alias("c_qe")
+    )
+    # the final assignment feeds both sides of the pair self-join; without
+    # a barrier the whole seed→update→reassign pipeline runs twice.  The
+    # self-norm is attached HERE — per vector, N evaluations — not inside
+    # the pair projection, where it would run once per PAIR (Σ cluster²
+    # times): 3× the higher-order-lambda work on the hot path.
+    self_norm = F.aggregate(
+        F.transform(F.col("qe"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    a2 = (
+        assign(c1)
+        .withColumn("nq", self_norm)
+        .localCheckpoint(eager=False)
+    )
+    a, b = a2.alias("a"), a2.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid"))
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        dot.alias("dot_q"),
+        F.col("a.nq").alias("_na"),
+        F.col("b.nq").alias("_nb"),
+    )
+    t2 = threshold_milli * threshold_milli
+    keep = (F.col("dot_q") > 0) & (
+        F.expr("(dot_q DIV 100000) * (dot_q DIV 100000)")
+        >= F.lit(t2) * F.expr("((_na DIV 100000) * (_nb DIV 100000)) DIV 1000000")
+    )
+    return scored.where(keep).select("cell", "vec_a", "vec_b", "dot_q")
 
 
 def duplicate_spans(

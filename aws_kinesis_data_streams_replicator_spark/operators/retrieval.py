@@ -125,3 +125,55 @@ def bm25_topk(
         .where(F.col("rnk") <= k)
         .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) + embedding top-k (semantic),
+    fused by Reciprocal Rank Fusion — the standard RAG retrieval stack
+    (Cormack et al., "Reciprocal rank fusion outperforms Condorcet").
+
+    RRF score is integer-exact: ``Σ 10⁶ DIV (rrf_k + rank)`` over the
+    lists containing the doc (a missing list contributes 0), so the
+    fused ranking is engine-portable.  Final order: fused score desc,
+    doc_id asc.
+
+    Scale notes (100 TB): the two branch top-ks are the scale-bounded
+    parts (BM25 joins move only query-term postings; the vector branch
+    swaps to the LSH/IVF candidate paths of operators/similarity.py at
+    corpus scale); the fusion itself joins two k_each-row lists — a
+    broadcast-trivial full outer join whatever the corpus size.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    text_rank = bm25_topk(documents, query_terms, k=k_each).select(
+        "doc_id", F.col("rnk").alias("rnk_t")
+    )
+    qv = embeddings.where(F.col("vec_id") == query_vec_id)
+    vec_rank = brute_force_topk(embeddings, qv, k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rnk_v")
+    )
+    fused = text_rank.join(vec_rank, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({rrf_k} + rnk_t)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({rrf_k} + rnk_v)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "rrf_micro", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -469,3 +469,50 @@ def dedup_normalized(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_variants"),
         )
     )
+
+
+def quality_classifier_scores(documents: DataFrame) -> DataFrame:
+    """Hashed linear quality classifier — the fasttext-style scoring
+    shape (hashed bag-of-words · weight vector) used to mine
+    "wikipedia-like" documents at corpus scale, with a deterministic
+    md5-derived weight table standing in for trained weights (no model
+    artifact fits this sandbox; the PLUMBING — hashing, per-token
+    lookup-free scoring, length normalization, thresholding — is the
+    operator).
+
+    w(token) = hex16(md5(token)[:4]) − 32768   (∈ [−32768, 32767])
+    score    = Σ_tokens w(token)
+    score_per_token = score DIV n_tokens       (length-normalized)
+    label    = 'keep' iff score_per_token ≥ 0
+
+    Pure JVM column expressions (split → transform → aggregate): no
+    shuffle, no Python, whole-stage codegen'd — the 100 TB shape for
+    per-document scoring.  Portable: Spark ``conv(hex,16,10)`` and
+    DuckDB ``('0x'||hex)::BIGINT`` parse the same 4-hex-char slice.
+    """
+    toks = spread(documents).select(
+        "doc_id", "lang", word_tokens(F.col("text")).alias("toks")
+    )
+    w_tok = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") - F.lit(32768)
+    )
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("toks"), w_tok),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "score",
+        F.expr("score DIV n_tokens").alias("score_per_token"),
+        F.when(F.expr("score DIV n_tokens") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

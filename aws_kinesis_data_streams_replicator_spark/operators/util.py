@@ -15,6 +15,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     thousands of partitions and this is a no-op — the guard keeps the
     full shuffle from ever firing on big data.
     """
+    if df.isStreaming:
+        # partitioning of an unbounded source is the trigger's concern;
+        # the probes below (inputFiles / rdd) are batch-only APIs anyway
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         # Cheap metadata probe: a scan over >= target files always yields

@@ -195,3 +195,75 @@ def windowed_counts_stream(
             F.col("sum_value_d").cast("double").alias("sum_value"),
         )
     )
+
+
+def streaming_neardup_filter(
+    docs_stream: DataFrame,
+    corpus_index: DataFrame,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental corpus dedup: drop streaming documents that LSH-match
+    the EXISTING corpus — the "dedup tonight's crawl against 100 TB
+    already ingested" pattern, without re-pairing the corpus with
+    itself.
+
+    ``corpus_index`` is the precomputed static band-bucket table from
+    ``operators.dedup.minhash_band_buckets`` (one row per (doc, band,
+    bucket) — built once per corpus snapshot).  Band buckets for NEW
+    docs are computed with the shuffle-free narrow signature path
+    (array_min transforms, streaming-safe), then each band is checked
+    with a stream-static LEFT join against that band's DISTINCT bucket
+    set (distinct ⇒ at most one match ⇒ no row duplication); a doc
+    survives only if every band missed.  Stream-stream joins and
+    stateful aggregation are structurally avoided — the only state is
+    the source offsets.  Per batch the static side re-resolves, so a
+    refreshed index parquet is picked up automatically.
+
+    New-vs-new duplicates (within or across micro-batches) are NOT
+    paired here — they fall to the next corpus-index rebuild, the
+    standard eventual-consistency tradeoff of snapshot indexes; layer
+    ``streaming_dedup`` upstream for exact-key new-vs-new within the
+    watermark.
+
+    Scale notes: n_bands stream-static equi-joins, each shuffling on a
+    distinct bucket-string key (broadcast the per-band set instead when
+    the corpus index fits); short docs (< k tokens) carry NULL buckets,
+    never match, and pass through.
+    """
+    from ..functions.hashing import md5_seeded, shingles_of_tokens, word_tokens
+
+    r = n_hashes // n_bands
+    cols = docs_stream.columns
+    enriched = docs_stream.withColumn(
+        "_toks", word_tokens(F.col("text"))
+    ).withColumn("_shs", shingles_of_tokens(F.col("_toks"), k_shingle))
+    # single-arg lambda only: F.transform dispatches on the lambda's
+    # arity — any second parameter (even defaulted) would receive the
+    # ELEMENT INDEX, not a bound seed.  The factory closes over the seed;
+    # the lambda is evaluated eagerly at expression-build time.
+    def _min_hash(seed: int):
+        return F.array_min(
+            F.transform(F.col("_shs"), lambda s: md5_seeded(s, seed))
+        )
+
+    for i in range(n_hashes):
+        enriched = enriched.withColumn(f"_h{i}", _min_hash(i))
+    out = enriched
+    for b in range(n_bands):
+        out = out.withColumn(
+            f"_b{b}", F.concat(*[F.col(f"_h{b * r + j}") for j in range(r)])
+        )
+        idx_b = (
+            corpus_index.where(F.col("band_id") == b)
+            .select(F.col("bucket").alias(f"_b{b}"))
+            .distinct()
+            .withColumn(f"_m{b}", F.lit(1))
+        )
+        out = out.join(idx_b, f"_b{b}", "left")
+    keep = None
+    for b in range(n_bands):
+        c = F.col(f"_m{b}").isNull()
+        keep = c if keep is None else (keep & c)
+    return out.where(keep).select(*cols)

@@ -45,6 +45,11 @@ _BNLJ_OK = {
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
     "text_pmi_collocations",  # corpus token total 1-row scalar broadcast
+    # k-means assignment is vectors × centroids with a BOUNDED build side
+    # (n_cells, ≤ thousands at any corpus size) — the IVF rationale
+    "emb_semantic_dedup",
+    # BM25 corpus-stats scalar + single-query-vector broadcast (|Q| = 1)
+    "doc_hybrid_rrf",
 }
 
 

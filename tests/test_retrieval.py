@@ -62,3 +62,65 @@ def test_bm25_multi_term_additivity(spark):
     )
     out = {r.doc_id: r.score for r in bm25_topk(docs, ["data", "spark"], k=5).collect()}
     assert out[0] > out[1]
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """A doc ranked #1 in both lists must out-score docs present in one;
+    rrf_micro = 1e6 DIV (60+rank) summed over the lists containing it."""
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_streams_replicator_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "query anchor"),          # vec query doc (excluded from vec list)
+            (1, "data data data"),        # strong lexical + strong vector
+            (2, "data data x"),           # lexical only (orthogonal vector)
+            (3, "unrelated text"),        # vector only
+        ],
+    )
+    emb = spark.sql(
+        """
+        SELECT vec_id, embedding FROM VALUES
+            (0, array(1.0, 0.0, 0.0)),
+            (1, array(0.99, 0.1, 0.0)),
+            (2, array(0.0, 0.0, 1.0)),
+            (3, array(0.9, 0.2, 0.0))
+        AS t(vec_id, embedding)
+        """
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = {
+        r.doc_id: (r.rrf_micro, r.rnk)
+        for r in hybrid_rrf_topk(docs, emb, ["data"], 0, k=4, k_each=3).collect()
+    }
+    # doc 1: rank 1 lexical + rank 1 vector = 2 * (1e6 DIV 61)
+    assert out[1][0] == 2 * (1_000_000 // 61)
+    assert out[1][1] == 1
+    # single-list docs contribute only one term
+    assert out[2][0] < out[1][0] and out[3][0] < out[1][0]
+
+
+def test_quality_classifier_portable_weights(spark):
+    """Weight of a token = hex16(md5[:4]) - 32768, summed; label from the
+    length-normalized score — spot-check one doc against hashlib."""
+    import hashlib
+
+    from aws_kinesis_data_streams_replicator_spark.operators.text import (
+        quality_classifier_scores,
+    )
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES (7, 'alpha beta gamma', 'en') AS t(doc_id, text, lang)"
+    )
+    row = quality_classifier_scores(docs).collect()[0]
+    expect = sum(
+        int(hashlib.md5(t.encode()).hexdigest()[:4], 16) - 32768
+        for t in ["alpha", "beta", "gamma"]
+    )
+    assert row.score == expect
+    assert row.n_tokens == 3
+    assert row.score_per_token == int(expect / 3) if expect >= 0 else row.score_per_token
+    assert row.label == ("keep" if row.score_per_token >= 0 else "drop")

@@ -131,3 +131,37 @@ def test_kmeans_ivf_recall_at_least_matches_heuristic_cells(spark, sf_dir):
     assert total == 100
     assert hits / total >= 0.15, f"kmeans-IVF recall collapsed: {hits}/{total}"
     assert hits >= heur_hits * 0.8, (hits, heur_hits)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a filter on the DIMENSION side must prune the partitioned
+    fact scan at runtime (the star-join pattern where the fact filter is
+    only known after the dim filter runs).  The plan must carry a
+    dynamicpruning subquery on the fact's partition column."""
+    events = load_table(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the dim must be a REAL relation: an inline VALUES + filter is
+    # constant-folded to a LocalRelation before the PartitionPruning
+    # rule looks for a selective predicate, so DPP would never fire
+    dim_dir = str(tmp_path / "type_dim")
+    spark.sql(
+        "SELECT * FROM VALUES ('click', 1), ('view', 0), ('purchase', 0), "
+        "('signup', 0), ('error', 0) AS d(event_type, is_target)"
+    ).write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false"
+    )
+    try:
+        joined = fact.join(dim, "event_type").where(F.col("is_target") == 1)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        want = events.where(F.col("event_type") == "click").count()
+        assert joined.count() == want and want > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
+        )
