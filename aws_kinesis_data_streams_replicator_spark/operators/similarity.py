@@ -290,3 +290,131 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, n_sub: int = 8, n_cent: int = 16, id_col: str = "vec_id"
+) -> DataFrame:
+    """Product-quantization codebooks: (sub, code, c_sub) — ``n_sub``
+    subspaces × ``n_cent`` centroids, each an ``dim/n_sub``-element
+    quantized subvector.  Centroids are the subvectors of the first
+    ``n_cent`` vectors by id (the deterministic heuristic used by
+    ``ivf_topk``; swap for sampled k-means per subspace in production —
+    the plan shape downstream is identical).
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        _quantized(embeddings.orderBy(id_col).limit(n_cent), id_col)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    return seeds.select(
+        "code",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.slice(
+                    F.col("qe"),
+                    (s * (F.size("qe") / n_sub).cast("int")) + 1,
+                    (F.size("qe") / n_sub).cast("int"),
+                ),
+            )
+        ).alias("sub", "c_sub"),
+    ).select("sub", "code", "c_sub")
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, n_sub: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """PQ encoding: (id, sub, code) — per subspace, the centroid with the
+    minimum exact integer squared distance (ties → lowest code).
+
+    At scale this is the memory play: ``n_sub`` single-byte codes per
+    vector instead of the raw floats (64 B vs 256 B here; 32× on
+    1536-dim corpora) — the index that still fits in RAM at 10⁹ vectors.
+    Broadcast codebook join (n_sub·n_cent rows), argmin via one ranking
+    window per (vector, subspace).
+    """
+    subs = _quantized(embeddings, id_col).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.slice(
+                    F.col("qe"),
+                    (s * (F.size("qe") / n_sub).cast("int")) + 1,
+                    (F.size("qe") / n_sub).cast("int"),
+                ),
+            )
+        ).alias("sub", "v_sub"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v_sub"), F.col("c_sub"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "code", dist.alias("_d")
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): approximate dot(query, candidate) ≈
+    Σ_sub dot(query_sub, centroid[sub, code(candidate, sub)]).
+
+    The query side stays uncompressed; per query a LOOKUP TABLE of
+    n_sub × n_cent partial dots is built (broadcast — tiny), and every
+    candidate is scored by n_sub table lookups summed in one map-side-
+    combined aggregation: no per-candidate vector math at all.  Exact
+    integer arithmetic end-to-end ⇒ deterministic, oracle-checkable.
+    """
+    cb = pq_codebooks(embeddings, n_sub, n_cent, id_col)
+    codes = pq_encode(embeddings, cb, n_sub, id_col)
+    q_subs = _quantized(queries, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.slice(
+                    F.col("qe"),
+                    (s * (F.size("qe") / n_sub).cast("int")) + 1,
+                    (F.size("qe") / n_sub).cast("int"),
+                ),
+            )
+        ).alias("sub", "q_sub"),
+    )
+    part = F.aggregate(
+        F.zip_with(F.col("q_sub"), F.col("c_sub"), lambda x, c: x * c),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    lut = q_subs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", part.alias("dot_part")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dot_part").cast("long").alias("adc_dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dot_q", "rank")
+    )

@@ -5177,6 +5177,123 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_ann_pq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    subsp AS (SELECT unnest(range(0, 8)) AS sub),
+    seeds AS (SELECT qe, row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT s.sub, seeds.code,
+                  list_transform(range(1, 9),
+                                 i -> seeds.qe[s.sub * 8 + i]) AS c_sub
+           FROM seeds CROSS JOIN subsp s),
+    subs AS (SELECT e.vec_id, s.sub,
+                    list_transform(range(1, 9),
+                                   i -> e.qe[s.sub * 8 + i]) AS v_sub
+             FROM e CROSS JOIN subsp s),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT subs.vec_id, subs.sub, cb.code,
+                     row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                       ORDER BY CAST(list_sum(list_transform(range(1, 9),
+                         i -> (subs.v_sub[i] - cb.c_sub[i])
+                              * (subs.v_sub[i] - cb.c_sub[i]))) AS BIGINT)
+                         ASC, cb.code ASC) AS rn
+              FROM subs JOIN cb ON cb.sub = subs.sub)
+            WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, qe FROM e WHERE vec_id % 50 = 0),
+    qsubs AS (SELECT query_id, s.sub,
+                     list_transform(range(1, 9),
+                                    i -> q.qe[s.sub * 8 + i]) AS q_sub
+              FROM q CROSS JOIN subsp s),
+    lut AS (SELECT query_id, qsubs.sub, cb.code,
+                   CAST(list_sum(list_transform(range(1, 9),
+                        i -> qsubs.q_sub[i] * cb.c_sub[i])) AS BIGINT)
+                       AS dot_part
+            FROM qsubs JOIN cb ON cb.sub = qsubs.sub),
+    sc AS (SELECT l.query_id, enc.vec_id,
+                  CAST(sum(l.dot_part) AS BIGINT) AS adc_dot_q
+           FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+           WHERE enc.vec_id <> l.query_id
+           GROUP BY 1, 2),
+    r AS (SELECT query_id, vec_id AS neighbor_id, adc_dot_q,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dot_q DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, adc_dot_q, rank FROM r WHERE rank <= 10
+    """,
+)
+def emb_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py
+    pq_codebooks/pq_encode/pq_adc_topk): 8 subspaces × 16 centroids,
+    candidates scored by lookup-table sums only — the memory-bound ANN
+    index shape (codes ≪ raw vectors).  Deterministic integer arithmetic
+    ⇒ full value oracle despite being an approximate-ANN method."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.pq_adc_topk(emb, queries, k=10, n_sub=8, n_cent=16)
+
+
+@_q(
+    "cdc_point_in_time_join",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    c AS (SELECT user_id, event_id, ts, event_type AS state,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_state
+          FROM e),
+    iv AS (SELECT user_id, state,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+           FROM c WHERE prev_state IS NULL OR state <> prev_state),
+    probe AS (SELECT user_id, event_id,
+                     strftime(ts - INTERVAL 1 HOUR,
+                              '%Y-%m-%d %H:%M:%S.%f') AS pit
+              FROM e WHERE event_id % 97 = 0),
+    m AS (SELECT p.user_id, p.event_id, p.pit, i.state,
+                 row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                    ORDER BY i.valid_from DESC, i.state DESC)
+                     AS rn
+          FROM probe p JOIN iv i
+            ON i.user_id = p.user_id AND i.valid_from <= p.pit)
+    SELECT p.user_id, p.event_id, p.pit, m.state AS state_asof
+    FROM probe p LEFT JOIN m
+      ON m.user_id = p.user_id AND m.event_id = p.event_id AND m.rn = 1
+    """,
+)
+def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: probe rows ask "what was this
+    user's SCD-2 state an hour before this event?" — the feature-store /
+    training-label join that must never leak the future.  Composes
+    windows.scd2_intervals with joins.as_of_join (union + running
+    window, no inequality-join pair explosion); ties at identical
+    valid_from resolve to the max state, mirrored in the oracle's
+    row_number ordering."""
+    from ..operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = windows.scd2_intervals(ev).select("user_id", "state", "valid_from")
+    probe = ev.where(F.col("event_id") % 97 == 0).select(
+        "user_id",
+        "event_id",
+        F.date_format(
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("pit"),
+    )
+    out = as_of_join(
+        probe,
+        iv,
+        on="user_id",
+        left_ts="pit",
+        right_ts="valid_from",
+        right_payload=["state"],
+        tie_break="state",
+    )
+    return out.select(
+        "user_id", "event_id", "pit", F.col("asof_state").alias("state_asof")
+    )
+
+
+@_q(
     "agg_pivot_events",
     """
     SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
@@ -5382,6 +5499,8 @@ _CHECK_FIRST = [
     "agg_pivot_events",
     "text_quality_classifier",
     "doc_hybrid_rrf",
+    "emb_ann_pq_topk",
+    "cdc_point_in_time_join",
 ]
 
 

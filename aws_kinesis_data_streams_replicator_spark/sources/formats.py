@@ -1,10 +1,13 @@
-"""Alternate envelope wire formats: JSON-lines and CSV.
+"""Alternate envelope wire formats: JSON-lines, CSV, and ORC.
 
 The reference only ever sees Kinesis events, but an engine replacing it
-ingests staged batches from whatever lands in object storage.  Both
-formats carry the binary ``data`` payload base64-encoded (neither format
-is binary-safe) and decode back to EXACT bytes via ``unbase64`` —
+ingests staged batches from whatever lands in object storage.  The text
+formats carry the binary ``data`` payload base64-encoded (neither is
+binary-safe) and decode back to EXACT bytes via ``unbase64`` —
 preserving the byte-faithful passthrough contract (Handler.java:74,82).
+ORC is binary-safe and columnar, so the envelope round-trips natively
+(no base64 leg) — the columnar alternative when a lake standardizes on
+ORC instead of parquet.
 
 Schema is always enforced explicitly — schema inference on JSON/CSV is
 a full extra pass over the data at 100 TB and can mis-type columns.
@@ -60,3 +63,15 @@ def read_envelope_csv(spark: SparkSession, path: str) -> DataFrame:
     return _from_wire(
         spark.read.schema(WIRE_SCHEMA).option("header", True).csv(path)
     )
+
+
+def write_envelope_orc(envelope: DataFrame, path: str) -> None:
+    # ORC is binary-safe: the envelope (including the binary payload)
+    # round-trips natively, no base64 wire projection needed
+    envelope.write.mode("overwrite").orc(path)
+
+
+def read_envelope_orc(spark: SparkSession, path: str) -> DataFrame:
+    from .envelope import ENVELOPE_SCHEMA
+
+    return spark.read.schema(ENVELOPE_SCHEMA).orc(path)

@@ -165,3 +165,24 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
         )
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC top-10 must recover a reasonable fraction of the exact
+    top-10 (8×16 heuristic codebooks on random 64-dim data — a stress
+    case; the contract is plausible recall + deterministic output), and
+    its encoding must emit exactly n_sub codes per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    pq = similarity.pq_adc_topk(emb, queries, k=10, n_sub=8, n_cent=16)
+    hits = exact.join(pq, ["query_id", "neighbor_id"], "inner").count()
+    total = exact.count()
+    assert total == 100
+    assert hits / total >= 0.15, f"PQ recall collapsed: {hits}/{total}"
+    cb = similarity.pq_codebooks(emb, 8, 16)
+    assert cb.count() == 8 * 16
+    codes = similarity.pq_encode(emb, cb, 8)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    assert codes.groupBy("vec_id").count().where("count <> 8").count() == 0

@@ -1,5 +1,5 @@
-"""JSON/CSV envelope wire formats: byte-faithful round trips feeding the
-same replication pipeline."""
+"""JSON/CSV/ORC envelope wire formats: byte-faithful round trips feeding
+the same replication pipeline."""
 
 from __future__ import annotations
 
@@ -13,7 +13,7 @@ from aws_kinesis_data_streams_replicator_spark.sources.tables import load_table
 from aws_kinesis_data_streams_replicator_spark.sources import formats
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["json", "csv", "orc"])
 def test_wire_roundtrip_preserves_pipeline_output(spark, sf_dir, tmp_path, fmt):
     env = envelope_from_events(load_table(spark, sf_dir, "events")).limit(300)
     path = str(tmp_path / f"wire_{fmt}")
