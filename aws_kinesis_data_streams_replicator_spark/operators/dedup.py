@@ -604,7 +604,12 @@ def semantic_dedup_pairs(
         .withColumn("nq", self_norm)
         .localCheckpoint(eager=False)
     )
-    a, b = a2.alias("a"), a2.alias("b")
+    # shuffle-hash, not sort-merge: the join key has only n_cells
+    # distinct values, so the SMJ sort buys nothing and its row
+    # comparator runs on 64-element arrays; hash-partitioning by cell is
+    # the same exchange either way (at real scale n_cells grows ∝ √N,
+    # keeping both the shuffle and the per-cell pair count bounded)
+    a, b = a2.alias("a"), a2.hint("shuffle_hash").alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
         F.lit(0).cast("long"),

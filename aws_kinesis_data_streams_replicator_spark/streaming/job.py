@@ -267,3 +267,46 @@ def streaming_neardup_filter(
         c = F.col(f"_m{b}").isNull()
         keep = c if keep is None else (keep & c)
     return out.where(keep).select(*cols)
+
+
+def chained_window_rollup_stream(
+    events_stream: DataFrame,
+    watermark_delay: str = "30 minutes",
+    fine: str = "5 minutes",
+    coarse: str = "1 hour",
+) -> DataFrame:
+    """TWO stateful windowed aggregations chained in one streaming query
+    (Spark ≥3.4 multi-stateful-operator support): fine-grained counts
+    roll up into coarse windows without a second job or an intermediate
+    sink — the streaming twin of the batch multi-resolution rollup
+    (operators/windows.py multires_rollup).
+
+    ``window_time()`` re-derives an event-time column (with its
+    watermark) from the first aggregation's window so the second
+    windowed groupBy remains a legal stateful operator.  State: fine
+    windows live until the watermark passes; coarse windows aggregate
+    only CLOSED fine windows — the append-mode output is final, never
+    retracted.  Shuffle per stage is keyed on (window, event_type) —
+    the same partitioning story as the batch rollup.
+    """
+    fine_counts = (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), fine).alias("w5"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_fine"))
+    )
+    return (
+        fine_counts.groupBy(
+            F.window(F.window_time(F.col("w5")), coarse).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_fine").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_fine_windows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_fine_windows",
+        )
+    )
