@@ -5176,6 +5176,51 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_normalized(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "emb_matryoshka_staged_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM e WHERE vec_id % 50 = 0),
+    pre AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(list_sum(list_transform(range(1, 17),
+                    i -> q.q_qe[i] * e.qe[i])) AS BIGINT) AS pre_dot
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY pre_dot DESC, vec_id ASC) AS rn
+            FROM pre
+        ) WHERE rn <= 50
+    ),
+    rescored AS (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(e.qe) + 1),
+                    i -> q.q_qe[i] * e.qe[i])) AS BIGINT) AS dot_q
+        FROM shortlist s JOIN e ON e.vec_id = s.vec_id
+                         JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, dot_q,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+          FROM rescored)
+    WHERE rnk <= 10
+    """,
+)
+def emb_matryoshka_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka staged retrieval (operators/similarity.py
+    matryoshka_staged_topk): 16-dim prefix dots shortlist 50 candidates
+    per query, full 64-dim dots rerank — the coarse-to-fine funnel for
+    MRL-trained embeddings; both stages exact integer ⇒ full oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.matryoshka_staged_topk(
+        emb, queries, k=10, prefix_dim=16, n_candidates=50
+    )
+
+
 _MINHASH_AGREE = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(8))
 
 
@@ -5655,6 +5700,7 @@ _CHECK_FIRST = [
     "cdc_point_in_time_join",
     "fn_recursive_date_spine",
     "doc_minhash_jaccard_estimate",
+    "emb_matryoshka_staged_topk",
 ]
 
 

@@ -50,6 +50,9 @@ _BNLJ_OK = {
     "emb_semantic_dedup",
     # BM25 corpus-stats scalar + single-query-vector broadcast (|Q| = 1)
     "doc_hybrid_rrf",
+    # prefix-dot stage is the deliberate small-|Q| broadcast (emb_ann_topk
+    # rationale); the rerank stage joins only the 50-row shortlist
+    "emb_matryoshka_staged_topk",
 }
 
 
