@@ -5177,6 +5177,79 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_markov_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 count(*) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST((t.n * 1000) // tot.n_from AS BIGINT) AS p_milli
+    FROM t JOIN tot ON tot.from_type = t.from_type
+    """,
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from, to) event-type pair, the transition count
+    and integer-milli probability — the session-behavior fingerprint
+    behind funnel debugging and bot detection.  One window pass (lead)
+    + two small aggregations; the shuffle is keyed by user for the
+    sequence, then by the 5×5 type pairs — N-independent output."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(n * 1000) DIV n_from").alias("p_milli"),
+    )
+
+
+@_q(
+    "agg_countif_maxby",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+               AS n_big,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           max_by(o_orderstatus, o_orderkey) AS status_of_last,
+           min_by(o_orderstatus, o_orderkey) AS status_of_first,
+           CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS cust_of_last
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_countif_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count + argmin/argmax aggregate family: count_if and
+    max_by/min_by KEYED ON THE UNIQUE o_orderkey (ties on a non-unique
+    ordering key would make max_by nondeterministic — the trap this
+    query's shape documents)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).cast("long").alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("status_of_last"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("status_of_first"),
+        F.max_by("o_custkey", "o_orderkey").cast("long").alias("cust_of_last"),
+    )
+
+
+@_q(
     "emb_matryoshka_staged_topk",
     f"""
     WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
@@ -5701,6 +5774,8 @@ _CHECK_FIRST = [
     "fn_recursive_date_spine",
     "doc_minhash_jaccard_estimate",
     "emb_matryoshka_staged_topk",
+    "evt_markov_transitions",
+    "agg_countif_maxby",
 ]
 
 

@@ -310,3 +310,71 @@ def chained_window_rollup_stream(
             "n_fine_windows",
         )
     )
+
+
+def streaming_neardup_with_index_maintenance(
+    docs_stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> StreamingQuery:
+    """Self-maintaining incremental dedup: each micro-batch is filtered
+    against the band-bucket index built by ALL PREVIOUS batches, then
+    the survivors' buckets are appended to that index — so new-vs-new
+    duplicates across batches are caught as soon as the original's
+    batch commits, not at the next offline rebuild (closing the gap
+    ``streaming_neardup_filter`` documents).
+
+    foreachBatch runs in BATCH mode, so the candidate check is a plain
+    left-anti join against the parquet index; the index append is
+    at-least-once under WAL replay — duplicate index rows only make the
+    filter stricter, never wrong (the dedup twin of the reference's
+    duplicate-tolerant sink contract, SURVEY §2.1).  Index layout:
+    parquet partitioned by band_id, so the per-band probe prunes to one
+    partition directory.
+    """
+    import os as _os
+
+    from ..operators.dedup import minhash_band_buckets, minhash_signatures_narrow
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        buckets = minhash_band_buckets(
+            signatures=minhash_signatures_narrow(batch_df, k_shingle, n_hashes),
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+        ).persist()
+        try:
+            try:
+                idx = spark.read.parquet(index_dir).select("band_id", "bucket")
+                hit = (
+                    buckets.join(idx, ["band_id", "bucket"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                kept = batch_df.join(hit, "doc_id", "left_anti")
+            except Exception:
+                kept = batch_df  # first batch: no index yet
+            kept = kept.persist()
+            kept.write.mode("append").parquet(_os.path.join(out_dir))
+            (
+                buckets.join(kept.select("doc_id"), "doc_id", "left_semi")
+                .write.mode("append")
+                .partitionBy("band_id")
+                .parquet(index_dir)
+            )
+            kept.unpersist()
+        finally:
+            buckets.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

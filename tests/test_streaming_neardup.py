@@ -70,3 +70,44 @@ def test_streaming_filter_drops_corpus_matches(spark, tmp_path):
     q.stop()
     kept = {r.doc_id for r in spark.sql("SELECT * FROM neardup_filtered").collect()}
     assert kept == {11}, kept
+
+
+def test_index_maintenance_catches_cross_batch_dups(spark, tmp_path):
+    """Batch 2 contains an exact dup of a batch-1 doc: the maintained
+    index must drop it, while batch-1 docs (empty index) all pass."""
+    import os
+    import time
+
+    from aws_kinesis_data_streams_replicator_spark.streaming.job import (
+        streaming_neardup_with_index_maintenance,
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    _docs(spark, CORPUS).write.parquet(os.path.join(stage, "b0"))
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/*")
+    )
+    q = streaming_neardup_with_index_maintenance(
+        stream, out, idx, str(tmp_path / "wal")
+    )
+    q.processAllAvailable()
+    # batch 2: one dup of corpus doc 1 (id 20) + one novel doc (id 21)
+    _docs(
+        spark,
+        [(20, CORPUS[0][1]), (21, "wholly new content never seen before today")],
+    ).write.parquet(os.path.join(stage, "b1"))
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        q.processAllAvailable()
+        kept_now = spark.read.parquet(out).count()
+        if kept_now >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 21}, kept
