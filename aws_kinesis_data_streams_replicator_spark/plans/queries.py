@@ -5177,6 +5177,129 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_corpus_curation_v4",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip()},
+    cls AS (
+        SELECT doc_id, lang,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT - 32768))
+                    AS BIGINT) AS score,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    keepq AS (SELECT doc_id, lang, score, n_tokens FROM cls
+              WHERE score // n_tokens >= -60),
+    normkept AS (
+        SELECT min(d.doc_id) AS doc_id
+        FROM keepq k JOIN documents d ON d.doc_id = k.doc_id
+        GROUP BY md5(trim(regexp_replace(regexp_replace(lower(d.text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+    ),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    near_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges_raw AS (
+        SELECT doc_a, doc_b FROM near_pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1000 >= 300 * (sa.n_sh + sb.n_sh - n_inter)
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges_raw
+              UNION SELECT doc_b, doc_a FROM edges_raw),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    ),
+    cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+    reps AS (
+        SELECT cluster_id, doc_id FROM (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY k.score DESC, c.doc_id ASC) AS rn
+            FROM cc c JOIN keepq k ON k.doc_id = c.doc_id
+        ) WHERE rn = 1
+    ),
+    clustered_kept AS (SELECT doc_id FROM reps),
+    clustered_all AS (SELECT doc_id FROM cc),
+    final AS (
+        SELECT n.doc_id FROM normkept n
+        WHERE n.doc_id NOT IN (SELECT doc_id FROM clustered_all)
+        UNION ALL
+        SELECT r.doc_id FROM clustered_kept r
+        WHERE r.doc_id IN (SELECT doc_id FROM normkept)
+    )
+    SELECT k.lang, count(*) AS n_docs,
+           CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(k.score) AS BIGINT) AS total_score,
+           min(f.doc_id) AS first_doc
+    FROM final f JOIN keepq k ON k.doc_id = f.doc_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v4 — the round-3 operator set composed into ONE plan:
+    hashed-classifier quality gate (score/token ≥ −60) → normalized
+    exact dedup (case/punct/space-insensitive, min-id keeper) → capped
+    n-gram-Jaccard near-dup clustering with a QUALITY-BASED
+    representative (max classifier score per cluster, not min id — keep
+    the best duplicate, the production keeper rule) → per-language
+    token & score accounting.  Docs in no cluster pass through; cluster
+    members survive only as their cluster's representative (and only if
+    normalized-dedup also kept them)."""
+    from ..operators.text import dedup_normalized, quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = quality_classifier_scores(docs).select(
+        "doc_id", "lang", "score", "n_tokens"
+    )
+    # keepq feeds three branches (gate, rep selection, final accounting);
+    # without a barrier the per-token md5 scoring runs three times
+    keepq = cls.where(F.expr("score DIV n_tokens") >= -60).localCheckpoint(
+        eager=False
+    )
+    normkept = (
+        dedup_normalized(docs.join(keepq.select("doc_id"), "doc_id", "left_semi"))
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    edges = dedup.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.3, max_shingle_df=50
+    )
+    cc = clustering.connected_components(edges)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        cc.join(keepq.select("doc_id", "score"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    unclustered = normkept.join(cc.select("doc_id"), "doc_id", "left_anti")
+    final = unclustered.unionByName(
+        reps.join(normkept, "doc_id", "left_semi")
+    )
+    return (
+        final.join(keepq, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("score").cast("long").alias("total_score"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_q(
     "evt_markov_transitions",
     """
     WITH s AS (
@@ -5776,6 +5899,7 @@ _CHECK_FIRST = [
     "emb_matryoshka_staged_topk",
     "evt_markov_transitions",
     "agg_countif_maxby",
+    "pipeline_corpus_curation_v4",
 ]
 
 

@@ -24,6 +24,7 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
 _SKIP = {
     "doc_neardup_clusters",
     "pipeline_corpus_curation_v2",
+    "pipeline_corpus_curation_v4",  # CC iterations run jobs at construction
     "graph_pagerank",  # eager localCheckpoint runs jobs at construction
 }
 
