@@ -5177,6 +5177,83 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fn_higher_order_suite",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS nw
+               FROM part)
+    SELECT p_partkey,
+           len(list_filter(nw, w -> len(w) > 4)) > 0 AS has_long,
+           len(list_filter(nw, w -> len(w) > 2)) = len(nw) AS all_gt2,
+           CAST(list_sum(list_transform(nw, w -> len(w))) AS BIGINT)
+               AS total_chars,
+           array_to_string(list_transform(nw, w -> upper(w)), '|') AS upper_joined,
+           CAST(list_sum(list_transform(range(1, len(nw) + 1),
+                i -> i * len(nw[i]))) AS BIGINT) AS pos_weighted
+    FROM t
+    """,
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function parity: exists / forall / transform /
+    aggregate / index-aware transform — the lambda family every
+    array-heavy pipeline leans on, all JVM-side."""
+    p = _t(spark, sf_dir, "part")
+    nw_src = F.split(F.col("p_name"), " ")
+    t = p.select("p_partkey", nw_src.alias("nw"))
+    nw = F.col("nw")
+    return t.select(
+        "p_partkey",
+        F.exists(nw, lambda w: F.length(w) > 4).alias("has_long"),
+        F.forall(nw, lambda w: F.length(w) > 2).alias("all_gt2"),
+        F.aggregate(
+            F.transform(nw, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+        F.array_join(F.transform(nw, lambda w: F.upper(w)), "|").alias(
+            "upper_joined"
+        ),
+        F.aggregate(
+            F.transform(
+                nw, lambda w, i: ((i + 1) * F.length(w)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("pos_weighted"),
+    )
+
+
+@_q(
+    "text_classifier_histogram",
+    """
+    WITH cls AS (
+        SELECT doc_id, lang,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT - 32768))
+                    AS BIGINT) AS score,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST((score // n_tokens) // 50 * 50 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def text_classifier_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language histogram of classifier score-per-token (bucket
+    width 50) — the distribution you inspect before picking a quality
+    threshold.  Composes the hashed classifier into a two-key
+    aggregation; output is |langs|×|buckets|, N-independent."""
+    from ..operators.text import quality_classifier_scores
+
+    cls = quality_classifier_scores(_t(spark, sf_dir, "documents"))
+    return cls.groupBy(
+        "lang",
+        F.expr("(score DIV n_tokens) DIV 50 * 50").alias("bucket_lo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@_q(
     "pipeline_corpus_curation_v4",
     f"""
     WITH RECURSIVE {_SHINGLE_CTE.strip()},
@@ -5900,6 +5977,8 @@ _CHECK_FIRST = [
     "evt_markov_transitions",
     "agg_countif_maxby",
     "pipeline_corpus_curation_v4",
+    "fn_higher_order_suite",
+    "text_classifier_histogram",
 ]
 
 
