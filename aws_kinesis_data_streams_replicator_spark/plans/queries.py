@@ -5177,6 +5177,113 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_knn_label_classify",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_SQL} AS qe FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM e WHERE vec_id % 50 = 0),
+    s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+               CAST(list_sum(list_transform(range(1, len(e.qe) + 1),
+                    i -> q.q_qe[i] * e.qe[i])) AS BIGINT) AS dot_q
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY dot_q DESC, neighbor_id ASC) AS rn
+            FROM s
+        ) WHERE rn <= 15
+    ),
+    votes AS (SELECT query_id, label, count(*) AS n_votes
+              FROM topk GROUP BY 1, 2)
+    SELECT query_id, CAST(label AS BIGINT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY n_votes DESC, label ASC) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+)
+def emb_knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification (k=15 majority vote, ties → lowest
+    label): the label-propagation / weak-supervision primitive over the
+    embedding space — exact top-k then a two-key vote aggregation;
+    deterministic end-to-end."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    topk = similarity.brute_force_topk(emb, queries, k=15)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+@_q(
+    "doc_source_mix_report",
+    """
+    WITH q AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE n_words >= 20
+                                   AND n_distinct * 4 >= n_words) AS BIGINT)
+               AS n_quality_ok,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM q GROUP BY source
+    """,
+)
+def doc_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix report: doc/token totals, language spread,
+    quality pass-rate numerator — the table a data-mixture decision
+    reads (domain weighting is per-source).  One scan, one aggregation;
+    output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+        F.count_if(
+            (F.col("n_words") >= 20)
+            & (F.col("n_distinct") * 4 >= F.col("n_words"))
+        )
+        .cast("long")
+        .alias("n_quality_ok"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@_q(
     "fn_higher_order_suite",
     """
     WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS nw
@@ -5979,6 +6086,8 @@ _CHECK_FIRST = [
     "pipeline_corpus_curation_v4",
     "fn_higher_order_suite",
     "text_classifier_histogram",
+    "emb_knn_label_classify",
+    "doc_source_mix_report",
 ]
 
 

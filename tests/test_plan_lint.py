@@ -54,6 +54,7 @@ _BNLJ_OK = {
     # prefix-dot stage is the deliberate small-|Q| broadcast (emb_ann_topk
     # rationale); the rerank stage joins only the 50-row shortlist
     "emb_matryoshka_staged_topk",
+    "emb_knn_label_classify",  # brute-force stage: emb_ann_topk rationale
 }
 
 
