@@ -5177,6 +5177,135 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_snapshot_at_time",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    c AS (SELECT user_id, event_id, ts, event_type AS state,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_state
+          FROM e),
+    iv AS (SELECT user_id, state, ts AS valid_from,
+                  coalesce(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                           TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+           FROM c WHERE prev_state IS NULL OR state <> prev_state)
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS since
+    FROM iv
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND valid_to   >  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def cdc_snapshot_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconstruction: the full dimension state AS OF a fixed
+    instant, read straight off the SCD-2 intervals with an interval-
+    containment filter — the time-travel read a change stream enables.
+    One window pass builds intervals; the snapshot itself is a pure
+    filter (no join at all)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    ).where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    iv = c.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    at = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return iv.where((F.col("valid_from") <= at) & (F.col("valid_to") > at)).select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("since"),
+    )
+
+
+@_q(
+    "evt_dau_wau_stickiness",
+    """
+    WITH d AS (
+        SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               user_id
+        FROM events
+    ),
+    dau AS (SELECT wk, day, count(DISTINCT user_id) AS n_dau
+            FROM d GROUP BY 1, 2),
+    wau AS (SELECT wk, count(DISTINCT user_id) AS n_wau FROM d GROUP BY 1),
+    avg_dau AS (SELECT wk, CAST(sum(n_dau) AS BIGINT) AS sum_dau,
+                       count(*) AS n_days
+                FROM dau GROUP BY wk)
+    SELECT strftime(a.wk, '%Y-%m-%d') AS week_start,
+           CAST(a.sum_dau AS BIGINT) AS sum_dau,
+           CAST(a.n_days AS BIGINT) AS n_days,
+           CAST(w.n_wau AS BIGINT) AS n_wau,
+           CAST((a.sum_dau * 1000) // (a.n_days * w.n_wau) AS BIGINT)
+               AS stickiness_milli
+    FROM avg_dau a JOIN wau w ON w.wk = a.wk
+    """,
+)
+def evt_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week (integer-milli avg-DAU ÷ WAU): the
+    product-analytics engagement ratio.  Two exact distinct-count
+    aggregations over one derivation; week totals join on the tiny week
+    key set."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("wk", "day").agg(F.count_distinct("user_id").alias("n_dau"))
+    wau = d.groupBy("wk").agg(F.count_distinct("user_id").alias("n_wau"))
+    avg_dau = dau.groupBy("wk").agg(
+        F.sum("n_dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return avg_dau.join(wau, "wk").select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "sum_dau",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_wau").cast("long").alias("n_wau"),
+        F.expr("(sum_dau * 1000) DIV (n_days * n_wau)").alias("stickiness_milli"),
+    )
+
+
+@_q(
+    "evt_hour_type_heatmap",
+    """
+    SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_hour_type_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity heatmap (counts + distinct
+    users): 24×|types| output, one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("long").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@_q(
     "emb_knn_label_classify",
     f"""
     WITH e AS (SELECT vec_id, label, {_QUANT_SQL} AS qe FROM embeddings),
@@ -6088,6 +6217,9 @@ _CHECK_FIRST = [
     "text_classifier_histogram",
     "emb_knn_label_classify",
     "doc_source_mix_report",
+    "cdc_snapshot_at_time",
+    "evt_dau_wau_stickiness",
+    "evt_hour_type_heatmap",
 ]
 
 
