@@ -5177,6 +5177,117 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_first_touch_attribution",
+    """
+    WITH ft AS (
+        SELECT user_id,
+               min_by(event_type,
+                      strftime(CAST(ts AS TIMESTAMP),
+                               '%Y-%m-%d %H:%M:%S.%f')
+                      || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                   AS first_touch
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT ft.first_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+           CAST(coalesce(sum(conv.n_purchases), 0) AS BIGINT) AS n_purchases,
+           CAST((count(conv.user_id) * 1000) // count(*) AS BIGINT)
+               AS conversion_milli
+    FROM ft LEFT JOIN conv ON conv.user_id = ft.user_id
+    GROUP BY ft.first_touch
+    """,
+)
+def evt_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's FIRST event type (min_by on
+    a fixed-width (ts, event_id) string key — lexicographic == temporal
+    order, and DuckDB's min_by has no composite-value form) credited with
+    their later purchases; per-channel user counts, conversion rate
+    (integer milli), purchase totals.  Two aggregations + one join on
+    user_id."""
+    ev = _t(spark, sf_dir, "events")
+    order_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    ft = ev.groupBy("user_id").agg(
+        F.min_by("event_type", order_key).alias("first_touch")
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        ft.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("n_purchases").cast("long").alias("n_converted"),
+            F.coalesce(F.sum("n_purchases"), F.lit(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.expr("(count(n_purchases) * 1000) DIV count(1)").alias(
+                "conversion_milli"
+            ),
+        )
+    )
+
+
+@_q(
+    "doc_length_percentiles",
+    """
+    WITH l AS (SELECT lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+               FROM documents),
+    r AS (SELECT lang, n_words,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_words, lang) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM l)
+    SELECT lang,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_words END) AS BIGINT)
+               AS p50,
+           CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_words END)
+               AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = n THEN n_words END) AS BIGINT) AS p100,
+           CAST(max(n) AS BIGINT) AS n_docs
+    FROM r GROUP BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles (p50/p90/max) via
+    deterministic rank selection — the length-distribution table behind
+    truncation and packing budget decisions.  One window pass + one
+    aggregation; no float percentile interpolation, so engines agree
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    l = docs.select(
+        "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy("lang").orderBy("n_words", "lang")
+    r = l.select(
+        "lang",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("n_words"))).cast("long")  # noqa: E731
+    return r.groupBy("lang").agg(
+        pick(F.col("rn") == F.expr("(n + 1) DIV 2")).alias("p50"),
+        pick(F.col("rn") == F.expr("(n * 9 + 9) DIV 10")).alias("p90"),
+        pick(F.col("rn") == F.col("n")).alias("p100"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+
+
+@_q(
     "cdc_snapshot_at_time",
     """
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -6220,6 +6331,8 @@ _CHECK_FIRST = [
     "cdc_snapshot_at_time",
     "evt_dau_wau_stickiness",
     "evt_hour_type_heatmap",
+    "evt_first_touch_attribution",
+    "doc_length_percentiles",
 ]
 
 
