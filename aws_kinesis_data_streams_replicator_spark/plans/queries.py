@@ -5177,6 +5177,125 @@ def doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_rolling_7d_active_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                        user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+)
+def evt_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the windowed
+    distinct that plain window frames cannot express (COUNT(DISTINCT)
+    over a moving range).  Exact formulation: dedup to (day, user),
+    then each (day, user) row is exploded to the 7 window-end days it
+    credits and aggregated on an EQUI key — 7× the deduped rows through
+    one shuffle, no inequality join anywhere.  At warehouse scale you'd swap the exact
+    distinct for an HLL sketch union (agg_approx_distinct's shape);
+    this is the exact baseline the sketch is judged against."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    # equi-form, not an inequality join: each (day, user) credits the 7
+    # windows ending on day..day+6 via a sequence explode, then one
+    # shuffle-keyed aggregation — no nested-loop, 7x the deduped rows.
+    # Windows with no events at all produce no row; restrict to
+    # observed days to match the containment-join formulation.
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        contrib.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_7d")
+    )
+
+
+@_q(
+    "doc_neardup_rate_by_source",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    postings AS (
+        SELECT shingle, list_sort(list(DISTINCT doc_id)) AS docs
+        FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50
+    ),
+    sizes AS (SELECT unnest(docs) AS doc_id, 1 AS x FROM postings),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sizes GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM (SELECT unnest(docs) AS doc_id, shingle FROM postings) a
+        JOIN (SELECT unnest(docs) AS doc_id, shingle FROM postings) b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+            WHERE n_inter * 1000 >= 300 * (za.n_sh + zb.n_sh - n_inter)
+            UNION ALL
+            SELECT doc_b FROM pairs
+            JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+            WHERE n_inter * 1000 >= 300 * (za.n_sh + zb.n_sh - n_inter)
+        )
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_in_dup_pair,
+           CAST((count(dd.doc_id) * 1000) // count(*) AS BIGINT)
+               AS dup_rate_milli
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def doc_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source (share of docs in ≥1 Jaccard-0.3
+    pair, integer milli) — the per-domain contamination dashboard that
+    decides which sources need aggressive dedup.  Reuses the capped
+    posting-list pair generator; the rate join is a broadcast of the
+    (small) duplicated-doc set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.3, max_shingle_df=50
+    )
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_in_dup_pair"),
+            F.expr("(count(is_dup) * 1000) DIV count(1)").alias(
+                "dup_rate_milli"
+            ),
+        )
+    )
+
+
+@_q(
     "evt_first_touch_attribution",
     """
     WITH ft AS (
@@ -6333,6 +6452,8 @@ _CHECK_FIRST = [
     "evt_hour_type_heatmap",
     "evt_first_touch_attribution",
     "doc_length_percentiles",
+    "evt_rolling_7d_active_users",
+    "doc_neardup_rate_by_source",
 ]
 
 
