@@ -107,6 +107,8 @@ def minhash_band_buckets(
     ``documents``.  Works on streaming inputs (no materialization
     barrier here — callers that self-join add their own)."""
     if signatures is None:
+        if documents is None:
+            raise ValueError("pass documents or signatures")
         signatures = minhash_signatures(documents, k_shingle, n_hashes)
     r = n_hashes // n_bands
     return signatures.select(

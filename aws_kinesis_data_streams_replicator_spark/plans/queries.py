@@ -1777,7 +1777,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup (operators/dedup.py
     semantic_dedup_pairs): deterministic integer k-means (seeded by the
-    8 lowest vec_ids, one Lloyd round) buckets the space, then
+    16 lowest vec_ids, one Lloyd round) buckets the space, then
     cosine ≥ 0.4 pairs are emitted within clusters only — the oracle
     replays the identical integer arithmetic, so equality is exact."""
     return dedup.semantic_dedup_pairs(

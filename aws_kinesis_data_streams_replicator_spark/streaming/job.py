@@ -16,6 +16,7 @@ one DynamoDB Query per batch (Handler.java:65).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -358,7 +359,16 @@ def streaming_neardup_with_index_maintenance(
                     .distinct()
                 )
                 kept = batch_df.join(hit, "doc_id", "left_anti")
-            except Exception:
+            except AnalysisException as e:
+                # Only the first-batch missing-index case may be swallowed;
+                # any other analysis failure (schema drift, corrupt footer)
+                # must fail the batch so the WAL retries it — silently
+                # disabling dedup would append undetected duplicates to
+                # both out_dir and the index.  (Execution-time errors in
+                # the join surface at kept.write below and fail the batch
+                # too, by design.)
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
                 kept = batch_df  # first batch: no index yet
             kept = kept.persist()
             kept.write.mode("append").parquet(_os.path.join(out_dir))

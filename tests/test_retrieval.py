@@ -122,5 +122,7 @@ def test_quality_classifier_portable_weights(spark):
     )
     assert row.score == expect
     assert row.n_tokens == 3
-    assert row.score_per_token == int(expect / 3) if expect >= 0 else row.score_per_token
+    # int(expect / 3) truncates toward zero for both signs, matching
+    # Spark DIV — no sign conditional needed
+    assert row.score_per_token == int(expect / 3)
     assert row.label == ("keep" if row.score_per_token >= 0 else "drop")
