@@ -183,6 +183,73 @@ def ivf_topk(
     )
 
 
+def lloyd_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed deterministic Lloyd refinement for IVF centroids —
+    the oracle-checkable training path.
+
+    ``kmeans_centroids`` below trains on a driver-side sample with
+    numpy RNG (k-means++), which no SQL engine can replay.  This variant
+    is exact-integer end-to-end so a DuckDB oracle reproduces it
+    bit-for-bit: init = the ``n_cells`` lowest-id vectors (cell id =
+    seed vector id), then ``n_iters`` rounds of (a) assign every vector
+    to its max-quantized-dot centroid (ties → lowest cell — the same
+    rule ``ivf_topk``'s probe uses, so train and serve agree), (b) new
+    centroid component = ``sum DIV count`` (int64 sums are associative
+    ⇒ partitioning-independent; DIV truncates toward zero identically
+    in Spark and DuckDB).  Cells that capture no vectors keep their
+    previous centroid, as in classic Lloyd.
+
+    Scale: per iteration one broadcast join (centroids are ≤ a few KB)
+    + one (cell, pos) aggregation whose cardinality is n_cells × dim —
+    never O(N) shuffle rows after the map-side combine.  n_iters is a
+    compile-time constant ⇒ the whole training is one static plan, no
+    driver loop over actions.
+    """
+    cand = _quantized(embeddings, id_col)
+    cent = (
+        _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
+        .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
+    )
+    for _ in range(n_iters):
+        scored = cand.join(F.broadcast(cent)).select(
+            F.col(id_col),
+            "qe",
+            "cell",
+            dot_q(F.col("qe"), F.col("c_qe")).alias("_cd"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_cd").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("cell", "qe")
+        )
+        comp = (
+            assigned.select("cell", F.posexplode("qe").alias("pos0", "q"))
+            .groupBy("cell", "pos0")
+            .agg(F.expr("sum(q) DIV count(1)").alias("m"))
+        )
+        new = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))),
+                lambda s: s["m"],
+            ).alias("c_qe_new")
+        )
+        cent = (
+            cent.join(new, "cell", "left")
+            .select(
+                "cell", F.coalesce("c_qe_new", "c_qe").alias("c_qe")
+            )
+        )
+    return cent
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,

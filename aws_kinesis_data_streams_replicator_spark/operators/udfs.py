@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
 
@@ -194,6 +194,31 @@ def user_activity_stats(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandas(
         stats, schema="user_id long, n_events long, n_types long, max_gap_us long"
+    )
+
+
+def user_activity_stats_jvm(events: DataFrame) -> DataFrame:
+    """Production path for ``user_activity_stats``: identical output,
+    pure JVM — ``lag`` window for the inter-event gap, then one hash
+    aggregation.
+
+    The pandas grouped-map version above stays as the documented
+    applyInPandas surface demo, but it materializes one full user group
+    per Python call — a hot user at 100× data is a single-executor OOM,
+    and every row crosses the Arrow boundary.  Here the window sorts
+    within the user_id shuffle partition (whole-stage codegen, spill-
+    safe) and the aggregation is map-side combined; a hot key degrades
+    to a big sort, never to an OOM."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.select("user_id", "event_type", gap_us.alias("_gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("_gap_us").alias("max_gap_us"),
+        )
     )
 
 

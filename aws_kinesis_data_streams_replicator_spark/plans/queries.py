@@ -2394,10 +2394,38 @@ def udf_pandas_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas custom aggregation (exact integer µs)."""
+    """Grouped-map applyInPandas custom aggregation (exact integer µs).
+    API-surface demo — the production formulation of the same output is
+    ``evt_user_activity_stats`` below (pure JVM window + agg)."""
     from ..operators.udfs import user_activity_stats
 
     return user_activity_stats(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "evt_user_activity_stats",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    d AS (SELECT user_id, event_type,
+                 us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS g
+          FROM e)
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           max(g) AS max_gap_us
+    FROM d GROUP BY user_id
+    """,
+)
+def evt_user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity stats, production path: same semantics as
+    ``udf_grouped_user_stats`` (count, distinct types, max inter-event
+    gap in exact µs) but pure JVM — lag window + one map-side-combined
+    aggregation instead of materializing whole user groups in pandas.
+    See operators/udfs.py user_activity_stats_jvm for the scale
+    rationale."""
+    from ..operators.udfs import user_activity_stats_jvm
+
+    return user_activity_stats_jvm(_t(spark, sf_dir, "events"))
 
 
 @_q(
@@ -2751,46 +2779,243 @@ def doc_lsh_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Non-SQL-expressible / rows-only queries (driver records weaker check)
+# ANN / connector / layout queries — every one deterministic by
+# construction, so each gets a full value oracle.  The ANN variants are
+# *approximate nearest neighbor* but NOT nondeterministic: sign-LSH
+# planes are md5-derived (similarity.sign_lsh_bucket) and IVF centroids
+# are either the n_cells lowest-id vectors or integer-Lloyd-refined —
+# the oracle replays the identical integer arithmetic, so the driver
+# hash-checks the whole candidate-generation + rerank pipeline, not
+# just the rerank.  Recall-vs-brute-force properties live in pytest
+# (tests/test_scale_patterns.py).
 # --------------------------------------------------------------------------
 
 
+def _lsh_signs_list(p: int, dim: int = 64) -> str:
+    """The ±1 plane-p sign row of similarity.sign_lsh_bucket, as a
+    DuckDB list literal — baked into the oracle so both engines use the
+    byte-identical hyperplanes."""
+    import hashlib
+
+    return (
+        "["
+        + ",".join(
+            "1"
+            if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] >= "8"
+            else "-1"
+            for d in range(dim)
+        )
+        + "]"
+    )
+
+
+def _ann_rerank_sql(cand_join: str, k: int = 10) -> str:
+    """Shared exact-rerank tail: score candidate pairs with the int64
+    quantized dot, per-query row_number top-k, ties → lowest id."""
+    return f"""
+s AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65),
+                                        i -> q.q_qe[i] * c.qe[i])) AS BIGINT)
+               AS dot_q
+    FROM {cand_join} WHERE c.vec_id <> q.query_id
+),
+rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY dot_q DESC, neighbor_id ASC) AS INTEGER) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, dot_q, rank FROM rr WHERE rank <= {k}"""
+
+
+_LSH_BITS_SQL = ",\n           ".join(
+    f"CASE WHEN list_sum(list_transform(range(1, 65), "
+    f"i -> qe[i] * ({_lsh_signs_list(p)})[i])) >= 0 THEN '1' ELSE '0' END"
+    for p in range(4)
+)
+
+
+@_q(
+    "emb_ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    b AS (SELECT vec_id, qe, concat({_LSH_BITS_SQL}) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe, bucket FROM b
+          WHERE vec_id % 50 = 0),
+    {_ann_rerank_sql("q JOIN b c USING (bucket)")}
+    """,
+)
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN — the 100 TB candidate-generation path.
-    Approximate by construction → no SQL oracle (rows-only check)."""
+    Deterministic end-to-end (md5-derived hyperplanes, exact int
+    rerank), so the oracle replays buckets + rerank exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
 
 
+def _ivf_assign_sql(cent_cte: str) -> str:
+    """Shared IVF assignment: score every vector against the (tiny)
+    centroid set, rank by dot desc / cell asc — candidates keep rank 1,
+    queries probe the top n_probe cells."""
+    return f"""
+fa AS (SELECT e.vec_id, e.qe, c.cell,
+       CAST(list_sum(list_transform(range(1, 65),
+                                    i -> e.qe[i] * c.c_qe[i])) AS BIGINT) AS cd
+       FROM e, {cent_cte} c),
+far AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cd DESC, cell ASC) AS r FROM fa),
+cand AS (SELECT vec_id, qe, cell FROM far WHERE r = 1),
+qs AS (SELECT vec_id AS query_id, qe AS q_qe, cell FROM far
+       WHERE r <= 4 AND vec_id % 50 = 0)"""
+
+
+@_q(
+    "emb_ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    cent AS (SELECT vec_id AS cell, qe AS c_qe FROM e ORDER BY vec_id LIMIT 16),
+    {_ivf_assign_sql("cent")},
+    {_ann_rerank_sql("qs q JOIN cand c USING (cell)")}
+    """,
+)
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (coarse quantize + multi-probe) — approximate →
-    rows-only check; recall vs the exact `emb_ann_topk` is unit-tested."""
+    """IVF-cell ANN (coarse quantize + multi-probe).  Centroids are the
+    16 lowest-id vectors — deterministic, so the oracle replays
+    assignment, probing, and rerank in exact integer arithmetic."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
 
 
+def _lloyd_iter_sql(it: int, prev: str) -> str:
+    """One unrolled integer-Lloyd round (mirror of
+    similarity.lloyd_centroids): assign to max-dot centroid, new
+    centroid component = sum DIV count, empty cells keep the old one."""
+    return f"""
+a{it} AS (SELECT e.vec_id, e.qe, c.cell,
+          CAST(list_sum(list_transform(range(1, 65),
+                        i -> e.qe[i] * c.c_qe[i])) AS BIGINT) AS cd
+          FROM e, {prev} c),
+ar{it} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cd DESC, cell ASC) AS r FROM a{it}),
+m{it} AS (SELECT cell, t.i AS pos, qe[t.i] AS q
+          FROM ar{it}, unnest(range(1, 65)) AS t(i) WHERE r = 1),
+g{it} AS (SELECT cell, pos, CAST(sum(q) // count(*) AS BIGINT) AS m
+          FROM m{it} GROUP BY cell, pos),
+n{it} AS (SELECT cell, list(m ORDER BY pos) AS c_qe FROM g{it} GROUP BY cell),
+c{it} AS (SELECT p.cell, coalesce(n.c_qe, p.c_qe) AS c_qe
+          FROM {prev} p LEFT JOIN n{it} n USING (cell))"""
+
+
+@_q(
+    "emb_ann_ivf_kmeans_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, qe AS c_qe FROM e ORDER BY vec_id LIMIT 16),
+    {_lloyd_iter_sql(1, "c0")},
+    {_lloyd_iter_sql(2, "c1")},
+    {_ivf_assign_sql("c2")},
+    {_ann_rerank_sql("qs q JOIN cand c USING (cell)")}
+    """,
+)
+def emb_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with Lloyd-TRAINED centroids — similarity.lloyd_centroids
+    runs 2 distributed refinement rounds in exact int64 arithmetic
+    (assign = max quantized dot, update = component-wise sum DIV count),
+    so unlike RNG-seeded k-means the training itself is oracle-checkable:
+    the DuckDB SQL unrolls both rounds and must reproduce every
+    centroid, cell assignment, and reranked neighbor bit-for-bit.
+    (The driver-sampled numpy k-means++ path stays available as
+    similarity.kmeans_centroids for comparison in pytest.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cent = similarity.lloyd_centroids(emb, n_cells=16, n_iters=2)
+    return similarity.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cent)
+
+
+@_q(
+    "files_layout_lineitem",
+    """
+    WITH f AS (SELECT file_name, CAST(num_rows AS BIGINT) AS n_rows
+               FROM parquet_file_metadata(
+                   '/root/testdata/sf0.01/lineitem.parquet')),
+    b AS (SELECT filename AS file_name, CAST(size AS BIGINT) AS file_size
+          FROM read_blob('/root/testdata/sf0.01/lineitem.parquet'))
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(f.n_rows) AS BIGINT) AS total_rows,
+           CAST(min(f.n_rows) AS BIGINT) AS min_file_rows,
+           CAST(max(f.n_rows) AS BIGINT) AS max_file_rows,
+           CAST(sum(CASE WHEN b.file_size < 67108864 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_files
+    FROM f JOIN b USING (file_name)
+    """,
+)
 def files_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-layout health report from scan ``_metadata`` (rows-only: the
-    oracle's views can't see file boundaries) — see operators/util.py
-    layout_report."""
+    """File-layout health report from the scan's ``_metadata`` column —
+    see operators/util.py layout_report.  The oracle reads the same
+    file boundaries via DuckDB's parquet_file_metadata + read_blob;
+    those take literal paths, so the oracle pins the driver's
+    correctness SF (sf0.01) — run tools/parity.py at sf0.01 for this
+    one (every other oracle is SF-agnostic)."""
     from ..operators.util import layout_report
 
     return layout_report(_t(spark, sf_dir, "lineitem"))
 
 
+@_q(
+    "mm_feature_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST(strlen(text) % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake decode; real decode is a documented stub)."""
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads.  The decode is the documented deterministic stub
+    (dimensions = pure byte-length arithmetic, multimodal.py
+    fake_decode_meta), which is exactly what makes the whole
+    mapInPandas crossing oracle-checkable: DuckDB reproduces the
+    features with strlen arithmetic, proving schema, batch shape, and
+    per-row values of the Python stage."""
     media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
 
+@_q(
+    "gen_replicate_pipeline",
+    """
+    WITH r AS (SELECT CAST(i AS BIGINT) AS i,
+                      md5('42|' || CAST(i AS VARCHAR)) AS h
+               FROM range(0, 2000) t(i)),
+    d AS (SELECT i,
+            ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+             + (strpos('0123456789abcdef', h[2]) - 1) * 256
+             + (strpos('0123456789abcdef', h[3]) - 1) * 16
+             + (strpos('0123456789abcdef', h[4]) - 1)) AS v,
+            strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND,
+                     '%Y-%m-%dT%H:%M:%SZ') AS commit
+          FROM r),
+    g AS (SELECT ['kds-click','kds-view','kds-purchase','kds-signup',
+                  'kds-error'][v % 5 + 1] AS streamName, commit FROM d)
+    SELECT streamName, max(commit) AS lastReplicatedCommitTimestamp
+    FROM g WHERE streamName IN ('kds-click', 'kds-view')
+    GROUP BY streamName
+    """,
+)
 def gen_replicate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replication pipeline over the kds_generator custom Python
-    DataSource (ignores sf_dir — the source is synthetic).  Rows-only:
-    the generator is the source under test, not the SQL."""
+    DataSource (ignores sf_dir — the source is synthetic).  The
+    generator is seed-deterministic (record #i is a pure md5 function
+    of (seed, i) — sources/generator.py), so the oracle regenerates the
+    stream in SQL from range(2000), replays the active-region gate
+    (kds-click + kds-view active in us-east-1, kds-signup dropped as a
+    duplicate config, kds-error unconfigured) and checks the per-stream
+    checkpoint — end-to-end coverage of the DataSource + gate +
+    checkpoint pipeline."""
     from ..sources.generator import register
 
     register(spark)
@@ -2806,30 +3031,9 @@ def gen_replicate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replication.checkpoint(gated)
 
 
-QUERIES["emb_ann_lsh_topk"] = emb_ann_lsh_topk
-QUERIES["emb_ann_ivf_topk"] = emb_ann_ivf_topk
-QUERIES["mm_feature_extract"] = mm_feature_extract
-QUERIES["files_layout_lineitem"] = files_layout_lineitem
-QUERIES["gen_replicate_pipeline"] = gen_replicate_pipeline
-
-
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's smoke-check query: full replication pipeline."""
     return kr_replicated_records(spark, sf_dir)
-
-
-def emb_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with k-means-TRAINED centroids (MLlib k-means||, fixed
-    seed) instead of the first-N-by-id heuristic.  Rows-only like the
-    other ANN variants (approximate by construction); the recall contract
-    vs brute force lives in tests/test_scale_patterns.py."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    cent = similarity.kmeans_centroids(emb, n_cells=16, seed=42)
-    return similarity.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cent)
-
-
-QUERIES["emb_ann_ivf_kmeans_topk"] = emb_ann_ivf_kmeans_topk
 
 
 @_q(
@@ -2923,21 +3127,41 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           count(*) AS n_rows,
+           true AS approx_users_within_5pct,
+           true AS approx_events_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact counts.
-    Rows-only: HLL sketches are engine-specific by nature, so no DuckDB
-    value oracle is possible — the pytest contract instead asserts the
-    approximation is within 5% of exact (tests/test_plans.py)."""
+    An HLL estimate is engine-specific, so the raw sketch value can
+    never hash-match a DuckDB oracle; instead the query emits the
+    tolerance CLAIM as a boolean fact — |approx − exact| ≤ 5% of exact,
+    at rsd=0.02 — and the oracle asserts it must be true for every
+    group.  Spark's HLL is deterministic for a given dataset, so this
+    is a stable, driver-checkable contract, and the exact counts in the
+    same row keep the hash sensitive to the grouping itself."""
     e = _t(spark, sf_dir, "events")
+    exact_u = F.countDistinct("user_id")
+    exact_e = F.countDistinct("event_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
+        exact_u.alias("exact_users"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(F.approx_count_distinct("user_id", rsd=0.02) - exact_u)
+            <= exact_u * F.lit(0.05)
+        ).alias("approx_users_within_5pct"),
+        (
+            F.abs(F.approx_count_distinct("event_id", rsd=0.02) - exact_e)
+            <= exact_e * F.lit(0.05)
+        ).alias("approx_events_within_5pct"),
     )
-
-
-QUERIES["agg_approx_distinct"] = agg_approx_distinct
 
 
 # --------------------------------------------------------------------------
@@ -6366,13 +6590,56 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # round-2 failures, fixed this round (TIMESTAMP_NTZ normalization in
-    # sources/tables.py: driver-regenerated parquet stores timestamp[us]
-    # which Spark 4 reads as TIMESTAMP_NTZ; loader now casts to TIMESTAMP)
+    # ---- round-4 window ----
+    # (a) never driver-checked before r4: the r2 deferrals + everything
+    # added in r3 (rotated in from the tail of the r3 list)
+    "files_layout_lineitem",
+    "fn_bitwise_suite",
+    "doc_dup_span_fraction",
+    "doc_chunk_overlap",
+    "doc_domain_cap",
+    "doc_dedup_normalized",
+    "emb_semantic_dedup",
+    "agg_pivot_events",
+    "text_quality_classifier",
+    "doc_hybrid_rrf",
+    "emb_ann_pq_topk",
+    "cdc_point_in_time_join",
+    "fn_recursive_date_spine",
+    "doc_minhash_jaccard_estimate",
+    "emb_matryoshka_staged_topk",
+    "evt_markov_transitions",
+    "agg_countif_maxby",
+    "pipeline_corpus_curation_v4",
+    "fn_higher_order_suite",
+    "text_classifier_histogram",
+    "emb_knn_label_classify",
+    "doc_source_mix_report",
+    "cdc_snapshot_at_time",
+    "evt_dau_wau_stickiness",
+    "evt_hour_type_heatmap",
+    "evt_first_touch_attribution",
+    "doc_length_percentiles",
+    "evt_rolling_7d_active_users",
+    "doc_neardup_rate_by_source",
+    # (b) formerly rows-only (`err: no_oracle` in r1-r3), given full
+    # value oracles in r4 — deterministic LSH planes / integer-Lloyd
+    # centroids / stub-feature arithmetic / generator replay / HLL
+    # tolerance claim make each one hash-checkable
+    "emb_ann_lsh_topk",
+    "emb_ann_ivf_topk",
+    "emb_ann_ivf_kmeans_topk",
+    "mm_feature_extract",
+    "gen_replicate_pipeline",
+    "agg_approx_distinct",
+    # (c) added in r4 (never checked by definition)
+    "evt_user_activity_stats",
+    # ---- round-4 window ends here when this list reaches 50 ----
+    # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
+    # failures fixed by the TIMESTAMP_NTZ loader normalization first,
+    # then the r1/r2 never-checked rotation
     "evt_range_count_5m",
     "kr_batch_metrics",
-    # never-checked in r01/r02 (the driver's window is the first 50
-    # registered queries; these 48 rotate in this round)
     "evt_sessionize_batch",
     "cdc_scd2_intervals",
     "evt_funnel_ordered",
@@ -6421,39 +6688,6 @@ _CHECK_FIRST = [
     "emb_int8_quantize",
     "doc_dup_spans",
     "text_repetition_stats",
-    # ---- driver window ends here (50) ----
-    # deferred to round 4's window: simple deterministic ops already
-    # parity-verified locally this round, plus the queries ADDED this
-    # round (no driver row yet; all green in local parity)
-    "files_layout_lineitem",
-    "fn_bitwise_suite",
-    "doc_dup_span_fraction",
-    "doc_chunk_overlap",
-    "doc_domain_cap",
-    "doc_dedup_normalized",
-    "emb_semantic_dedup",
-    "agg_pivot_events",
-    "text_quality_classifier",
-    "doc_hybrid_rrf",
-    "emb_ann_pq_topk",
-    "cdc_point_in_time_join",
-    "fn_recursive_date_spine",
-    "doc_minhash_jaccard_estimate",
-    "emb_matryoshka_staged_topk",
-    "evt_markov_transitions",
-    "agg_countif_maxby",
-    "pipeline_corpus_curation_v4",
-    "fn_higher_order_suite",
-    "text_classifier_histogram",
-    "emb_knn_label_classify",
-    "doc_source_mix_report",
-    "cdc_snapshot_at_time",
-    "evt_dau_wau_stickiness",
-    "evt_hour_type_heatmap",
-    "evt_first_touch_attribution",
-    "doc_length_percentiles",
-    "evt_rolling_7d_active_users",
-    "doc_neardup_rate_by_source",
 ]
 
 
