@@ -1,4 +1,4 @@
-"""Iterative graph analytics as DataFrame joins: PageRank.
+"""Iterative graph analytics as DataFrame joins: PageRank, triangles.
 
 Beyond connected components (operators/clustering.py), training-data
 pipelines rank web/citation graphs to weight documents (quality
@@ -79,3 +79,70 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.col("r").cast("long").alias("rank_q"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts: (id, n_triangles) for
+    every node in at least one triangle.
+
+    Degree-ordered wedge enumeration (the MapReduce triangle algorithm
+    of Suri & Vassilvitskii): orient every undirected edge from the
+    lower-ranked endpoint to the higher, rank = (degree, id).  Each
+    triangle then has exactly one node with BOTH out-edges (its
+    lowest-ranked vertex), so wedges are generated once per triangle
+    candidate and closed with a single equi-join back to the oriented
+    edge set — never an all-pairs product.
+
+    Scale notes (100 TB): wedge count is Σ outdeg(v)², and degree
+    ordering provably bounds out-degree by O(√|E|) — the hub that would
+    make naive wedge generation quadratic gets rank-ordered ABOVE its
+    neighbors and generates no wedges.  Three shuffles total (degree
+    agg, wedge self-join, closing join); per-node counts are one final
+    map-side-combined agg over closed triangles."""
+    und = (
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned 3x: degrees, wedges, close
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): a → b  iff  (deg(a), a) < (deg(b), b)
+    e = (
+        und.join(deg.withColumnsRenamed({"id": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"id": "v", "deg": "dv"}), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a"), F.col("b").alias("x"))
+    e2 = e.select(F.col("a"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "a").where(F.col("x") < F.col("y"))
+    # close the wedge: the third edge is oriented x→y or y→x; canonical
+    # (min, max) on both sides makes it one equi-join
+    closing = e.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.select(
+        "a", F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+    ).join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.col("a").alias("id"))
+        .union(tri.select(F.col("x").alias("id")))
+        .union(tri.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -543,3 +543,47 @@ def matryoshka_staged_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Exact Gram matrix of the quantized corpus: (i, j, sum_prod) for
+    every dimension pair i ≤ j (1-based), sum_prod = Σ_v qe_v[i]·qe_v[j]
+    in exact int64 — the Σ XᵀX statistic behind PCA / whitening /
+    covariance drift monitors over embedding corpora.
+
+    The distributed-covariance shape: each Arrow batch computes its
+    dim×dim partial product with ONE numpy matmul (no per-row Python,
+    no N×dim² row explosion — the naive posexplode self-join shuffles
+    N·dim² rows where this shuffles ``n_batches · dim²``), and the
+    final reduce is a map-side-combined sum over dim² keys.
+    Quantization happens JVM-side first (functions/vectors.py), so
+    Python never touches a float and engine rounding can't diverge.
+
+    Overflow: |qe| ≤ 1e6·|x|; with |x| ≤ ~1 a partial Σ over a 10⁴-row
+    batch is ≤ 10¹⁶ and int64 is safe to ~10⁹ corpus rows per batch; at
+    larger scales widen the FINAL agg to decimal(38,0) — the per-batch
+    matmul stays int64 either way."""
+    import pandas as pd
+
+    q = _quantized(embeddings, id_col)
+
+    def partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            g = x.T @ x
+            dim = g.shape[0]
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "partial": g[iu, ju]}
+            )
+
+    parts = q.select("qe").mapInPandas(
+        partial_gram, schema="i int, j int, partial long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("partial").cast("long").alias("sum_prod")
+    )

@@ -53,3 +53,36 @@ def sigma_outlier_counts(events: DataFrame, k_sigma: int = 3) -> DataFrame:
         )
         .select("event_type", "n_events", "n_outliers", "sum_cents", "mean_cents")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence: (item_a, item_b, n_groups) for every
+    unordered item pair appearing together in ≥ ``min_support`` groups —
+    the support-counting pass of association mining (and the document
+    co-citation / tag co-occurrence primitive).
+
+    Distinct (group, item) first, then a per-group self-join with
+    ``item_a < item_b`` so each unordered pair is generated exactly once
+    and never paired with itself.  Pair generation is Σ basket_size² —
+    safe when basket size is bounded (TPC-H orders hold ≤ 7 parts;
+    at 100 TB cap pathological baskets with the same windowed-limit
+    guard ngram_jaccard_pairs uses for hot shingles, operators/dedup.py)
+    — and the support filter runs map-side-combined before anything
+    wide.  No driver materialization at any point."""
+    base = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    a = base.select("g", F.col("item").alias("item_a"))
+    b = base.select("g", F.col("item").alias("item_b"))
+    pairs = a.join(b, "g").where(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .where(F.col("n_groups") >= min_support)
+    )

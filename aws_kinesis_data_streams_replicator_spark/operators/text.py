@@ -516,3 +516,36 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+def bpe_pair_counts(documents: DataFrame) -> DataFrame:
+    """Adjacent character-pair frequencies within words, weighted by
+    corpus word frequency — the statistic one BPE training iteration
+    maximizes (the top row IS the first merge).  Output: (sym_a, sym_b,
+    n_pairs) for every adjacent pair.
+
+    The corpus is first reduced to the (word, count) vocabulary — the
+    same compression real BPE trainers apply, and the reason this scales:
+    pair extraction runs once per DISTINCT word (bounded by vocabulary
+    size, ~10⁵-10⁶ even at 100 TB), not once per corpus token.  Pair
+    generation is a JVM ``transform(sequence(...))`` over each word —
+    no Python, no explode of raw text."""
+    words = documents.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    pairs = vocab.where(F.length("word") >= 2).select(
+        "n_word",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS sym_a, "
+                "substring(word, i + 1, 1) AS sym_b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("n_word", "p.sym_a", "p.sym_b")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("n_word").cast("long").alias("n_pairs"))
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
 from ..sources.envelope import envelope_from_events
@@ -3863,10 +3863,16 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier finished order.  The classic EXISTS (another supplier)
-    / NOT EXISTS (another late supplier) pair is decorrelated into two
-    per-order distinct-supplier aggregates joined back — one pass over
-    the fact instead of two correlated probes.  "Late" is l_shipdate >
-    o_orderdate + 365d (no l_commitdate/l_receiptdate in the fixture)."""
+    / NOT EXISTS (another late supplier) pair is decorrelated into ONE
+    pass over the fact: aggregate late-row counts per (order, supplier),
+    roll up per order (supplier count, late-supplier count, and — via a
+    conditional struct-max — the identity and row count of the lone late
+    supplier), filter, and broadcast-join the supplier dim.  Lineitem is
+    scanned once (the previous formulation scanned it three times: the
+    late rows plus both per-order aggregates) and the only shuffled data
+    is the (order, supplier)-grouped rollup, not fact rows.  "Late" is
+    l_shipdate > o_orderdate + 365d (no l_commitdate/l_receiptdate in
+    the fixture)."""
     fo = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
@@ -3875,26 +3881,34 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     lif = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).alias("is_late"),
     )
-    late = lif.where(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_os = lif.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("long")).alias("n_late_rows")
     )
-    per_order = lif.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
-    )
-    late_per_order = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.countDistinct("l_suppkey").alias("n_late_supp")
+    # n_late_supp == 1 below guarantees the struct-max picks THE late
+    # supplier, so no second join back to the fact is needed
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("long")).alias("n_late_supp"),
+        F.max(
+            F.when(
+                F.col("n_late_rows") > 0,
+                F.struct("l_suppkey", "n_late_rows"),
+            )
+        ).alias("late"),
     )
     return (
-        late.join(per_order.where(F.col("n_supp") > 1), "l_orderkey")
-        .join(
-            late_per_order.where(F.col("n_late_supp") == 1),
-            late.l_orderkey == F.col("lk"),
-        )
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("late.l_suppkey"), F.col("late.n_late_rows"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
     )
 
 
@@ -6583,6 +6597,600 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 4: graph/association analytics, BPE statistics, covariance,
+# CDC diff, conversion analytics, replication reconciliation
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "graph_triangle_count",
+    """
+    WITH base AS (
+        SELECT DISTINCT least(l_orderkey % 2000, l_partkey % 2000) AS u,
+                        greatest(l_orderkey % 2000, l_partkey % 2000) AS v
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_orderkey % 2000 <> l_partkey % 2000
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM base e1
+        JOIN base e2 ON e2.u = e1.v
+        JOIN base e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a derived order↔part graph
+    (operators/graph.py triangle_counts): degree-ordered wedge
+    enumeration, the skew-proof distributed triangle algorithm.  The
+    oracle enumerates each triangle once through canonical u<v edges —
+    orientation schemes differ, per-node counts cannot."""
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    edges = li.select(
+        (F.col("l_orderkey") % 2000).alias("src"),
+        (F.col("l_partkey") % 2000).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+@_q(
+    "part_cooccurrence_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+               FROM lineitem)
+    SELECT a.item AS item_a, c.item AS item_b,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM b a JOIN b c ON a.g = c.g AND a.item < c.item
+    GROUP BY a.item, c.item
+    HAVING count(*) >= 2
+    """,
+)
+def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence support counts (operators/stats.py
+    cooccurrence_pairs): parts appearing together in ≥2 orders.  The
+    association-mining support pass — per-basket self-join bounded by
+    basket size, map-side-combined support filter."""
+    from ..operators.stats import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+@_q(
+    "evt_path_trigrams",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    t AS (SELECT event_type AS s1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS s2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS s3
+          FROM e)
+    SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    """,
+)
+def evt_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: frequency of every consecutive
+    3-step event-type sequence per user (lead-window trigrams — the
+    clickstream path-mining primitive).  One shuffle keyed by user_id
+    for the window, then a bounded-cardinality (≤|types|³) count."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        t.where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+
+
+@_q(
+    "agg_approx_percentile",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM e)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = ((n - 1) // 4) + 1 THEN cents END)
+               AS p25_cents,
+           max(CASE WHEN rn = ((n - 1) // 2) + 1 THEN cents END)
+               AS p50_cents,
+           max(CASE WHEN rn = ((3 * (n - 1)) // 4) + 1 THEN cents END)
+               AS p75_cents,
+           true AS approx_in_iqr
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) audited against exact
+    order statistics: per event type, the exact discrete p25/p50/p75
+    (rank-select over integer cents — deterministic regardless of tie
+    order) plus the CLAIM that the sketch median lands inside the exact
+    IQR, emitted as a boolean the oracle asserts — the same
+    sketch-vs-exact contract shape as agg_approx_distinct."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda idx: F.max(F.when(F.col("rn") == F.expr(idx), F.col("cents")))  # noqa: E731
+    g = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick("((n - 1) DIV 4) + 1").alias("p25_cents"),
+        pick("((n - 1) DIV 2) + 1").alias("p50_cents"),
+        pick("((3 * (n - 1)) DIV 4) + 1").alias("p75_cents"),
+        F.expr("approx_percentile(cents, 0.5, 10000)").alias("approx_p50"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "p25_cents",
+        "p50_cents",
+        "p75_cents",
+        F.col("approx_p50")
+        .between(F.col("p25_cents"), F.col("p75_cents"))
+        .alias("approx_in_iqr"),
+    )
+
+
+@_q(
+    "text_bpe_pair_counts",
+    r"""
+    WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+    v AS (SELECT word, count(*) AS n_word FROM w WHERE word <> ''
+          GROUP BY word),
+    p AS (SELECT n_word, substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
+                 substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
+          FROM v, unnest(range(1, strlen(word))) AS t(i)
+          WHERE strlen(word) >= 2)
+    SELECT sym_a, sym_b, CAST(sum(n_word) AS BIGINT) AS n_pairs
+    FROM p GROUP BY sym_a, sym_b
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistics (operators/text.py bpe_pair_counts):
+    adjacent character-pair frequencies weighted by word frequency.
+    Pair extraction runs over the DISTINCT-word vocabulary, not the raw
+    corpus — the compression that keeps tokenizer training tractable at
+    100 TB."""
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "emb_dim_covariance",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    p AS (SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
+                 qe[CAST(ti.i AS INTEGER)] * qe[CAST(tj.j AS INTEGER)] AS prod
+          FROM e, unnest(range(1, 65)) AS ti(i), unnest(range(1, 65)) AS tj(j)
+          WHERE ti.i <= tj.j)
+    SELECT i, j, CAST(sum(prod) AS BIGINT) AS sum_prod
+    FROM p GROUP BY i, j
+    """,
+)
+def emb_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix Σ XᵀX over quantized embeddings
+    (operators/similarity.py gram_matrix): one numpy matmul per Arrow
+    batch, dim² partial rows per batch, map-side-combined final sum —
+    the distributed-covariance building block for PCA/whitening.  The
+    oracle unnests the 64×64 upper triangle per vector and must match
+    every int64 cell."""
+    return similarity.gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "cdc_snapshot_diff",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    s1 AS (SELECT user_id, event_type AS state_t1,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'),
+    s2 AS (SELECT user_id, event_type AS state_t2,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+    SELECT user_id, s1.state_t1, s2.state_t2,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s1.state_t1 <> s2.state_t2 THEN 'update'
+                ELSE 'unchanged' END AS change
+    FROM (SELECT * FROM s2 WHERE rn = 1) s2
+    LEFT JOIN (SELECT * FROM s1 WHERE rn = 1) s1 USING (user_id)
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot changefeed: diff the per-user state at T1 vs T2 into
+    insert/update/unchanged rows — the CDC-diff that turns two batch
+    snapshots back into a change stream.  ONE scan and one aggregation:
+    both as-of states come from conditional struct-max (ts, event_id
+    orders it deterministically), not two window passes."""
+    e = _t(spark, sf_dir, "events")
+    st = lambda cutoff: F.max(  # noqa: E731
+        F.when(
+            F.col("ts") <= F.lit(cutoff).cast("timestamp_ntz"),
+            F.struct("ts", "event_id", "event_type"),
+        )
+    )
+    g = (
+        e.groupBy("user_id")
+        .agg(
+            st("2024-01-10 00:00:00").alias("s1"),
+            st("2024-01-20 00:00:00").alias("s2"),
+        )
+        .where(F.col("s2").isNotNull())
+    )
+    return g.select(
+        "user_id",
+        F.col("s1.event_type").alias("state_t1"),
+        F.col("s2.event_type").alias("state_t2"),
+        F.when(F.col("s1").isNull(), "insert")
+        .when(F.col("s1.event_type") != F.col("s2.event_type"), "update")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+
+
+@_q(
+    "evt_conversion_time_stats",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    su AS (SELECT user_id, min(ts) AS signup_ts FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT su.user_id, su.signup_ts,
+                 min(CASE WHEN p.ts > su.signup_ts THEN p.ts END)
+                     AS purchase_ts
+          FROM su LEFT JOIN e p
+            ON p.user_id = su.user_id AND p.event_type = 'purchase'
+          GROUP BY su.user_id, su.signup_ts)
+    SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d')
+               AS signup_week,
+           CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(count(purchase_ts) AS BIGINT) AS n_converted,
+           CAST(sum((epoch_us(purchase_ts) - epoch_us(signup_ts))
+                    // 1000000) AS BIGINT) AS sum_conv_sec,
+           CAST(min((epoch_us(purchase_ts) - epoch_us(signup_ts))
+                    // 1000000) AS BIGINT) AS min_conv_sec,
+           CAST(max((epoch_us(purchase_ts) - epoch_us(signup_ts))
+                    // 1000000) AS BIGINT) AS max_conv_sec
+    FROM c GROUP BY signup_week
+    """,
+)
+def evt_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert analytics: per signup-week cohort, how many
+    first-signup users later purchased and the integer-second
+    distribution of the first conversion delay.  Purchase side is
+    pre-filtered before the join (predicate pushdown to the scan), the
+    per-user min is map-side-combined, and all durations are exact
+    epoch-microsecond arithmetic floor-divided to seconds."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = (
+        su.join(p, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(F.when(F.col("p_ts") > F.col("signup_ts"), F.col("p_ts"))).alias(
+                "purchase_ts"
+            )
+        )
+    )
+    conv_sec = F.expr(
+        "(unix_micros(CAST(purchase_ts AS TIMESTAMP)) "
+        "- unix_micros(CAST(signup_ts AS TIMESTAMP))) DIV 1000000"
+    )
+    return (
+        c.select(
+            F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+                "signup_week"
+            ),
+            "purchase_ts",
+            conv_sec.alias("conv_sec"),
+        )
+        .groupBy("signup_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signup_users"),
+            F.count("purchase_ts").cast("long").alias("n_converted"),
+            F.sum("conv_sec").cast("long").alias("sum_conv_sec"),
+            F.min("conv_sec").cast("long").alias("min_conv_sec"),
+            F.max("conv_sec").cast("long").alias("max_conv_sec"),
+        )
+    )
+
+
+@_q(
+    "kr_replication_reconcile",
+    f"""
+    WITH {_GATED_CTE.strip()},
+    ps AS (SELECT streamName, CAST(count(*) AS BIGINT) AS n_source
+           FROM decoded GROUP BY streamName),
+    pr AS (SELECT g.streamName, CAST(count(*) AS BIGINT) AS n_replicated,
+                  CAST(sum(CASE WHEN g.payload = d.payload
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_payload_match
+           FROM gated g JOIN decoded d
+             ON d.sequenceNumber = g.sequenceNumber
+           GROUP BY g.streamName)
+    SELECT ps.streamName, ps.n_source,
+           coalesce(pr.n_replicated, 0) AS n_replicated,
+           coalesce(pr.n_payload_match, 0) AS n_payload_match,
+           CASE WHEN coalesce(pr.n_replicated, 0) = 0 THEN 'inactive'
+                WHEN pr.n_replicated = ps.n_source THEN 'complete'
+                ELSE 'partial' END AS status
+    FROM ps LEFT JOIN pr ON pr.streamName = ps.streamName
+    """,
+)
+def kr_replication_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication reconciliation — the validation procedure the
+    reference README (README.md:118-151) walks through manually
+    (generate → replicate → compare both streams), as one query: source
+    vs replicated record counts per stream plus byte-fidelity of every
+    replicated payload (joined back on sequenceNumber), classified
+    complete / partial / inactive.  The anti-entropy audit any
+    cross-region replicator needs on a schedule."""
+    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    src = replication.with_decoded(env)
+    rep = replication.gate_active_region(src, _config_df(spark), CURRENT_REGION)
+    ps = src.groupBy("streamName").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    pr = (
+        rep.select("streamName", "sequenceNumber", "payload")
+        .join(
+            src.select(
+                "sequenceNumber", F.col("payload").alias("src_payload")
+            ),
+            "sequenceNumber",
+        )
+        .groupBy("streamName")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicated"),
+            F.sum((F.col("payload") == F.col("src_payload")).cast("long"))
+            .cast("long")
+            .alias("n_payload_match"),
+        )
+    )
+    return ps.join(pr, "streamName", "left").select(
+        "streamName",
+        "n_source",
+        F.coalesce("n_replicated", F.lit(0)).cast("long").alias("n_replicated"),
+        F.coalesce("n_payload_match", F.lit(0))
+        .cast("long")
+        .alias("n_payload_match"),
+        F.when(F.coalesce("n_replicated", F.lit(0)) == 0, "inactive")
+        .when(F.col("n_replicated") == F.col("n_source"), "complete")
+        .otherwise("partial")
+        .alias("status"),
+    )
+
+
+@_q(
+    "evt_cumulative_new_users",
+    """
+    WITH f AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+               FROM events GROUP BY user_id),
+    d AS (SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS n_new
+          FROM f GROUP BY 1)
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
+    FROM d
+    """,
+)
+def evt_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time via the first-seen rewrite:
+    a windowed COUNT(DISTINCT) is unbounded-state and unshardable, but
+    min-first-seen per user + a running sum over daily new-user counts
+    is two map-side-combined aggregations and a window over ~|days|
+    rows — the scalable formulation of "unique users to date"."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    d = (
+        f.select(
+            F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("n_cumulative")
+    )
+
+
+@_q(
+    "files_schema_evolution",
+    """
+    SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                    'MISSING') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders GROUP BY priority
+    """,
+)
+def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files lack a column that
+    generation 2 adds (the unavoidable state of any long-lived 100 TB
+    dataset), and ``mergeSchema`` reconciles both under one scan schema
+    with NULLs for the missing column — no rewrite of old files.  The
+    query writes the two generations from a deterministic split of
+    ``orders`` (even keys = old schema, odd = new), reads them merged,
+    and aggregates; the oracle replays the split logically.  Scale note:
+    mergeSchema costs a footer read per file at planning time — pin the
+    merged schema explicitly (``.schema(...)``) once it stabilizes."""
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="akr-schema-evo-")
+    try:
+        gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        gen1.write.mode("overwrite").parquet(work + "/gen=1")
+        gen2.write.mode("overwrite").parquet(work + "/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            work + "/gen=1", work + "/gen=2"
+        )
+        out = (
+            merged.groupBy(
+                F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        # materialize before the temp dir disappears
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "agg_hll_sketch_union",
+    """
+    WITH e AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                               '%Y-%m-%d') AS day, user_id
+               FROM events),
+    d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+                          AS n_exact_users
+          FROM e GROUP BY day)
+    SELECT day, n_exact_users, true AS est_within_5pct FROM d
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), true FROM e
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-day user
+    sketches, then the month total from UNIONING THE SKETCHES — never
+    re-touching raw data.  This mergeability is the whole 100 TB story:
+    daily rollups keep a few-KB sketch each, and any date-range distinct
+    is a sketch union, not a re-scan.  Estimates are engine-specific, so
+    (as with agg_approx_distinct) each row emits the ≤5% tolerance claim
+    as a boolean the oracle asserts, alongside exact counts that keep
+    the hash sensitive to the grouping."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = e.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact_users"),
+    )
+    claim = (
+        F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("n_exact_users"))
+        <= F.col("n_exact_users") * F.lit(0.05)
+    ).alias("est_within_5pct")
+    per_day = daily.select("day", "n_exact_users", claim)
+    total_exact = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact_users")
+    )
+    union_est = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    total = total_exact.crossJoin(F.broadcast(union_est)).select(
+        F.lit("ALL").alias("day"),
+        "n_exact_users",
+        (
+            F.abs(F.col("est") - F.col("n_exact_users"))
+            <= F.col("n_exact_users") * F.lit(0.05)
+        ).alias("est_within_5pct"),
+    )
+    return per_day.unionByName(total)
+
+
+@_q(
+    "fn_url_suite",
+    """
+    SELECT doc_id,
+           'https' AS proto,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           'ref=' || source || '&p=' || CAST(n_chars AS VARCHAR)
+               AS query_str,
+           source AS ref_param
+    FROM documents
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function surface: ``parse_url`` PROTOCOL/HOST/PATH/QUERY and
+    keyed-QUERY extraction over deterministically synthesized URLs.  The
+    oracle reconstructs every component from the source columns, so
+    parse_url must invert the construction exactly — the log-processing
+    primitive (referrer/utm parsing) done JVM-side, no regex UDF."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+        F.lit("&p="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_str"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
@@ -6634,6 +7242,19 @@ _CHECK_FIRST = [
     "agg_approx_distinct",
     # (c) added in r4 (never checked by definition)
     "evt_user_activity_stats",
+    "graph_triangle_count",
+    "part_cooccurrence_pairs",
+    "evt_path_trigrams",
+    "agg_approx_percentile",
+    "text_bpe_pair_counts",
+    "emb_dim_covariance",
+    "cdc_snapshot_diff",
+    "evt_conversion_time_stats",
+    "kr_replication_reconcile",
+    "evt_cumulative_new_users",
+    "files_schema_evolution",
+    "agg_hll_sketch_union",
+    "fn_url_suite",
     # ---- round-4 window ends here when this list reaches 50 ----
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,

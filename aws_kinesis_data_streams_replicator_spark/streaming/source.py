@@ -61,22 +61,57 @@ def stage_envelope_files(
     return paths
 
 
+def kinesis_connector_options(source: str) -> dict[str, str]:
+    """Explicit DSv2 connector contract for ``kinesis://`` sources.
+
+    URI shape: ``kinesis://<stream-name>[?region=<aws-region>]``.
+    Returns the option map handed to ``readStream.format("kinesis")``
+    — the option names match the spark-sql-kinesis DSv2 connector and
+    the reference's event-source mapping semantics:
+
+    * ``streamName`` — parsed from the URI authority+path (the reference
+      extracts the same name from the event ARN, Handler.java:169-171).
+    * ``startingposition=LATEST`` — template.yaml:111
+      (``StartingPosition: LATEST``): only records arriving after the
+      consumer starts.
+    * ``maxFetchRecordsPerShard=8000`` — template.yaml:110
+      (``BatchSize: 8000``), the per-invocation batch ceiling.
+    * ``region`` — optional query parameter; the consumer region
+      (defaults to the connector's ambient AWS region when absent).
+
+    Raises ValueError on an empty stream name rather than letting the
+    connector fail opaquely at stream start."""
+    from urllib.parse import parse_qs, urlparse
+
+    u = urlparse(source)
+    stream = (u.netloc + u.path).strip("/")
+    if not stream:
+        raise ValueError(f"kinesis:// URI needs a stream name: {source!r}")
+    opts = {
+        "streamName": stream,
+        "startingposition": "LATEST",
+        "maxFetchRecordsPerShard": "8000",
+    }
+    region = parse_qs(u.query).get("region")
+    if region:
+        opts["region"] = region[0]
+    return opts
+
+
 def read_envelope_stream(
     spark: SparkSession,
     source: str,
     max_batches_per_trigger: int = 1,
 ) -> DataFrame:
     """Source factory: ``source`` is a staged directory (file simulator)
-    or ``kinesis://stream-name`` (real connector, if deployed)."""
+    or ``kinesis://stream-name[?region=...]`` (real DSv2 connector)."""
     if source.startswith("kinesis://"):
         # Real-cluster path (requires a Kinesis DSv2 connector on the
         # classpath; not available in this environment).
-        return (
-            spark.readStream.format("kinesis")
-            .option("streamName", source[len("kinesis://") :])
-            .option("startingposition", "LATEST")
-            .load()
-        )
+        reader = spark.readStream.format("kinesis")
+        for k, v in kinesis_connector_options(source).items():
+            reader = reader.option(k, v)
+        return reader.load()
     return (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", max_batches_per_trigger)

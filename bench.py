@@ -133,18 +133,26 @@ def main() -> None:
         print(f"bench: streaming failed: {e}", file=sys.stderr)
         stream_rps = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming_records_per_sec": stream_rps,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming_records_per_sec": stream_rps,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json artifact keeps only the tail of stdout,
+    # which loses the per-query timings for all but the last ~60 queries
+    # and makes round-over-round regression auditing impossible for the
+    # head of the registry.  Persist the complete dict in-repo as well.
+    try:
+        full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FULL.json")
+        with open(full, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as e:  # bench numbers still printed; artifact is extra
+        print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "pipeline_corpus_curation_v3",  # stratified threshold composition
     "tpch_q17_small_qty_revenue",  # single-row final aggregate join
     "tpch_q20_excess_shippers",  # above-average scalar total
+    "agg_hll_sketch_union",  # 1-row exact total × 1-row sketch-union estimate
     "emb_ann_topk",  # fixture-scale brute-force baseline (documented)
     # IVF cell assignment is vectors × centroids with a BOUNDED build
     # side (|cells|, ≤ thousands at any corpus size) — a deliberate

@@ -1,0 +1,151 @@
+"""Round-4 operators: triangles, co-occurrence, BPE pairs, Gram matrix,
+snapshot diff, conversion stats — hand-computed small cases (the oracle
+parity suite covers the fixture-scale equivalence)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aws_kinesis_data_streams_replicator_spark.operators.graph import (
+    triangle_counts,
+)
+from aws_kinesis_data_streams_replicator_spark.operators.similarity import (
+    gram_matrix,
+)
+from aws_kinesis_data_streams_replicator_spark.operators.stats import (
+    cooccurrence_pairs,
+)
+from aws_kinesis_data_streams_replicator_spark.operators.text import (
+    bpe_pair_counts,
+)
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    # Node 1,2 → 2 triangles each; 3,4 → 1 each.  Edges given in mixed
+    # orientation and with a duplicate + self-loop to exercise cleanup.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2), (1, 4), (4, 2), (5, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    # a path graph has wedges but no closed triangle
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_cooccurrence_pairs_support_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "b"), (2, "a"), (3, "a"), (3, "c")],
+        "g long, item string",
+    )
+    rows = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in cooccurrence_pairs(df, "g", "item", min_support=2).collect()
+    }
+    # (a,b) in groups 1 and 2 (dup item rows collapse); (a,c) support 1 → out
+    assert rows == {("a", "b"): 2}
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab x")], "doc_id long, text string"
+    )
+    rows = {
+        (r.sym_a, r.sym_b): r.n_pairs for r in bpe_pair_counts(docs).collect()
+    }
+    # vocabulary: ab×3, abc×1, x×1 → pair (a,b) = 3+1, (b,c) = 1;
+    # single-char word x contributes nothing
+    assert rows == {("a", "b"): 4, ("b", "c"): 1}
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    got = {(r.i, r.j): r.sum_prod for r in gram_matrix(emb).collect()}
+    x = np.array(
+        [r.embedding for r in emb.collect()], dtype=np.float64
+    )
+    q = np.floor(np.abs(x) * 1_000_000 + 0.5).astype(np.int64) * np.where(
+        x >= 0, 1, -1
+    )  # HALF_UP, matching F.round
+    g = q.T @ q
+    for (i, j), v in got.items():
+        assert v == g[i - 1, j - 1], (i, j)
+    assert len(got) == 64 * 65 // 2
+
+
+def test_snapshot_diff_classifies_changes(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        QUERIES,
+    )
+
+    out = QUERIES["cdc_snapshot_diff"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "snapshot diff empty"
+    for r in rows:
+        if r.state_t1 is None:
+            assert r.change == "insert"
+        elif r.state_t1 != r.state_t2:
+            assert r.change == "update"
+        else:
+            assert r.change == "unchanged"
+
+
+def test_conversion_stats_bounds(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        QUERIES,
+    )
+
+    for r in QUERIES["evt_conversion_time_stats"](spark, sf_dir).collect():
+        assert r.n_converted <= r.n_signup_users
+        if r.n_converted:
+            assert 0 <= r.min_conv_sec <= r.max_conv_sec
+            assert r.min_conv_sec <= r.sum_conv_sec
+
+
+def test_reconcile_active_streams_complete(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        QUERIES,
+    )
+
+    rows = {
+        r.streamName: r
+        for r in QUERIES["kr_replication_reconcile"](spark, sf_dir).collect()
+    }
+    # active streams fully replicated with byte-identical payloads;
+    # inactive/unconfigured streams replicate nothing
+    for name in ("kds-click", "kds-view"):
+        r = rows[name]
+        assert r.status == "complete"
+        assert r.n_replicated == r.n_source == r.n_payload_match
+    for name in ("kds-purchase", "kds-signup", "kds-error"):
+        r = rows[name]
+        assert r.status == "inactive"
+        assert r.n_replicated == 0
+
+
+def test_kinesis_connector_contract():
+    from aws_kinesis_data_streams_replicator_spark.streaming.source import (
+        kinesis_connector_options,
+    )
+
+    opts = kinesis_connector_options("kinesis://kds-click?region=us-east-1")
+    assert opts == {
+        "streamName": "kds-click",
+        "startingposition": "LATEST",          # template.yaml:111
+        "maxFetchRecordsPerShard": "8000",     # template.yaml:110
+        "region": "us-east-1",
+    }
+    assert "region" not in kinesis_connector_options("kinesis://s")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kinesis_connector_options("kinesis://?region=us-east-1")

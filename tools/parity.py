@@ -143,23 +143,54 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     return True, f"OK ({len(s_rows)} rows)"
 
 
+# Queries whose oracle bakes in a literal path (DuckDB file-metadata
+# functions can't read from a view): parity always runs them at the
+# driver's correctness SF, whatever SF the rest of the run uses.
+PINNED_SF = {"files_layout_lineitem": "/root/testdata/sf0.01"}
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(QUERIES)
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    names = argv[1:] or list(QUERIES)
     spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
     failed = []
+    results = {}
     for name in names:
         t0 = time.time()
+        q_sf = PINNED_SF.get(name, sf_dir)
         try:
-            ok, msg = compare_query(spark, con, name, sf_dir)
+            if q_sf != sf_dir:
+                pinned_con = duck_connection(q_sf)
+                try:
+                    ok, msg = compare_query(spark, pinned_con, name, q_sf)
+                finally:
+                    pinned_con.close()
+            else:
+                ok, msg = compare_query(spark, con, name, sf_dir)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
         print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.1f}s  {msg}", flush=True)
+        results[name] = {"ok": ok, "msg": msg, "sec": round(dt, 1)}
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": len(names) - len(failed),
+                 "n_total": len(names), "queries": results},
+                fh, indent=1, sort_keys=True,
+            )
     if failed:
         print("failed:", ", ".join(failed))
         sys.exit(1)
