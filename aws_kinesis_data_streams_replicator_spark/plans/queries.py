@@ -7190,6 +7190,457 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "fn_sql_udf_suite",
+    """
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 500000 AS bucket
+        FROM orders
+    )
+    SELECT CASE WHEN bucket >= 30 THEN 'high'
+                ELSE 'b' || CAST(bucket AS VARCHAR) END AS price_label,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY price_label
+    """,
+)
+def fn_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (CREATE FUNCTION ... RETURN expr, Spark 4):
+    three composed scalar functions — cents quantizer, $5000 bucketer,
+    label mapper — defined in SQL and INLINED by Catalyst into the
+    calling plan, so unlike Python UDFs they cost nothing at 100 TB
+    (constant-folded, pushed down, codegen'd like any expression).  The
+    oracle applies the expanded expressions directly."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    for ddl in (
+        "CREATE OR REPLACE TEMPORARY FUNCTION akr_price_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * 100) AS BIGINT)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION akr_bucket5k(c BIGINT) "
+        "RETURNS BIGINT RETURN c DIV 500000",
+        "CREATE OR REPLACE TEMPORARY FUNCTION akr_price_label(b BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN b >= 30 THEN 'high' "
+        "ELSE concat('b', CAST(b AS STRING)) END",
+    ):
+        spark.sql(ddl)
+    return spark.sql(
+        """
+        SELECT akr_price_label(akr_bucket5k(akr_price_cents(o_totalprice)))
+                   AS price_label,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY price_label
+        """
+    )
+
+
+@_q(
+    "sql_parameterized_query",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-marker binding, Spark 4 ``spark.sql(...,
+    args=...)``): the injection-safe API surface for templated
+    analytics.  Parameters bind as literals BEFORE optimization, so
+    predicate pushdown and partition pruning see the concrete values —
+    confirmed by the pushed-filter scan in PLANS.md."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "status": "O"},
+    )
+
+
+@_q(
+    "fn_xml_suite",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           event_type AS type_parsed,
+           true AS roundtrip_ok
+    FROM events
+    """,
+)
+def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (from_xml + xpath_long, Spark 4): events
+    re-serialized as XML documents, schema-parsed back to typed columns,
+    with the xpath extraction cross-checked against the struct path in
+    the same row.  The oracle reproduces the payload from the original
+    columns — parsing must invert serialization exactly."""
+    e = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    x = e.select("event_id", xml.alias("xml"))
+    parsed = x.select(
+        "event_id",
+        F.from_xml("xml", "k BIGINT, t STRING").alias("p"),
+        F.expr("xpath_long(xml, '/e/k')").alias("k_xpath"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_parsed"),
+        F.col("p.t").alias("type_parsed"),
+        (F.col("p.k") == F.col("k_xpath")).alias("roundtrip_ok"),
+    )
+
+
+@_q(
+    "fn_collation_suite",
+    """
+    WITH m AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                           ELSE source END AS src_mixed
+               FROM documents)
+    SELECT lower(src_mixed) AS src_ci,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT src_mixed) AS BIGINT) AS n_variants_cs,
+           CAST(count(DISTINCT lower(src_mixed)) AS BIGINT) AS n_variants_ci,
+           CAST(sum(CASE WHEN lower(src_mixed) = 'src1' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eq_src1_ci
+    FROM m GROUP BY src_ci
+    """,
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): UTF8_LCASE comparison semantics in
+    GROUP BY, DISTINCT, and equality — the engine-level alternative to
+    sprinkling lower() through every predicate.  A deterministic
+    mixed-case derivation gives 2 case variants per source; grouping on
+    the collated value folds them (n_variants_cs = 2 vs n_variants_ci =
+    1 proves the collation, not data luck).  Output keys are explicit
+    lower() so the hash never depends on which variant the group
+    representative happens to be."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        d.select(mixed.alias("src_mixed"), ci.alias("src_coll"))
+        .groupBy(F.lower("src_coll").cast("string").alias("src_ci"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.collate(F.col("src_mixed"), "UTF8_BINARY"))
+            .cast("long")
+            .alias("n_variants_cs"),
+            F.countDistinct("src_coll").cast("long").alias("n_variants_ci"),
+            F.sum(
+                (F.col("src_coll") == F.lit("src1")).cast("long")
+            )
+            .cast("long")
+            .alias("n_eq_src1_ci"),
+        )
+    )
+
+
+@_q(
+    "evt_session_window_native",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS session_seq
+          FROM f)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH aggregation (the same operator
+    Structured Streaming uses for stateful sessions): dynamic-gap
+    session assignment inside the aggregation itself — no
+    gaps-and-islands window prepass.  The oracle IS the gaps-and-islands
+    rewrite (evt_sessionize_batch's formulation), proving the native
+    operator and the manual rewrite agree island-for-island, including
+    the end = last-event + gap convention."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "cdc_incremental_agg_maintenance",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(max(floor(value * 100)) AS BIGINT) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-type rollup
+    is updated from a delta batch by MERGING partial aggregates (count +
+    count, sum + sum, max ∨ max) — never rescanning the base facts.
+    This is the algebraic-aggregate property that makes 100 TB rollups
+    maintainable: base (ts < Jan 20) and delta (ts ≥ Jan 20) are
+    aggregated independently and combined with one |groups|-sized merge;
+    the oracle aggregates the full table in one pass, so the merge must
+    be exactly lossless.  (COUNT DISTINCT is NOT algebraic — the
+    maintained form keeps the per-(type,user) support set, the standard
+    IVM decomposition, and counts it at merge time.)"""
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("ts") < cut).alias("is_base"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        # per-(type,user) support set + algebraic partials
+        return df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("cents").alias("mx"),
+        )
+
+    base = partial(e.where(F.col("is_base")))
+    delta = partial(e.where(~F.col("is_base")))
+    # merge step: union of partials, re-combined per (type, user) then
+    # rolled up — the only data touched is |type × user| partial rows
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("s").cast("long").alias("sum_cents"),
+        F.max("mx").cast("long").alias("max_cents"),
+    )
+
+
+@_q(
+    "agg_equidepth_histogram",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS bucket
+          FROM e)
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (ntile deciles): per event type, 10 buckets
+    of equal row count with their value ranges — the quantile-sketch
+    shape optimizers and drift monitors want (the existing
+    agg_value_histogram is equi-WIDTH).  ntile ties are broken by
+    event_id so bucket assignment is total-order deterministic in both
+    engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        e.select("event_type", "cents", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@_q(
+    "evt_late_arrival_profile",
+    """
+    WITH e AS (SELECT user_id, md5(CAST(event_id AS VARCHAR)) AS arrival,
+                      CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    m AS (SELECT user_id, ts,
+                 max(ts) OVER (PARTITION BY user_id ORDER BY arrival
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS hwm
+          FROM e),
+    l AS (SELECT CASE
+               WHEN hwm IS NULL OR ts >= hwm THEN 0
+               WHEN epoch_us(hwm) - epoch_us(ts) <= 60000000 THEN 1
+               WHEN epoch_us(hwm) - epoch_us(ts) <= 600000000 THEN 10
+               WHEN epoch_us(hwm) - epoch_us(ts) <= 3600000000 THEN 60
+               ELSE 61 END AS late_bucket_min
+          FROM m)
+    SELECT CAST(late_bucket_min AS INTEGER) AS late_bucket_min,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM l GROUP BY late_bucket_min
+    """,
+)
+def evt_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning profile: per user, compare each event's time to
+    the running high-water mark in ARRIVAL order (event_id) and bucket
+    the lateness (on-time / ≤1 min / ≤10 min / ≤1 h / worse) — this
+    histogram is literally the answer to "what withWatermark delay
+    keeps 99% of events" before committing a streaming job's state
+    budget.  The running max is one window pass, partitioned by the
+    same key the stream would shard on.  The fixture carries no arrival
+    column (events are stored in event-time order), so arrival is
+    simulated by a deterministic hash permutation of event_id — same
+    jitter in both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.md5(F.col("event_id").cast("string")).alias("arrival")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.select("ts", F.max("ts").over(w).alias("hwm"))
+    lag_us = F.expr(
+        "unix_micros(CAST(hwm AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    bucket = (
+        F.when(F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm")), 0)
+        .when(lag_us <= 60_000_000, 1)
+        .when(lag_us <= 600_000_000, 10)
+        .when(lag_us <= 3_600_000_000, 60)
+        .otherwise(61)
+    )
+    return (
+        m.select(bucket.cast("int").alias("late_bucket_min"))
+        .groupBy("late_bucket_min")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+@_q(
+    "agg_winsorized_mean",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+    b AS (SELECT event_type,
+                 max(CASE WHEN rn = ((n - 1) // 20) + 1 THEN cents END)
+                     AS p05,
+                 max(CASE WHEN rn = ((19 * (n - 1)) // 20) + 1 THEN cents END)
+                     AS p95
+          FROM r GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(least(greatest(e.cents, b.p05), b.p95)) AS BIGINT)
+               AS sum_winsorized_cents,
+           CAST(sum(least(greatest(e.cents, b.p05), b.p95))
+                // count(*) AS BIGINT) AS mean_winsorized_cents,
+           b.p05 AS p05_cents, b.p95 AS p95_cents
+    FROM e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) mean per event type: exact p5/p95 by
+    rank-select, values clamped into [p5, p95], integer mean — the
+    outlier-robust aggregate for metrics pipelines where a single bad
+    sensor row would poison a plain mean.  Two passes: rank-select
+    boundaries (windowed), then a broadcast join of the 5-row boundary
+    table back over the scan — no second wide shuffle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("((n - 1) DIV 20) + 1"), F.col("cents"))
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((19 * (n - 1)) DIV 20) + 1"),
+                F.col("cents"),
+            )
+        ).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(clipped).cast("long").alias("sum_winsorized_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_winsorized_cents",
+            F.expr("sum_winsorized_cents DIV n_events")
+            .cast("long")
+            .alias("mean_winsorized_cents"),
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
