@@ -3148,18 +3148,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a stable, driver-checkable contract, and the exact counts in the
     same row keep the hash sensitive to the grouping itself."""
     e = _t(spark, sf_dir, "events")
-    exact_u = F.countDistinct("user_id")
-    exact_e = F.countDistinct("event_id")
-    return e.groupBy("event_type").agg(
-        exact_u.alias("exact_users"),
+    # Exact distincts and HLL sketches are aggregated SEPARATELY and
+    # joined on the |event_type|-row result: mixing countDistinct with
+    # approx_count_distinct in one agg forces Catalyst's Expand plan
+    # (one projection per distinct key), which measured 3.1s at sf0.1
+    # where the two clean aggregations + 5-row broadcast join run ~1s.
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_rows",
         (
-            F.abs(F.approx_count_distinct("user_id", rsd=0.02) - exact_u)
-            <= exact_u * F.lit(0.05)
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
         ).alias("approx_users_within_5pct"),
         (
-            F.abs(F.approx_count_distinct("event_id", rsd=0.02) - exact_e)
-            <= exact_e * F.lit(0.05)
+            F.abs(F.col("ae") - F.col("exact_events"))
+            <= F.col("exact_events") * F.lit(0.05)
         ).alias("approx_events_within_5pct"),
     )
 
@@ -7638,6 +7651,287 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p05").alias("p05_cents"),
             F.col("p95").alias("p95_cents"),
         )
+    )
+
+
+@_q(
+    "evt_type_overlap",
+    """
+    WITH b AS (SELECT DISTINCT user_id AS g, event_type AS item FROM events)
+    SELECT a.item AS item_a, c.item AS item_b,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM b a JOIN b c ON a.g = c.g AND a.item < c.item
+    GROUP BY a.item, c.item
+    HAVING count(*) >= 2
+    """,
+)
+def evt_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: |users(A) ∩ users(B)| for every pair of
+    event types — the same co-occurrence operator as the market-basket
+    query with (user, event-type) baskets, reused as segment-overlap
+    analytics (the "how many clickers also purchase" table)."""
+    from ..operators.stats import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", min_support=2
+    )
+
+
+@_q(
+    "tpch_fulfillment_latency",
+    """
+    WITH d AS (SELECT o.o_orderkey, o.o_orderstatus,
+                      date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                                max(CAST(l.l_shipdate AS TIMESTAMP)))
+                          AS latency_days
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate)
+    SELECT o_orderstatus,
+           CAST(latency_days // 7 AS BIGINT) AS latency_week,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(latency_days) AS BIGINT) AS min_days,
+           CAST(max(latency_days) AS BIGINT) AS max_days
+    FROM d GROUP BY o_orderstatus, latency_week
+    """,
+)
+def tpch_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency distribution, bucketed by week and
+    order status — the operational-latency histogram shape (order date
+    from the dim side, max ship date aggregated off the fact side; one
+    shuffle keyed by orderkey, then a bounded-cardinality rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderstatus",
+            F.datediff(
+                F.col("last_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("latency_days"),
+        )
+    )
+    return (
+        d.groupBy(
+            "o_orderstatus",
+            F.expr("latency_days DIV 7").cast("long").alias("latency_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("latency_days").cast("long").alias("min_days"),
+            F.max("latency_days").cast("long").alias("max_days"),
+        )
+    )
+
+
+@_q(
+    "win_ratio_to_report",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS nat_rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region,
+           CAST(nat_rev AS DOUBLE) AS nation_revenue,
+           CAST(CAST(nat_rev * 100 AS BIGINT) * 10000
+               // sum(CAST(nat_rev * 100 AS BIGINT)) OVER (PARTITION BY region)
+               AS BIGINT) AS share_bp
+    FROM rev
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue in
+    basis points — the two-level percent-of-total computed with a window
+    sum over the ALREADY-AGGREGATED rollup (25 rows), not a rescan or a
+    self-join.  Share arithmetic converts the exact DECIMAL sums to
+    integer cents first: BIGINT floor-division truncates identically in
+    both engines, where DECIMAL division rounds the quotient to scale
+    before flooring in DuckDB (measured: ±1 bp on a third of rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("nat_rev")
+        )
+    )
+    w = Window.partitionBy("region")
+    return (
+        rev.select(
+            "nation",
+            "region",
+            F.col("nat_rev").cast("double").alias("nation_revenue"),
+            (F.col("nat_rev") * 100).cast("bigint").alias("_cents"),
+        )
+        .select(
+            "nation",
+            "region",
+            "nation_revenue",
+            (F.col("_cents") * 10000).alias("_scaled"),
+            F.sum("_cents").over(w).alias("_tot"),
+        )
+        .select(
+            "nation",
+            "region",
+            "nation_revenue",
+            F.expr("_scaled DIV _tot").cast("long").alias("share_bp"),
+        )
+    )
+
+
+@_q(
+    "agg_mad_outliers",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+    med AS (SELECT event_type,
+                   max(CASE WHEN rn = ((n - 1) // 2) + 1 THEN cents END)
+                       AS med_cents
+            FROM r GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.cents,
+                   abs(e.cents - m.med_cents) AS adev
+            FROM e JOIN med m ON m.event_type = e.event_type),
+    rd AS (SELECT event_type, cents, adev,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY adev) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    mad AS (SELECT event_type,
+                   max(CASE WHEN rn = ((n - 1) // 2) + 1 THEN adev END)
+                       AS mad_cents
+            FROM rd GROUP BY event_type)
+    SELECT d.event_type, m2.mad_cents,
+           max(m.med_cents) AS med_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.adev > 3 * m2.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad m2 ON m2.event_type = d.event_type
+    GROUP BY d.event_type, m2.mad_cents
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection: the robust
+    complement to the 3σ rule (evt_anomaly_sigma) — a contaminated
+    tail can't drag MAD the way it inflates σ.  Median and MAD are
+    exact rank-selects (deterministic under ties); the deviation pass
+    reuses the broadcast |types|-row median table, so the raw table is
+    scanned twice and shuffled narrowly twice — the unavoidable
+    two-pass shape of any exact order-statistic-of-order-statistic."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
+        return r.groupBy("event_type").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("((n - 1) DIV 2) + 1"), F.col(col))
+            ).alias(out)
+        )
+
+    med = rank_median(e, "cents", "med_cents")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = rank_median(dev, "adev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "mad_cents")
+        .agg(
+            F.max("med_cents").alias("med_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_cents")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@_q(
+    "dq_skew_profile",
+    """
+    WITH b AS (SELECT CAST((strpos('0123456789abcdef',
+                     md5(CAST(user_id AS VARCHAR))[1]) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                     md5(CAST(user_id AS VARCHAR))[2]) - 1) AS BIGINT)
+                   % 32 AS bucket
+               FROM events),
+    c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+          FROM b GROUP BY bucket)
+    SELECT bucket, n_rows,
+           CAST(max(n_rows) OVER () AS BIGINT) AS max_bucket_rows,
+           CAST(sum(n_rows) OVER () // count(*) OVER () AS BIGINT)
+               AS avg_bucket_rows,
+           CAST(max(n_rows) OVER () * 100 // (sum(n_rows) OVER ()
+                // count(*) OVER ()) AS BIGINT) AS skew_pct_of_avg
+    FROM c
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic: hash user_id into 32 buckets (first
+    md5 byte — the same family a shuffle partitioner draws from) and
+    report per-bucket row counts plus the max/avg ratio — the number
+    that decides whether a key needs salting or AQE skew-join handling
+    BEFORE a 100 TB shuffle discovers it the hard way.  One map-side-
+    combined count + a window over 32 rows."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) "
+        "AS BIGINT) % 32"
+    )
+    c = (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "bucket",
+        "n_rows",
+        F.max("n_rows").over(w).cast("long").alias("max_bucket_rows"),
+        F.expr(
+            "CAST(sum(n_rows) OVER () DIV count(*) OVER () AS BIGINT)"
+        ).alias("avg_bucket_rows"),
+        F.expr(
+            "CAST(max(n_rows) OVER () * 100 DIV (sum(n_rows) OVER () "
+            "DIV count(*) OVER ()) AS BIGINT)"
+        ).alias("skew_pct_of_avg"),
     )
 
 
