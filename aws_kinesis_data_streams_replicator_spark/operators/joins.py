@@ -115,3 +115,76 @@ def range_count_join(
         .agg(F.count(F.col("_rus")).alias(count_alias))
     )
     return matched
+
+
+def grid_distance_join(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All pairs of points within ``radius`` (non-negative integer
+    coordinates, exact squared-distance verify): (id_a, id_b, dist_sq)
+    with id_a < id_b.
+
+    The spatial join, bucketed the same way LSH buckets similarity
+    (operators/dedup.py): the plane is tiled into radius-sized cells, so
+    any pair within ``radius`` lands in the same or an adjacent cell.
+    The LEFT side explodes into its 3x3 cell neighborhood (a bounded
+    x9, not xN, blowup) and equi-joins the RIGHT side's home cell --
+    candidate count is per-cell density work, never N^2.  The exact
+    integer dist^2 filter removes false positives; no pair is missed
+    (cell size = radius => the neighborhood covers the disk) and none
+    duplicates (the right side's home cell is a single key, and
+    id_a < id_b keeps one orientation).
+
+    Scale notes (100 TB): one shuffle each side keyed by cell; a dense
+    hotspot cell degrades quadratically ONLY within that cell -- cap or
+    sub-tile hot cells exactly like hot LSH buckets (max_shingle_df's
+    pattern) when point density is adversarial."""
+    home = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.expr(f"CAST({x_col} AS BIGINT) DIV {radius}").alias("gx"),
+        F.expr(f"CAST({y_col} AS BIGINT) DIV {radius}").alias("gy"),
+    )
+    offsets = ", ".join(
+        f"struct({dx}L AS dx, {dy}L AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    left = (
+        home.select(
+            F.col("pid").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            F.expr(f"explode(array({offsets}))").alias("o"),
+            "gx",
+            "gy",
+        )
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.col("gx") + F.col("o.dx")).alias("jx"),
+            (F.col("gy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    right = home.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("gx").alias("jx"),
+        F.col("gy").alias("jy"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["jx", "jy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist_sq.alias("dist_sq"))
+        .where(F.col("dist_sq") <= radius * radius)
+    )

@@ -7935,6 +7935,181 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex5_sql(col_sql: str, start: int) -> str:
+    """DuckDB BIGINT from 5 hex digits of md5(col) starting at
+    1-based ``start`` (mirror of Spark's conv(substring(md5(..)),16,10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', md5(CAST({col_sql} AS VARCHAR))"
+        f"[{start + i}]) - 1) * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@_q(
+    "geo_grid_distance_join",
+    f"""
+    WITH p AS (SELECT c_custkey AS id,
+                      {_hex5_sql('c_custkey', 1)} % 100000 AS x,
+                      {_hex5_sql('c_custkey', 6)} % 100000 AS y
+               FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 250000
+    """,
+)
+def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via grid bucketing
+    (operators/joins.py grid_distance_join): all customer-point pairs
+    within 500 units on a 100k×100k integer plane (coordinates are md5
+    digits of the key, so points scatter uniformly — a multiplicative
+    congruence would lattice them with no close pairs at all).  The
+    Spark side tiles the plane into radius cells and joins 3×3
+    neighborhoods — per-cell work, never N² — while the oracle
+    brute-forces all pairs at the gate SF, so every candidate the grid
+    finds AND none it misses must survive the exact dist² check."""
+    from ..operators.joins import grid_distance_join
+
+    def hex5(start: int):
+        return F.expr(
+            "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), "
+            f"{start}, 5), 16, 10) AS BIGINT) % 100000"
+        )
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        hex5(1).alias("x"),
+        hex5(6).alias("y"),
+    )
+    return grid_distance_join(pts, radius=500)
+
+
+@_q(
+    "evt_funnel_within_7d",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT v.user_id, v.t1, min(e.ts) AS t2
+          FROM v JOIN e ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY v.user_id, v.t1),
+    p AS (SELECT c.user_id, c.t1, c.t2, min(e.ts) AS t3
+          FROM c JOIN e ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY c.user_id, c.t1, c.t2)
+    SELECT CAST(count(*) AS BIGINT) AS n_entered,
+           CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked,
+           CAST(sum(CASE WHEN t3 IS NOT NULL
+                          AND t3 <= t1 + INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d
+    FROM (SELECT v.user_id, v.t1, c.t2, p.t3
+          FROM v LEFT JOIN c ON c.user_id = v.user_id
+                 LEFT JOIN p ON p.user_id = v.user_id)
+    """,
+)
+def evt_funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel (view → later click → later
+    purchase, converting only if the purchase lands within 7 days of
+    the FIRST view) — the product-analytics funnel with a conversion
+    window, which plain ordered-stage counting (evt_funnel_ordered)
+    cannot express.  Three chained conditional-min aggregations, each a
+    narrow per-user pass; no window sort of the raw stream."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        v.join(e.where(F.col("event_type") == "click"), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        c.join(e.where(F.col("event_type") == "purchase"), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entered"),
+        F.sum(F.col("t2").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_clicked"),
+        F.sum(
+            (
+                F.col("t3").isNotNull()
+                & (F.col("t3") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_converted_7d"),
+    )
+
+
+@_q(
+    "tpch_running_backlog",
+    """
+    WITH opened AS (SELECT strftime(date_trunc('day',
+                        CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                           CAST(count(*) AS BIGINT) AS delta
+                    FROM orders GROUP BY day),
+    shipped AS (SELECT strftime(date_trunc('day', last_ship), '%Y-%m-%d')
+                           AS day,
+                       CAST(-count(*) AS BIGINT) AS delta
+                FROM (SELECT l_orderkey,
+                             max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship
+                      FROM lineitem GROUP BY l_orderkey)
+                GROUP BY day),
+    deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net
+               FROM (SELECT * FROM opened UNION ALL SELECT * FROM shipped)
+               GROUP BY day)
+    SELECT day, net,
+           CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS open_backlog
+    FROM deltas
+    """,
+)
+def tpch_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: +1 on order date, −1 on the order's
+    last ship date, daily net deltas, running sum — the interval-
+    to-timeline rewrite (turn [start, end] spans into ±deltas, then one
+    prefix sum over |days| rows) that replaces the quadratic "count
+    intervals covering each day" join.  The same shape prices concurrent
+    sessions, active subscriptions, and warehouse occupancy."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    day = lambda col: F.date_format(F.date_trunc("day", col), "yyyy-MM-dd")  # noqa: E731
+    opened = o.groupBy(day(F.col("o_orderdate")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("delta")
+    )
+    shipped = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(day(F.col("last_ship")).alias("day"))
+        .agg((-F.count(F.lit(1))).cast("long").alias("delta"))
+    )
+    deltas = (
+        opened.unionByName(shipped)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deltas.select(
+        "day", "net", F.sum("net").over(w).cast("long").alias("open_backlog")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

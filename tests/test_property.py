@@ -150,3 +150,76 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
         want[k].append(v)
     for k, vs in want.items():
         assert got[k] == (len(vs), sum(vs), min(vs), max(vs))
+
+
+# --------------------------------------------------------------------------
+# Round-4 operators vs brute force
+# --------------------------------------------------------------------------
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(edge_strategy)
+@SLOW
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from aws_kinesis_data_streams_replicator_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(sorted({v for e in und for v in e}), 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(
+        list(edges) or [(0, 0)], "src long, dst long"
+    )
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@SLOW
+def test_cooccurrence_matches_bruteforce(spark, rows):
+    from itertools import combinations
+
+    from aws_kinesis_data_streams_replicator_spark.operators.stats import (
+        cooccurrence_pairs,
+    )
+
+    baskets: dict[int, set[str]] = {}
+    for g, item in rows:
+        baskets.setdefault(g, set()).add(item)
+    expected: dict[tuple[str, str], int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    expected = {k: v for k, v in expected.items() if v >= 2}
+    df = spark.createDataFrame(
+        list(rows) or [(0, "a")], "g long, item string"
+    )
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in cooccurrence_pairs(df, "g", "item", min_support=2).collect()
+    }
+    if not rows:
+        got = {}  # the placeholder row can't reach support 2
+    assert got == expected

@@ -5,6 +5,7 @@ parity suite covers the fixture-scale equivalence)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from aws_kinesis_data_streams_replicator_spark.operators.graph import (
     triangle_counts,
@@ -149,3 +150,59 @@ def test_kinesis_connector_contract():
 
     with _pytest.raises(ValueError):
         kinesis_connector_options("kinesis://?region=us-east-1")
+
+
+def test_grid_distance_join_planted_pairs(spark):
+    from aws_kinesis_data_streams_replicator_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    # pairs straddling a cell boundary (499,499)-(501,501), an exact-
+    # radius pair, a just-outside pair, and a far singleton
+    pts = spark.createDataFrame(
+        [
+            (1, 499, 499),
+            (2, 501, 501),
+            (3, 2000, 2000),
+            (4, 2500, 2000),
+            (5, 3000, 9000),
+            (6, 3000, 9501),
+            (7, 90000, 90000),
+        ],
+        "id long, x long, y long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist_sq
+        for r in grid_distance_join(pts, radius=500).collect()
+    }
+    assert got == {(1, 2): 8, (3, 4): 250000}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grid_distance_join_matches_bruteforce(spark, seed):
+    import hashlib
+    from itertools import combinations
+
+    pts = [
+        (
+            i,
+            int(hashlib.md5(f"{seed}-{i}".encode()).hexdigest()[:4], 16) % 3000,
+            int(hashlib.md5(f"{seed}-{i}".encode()).hexdigest()[4:8], 16) % 3000,
+        )
+        for i in range(120)
+    ]
+    expected = {
+        (a[0], b[0]): (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+        for a, b in combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 500 * 500
+    }
+    from aws_kinesis_data_streams_replicator_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b): r.dist_sq
+        for r in grid_distance_join(df, radius=500).collect()
+    }
+    assert got == expected
