@@ -6883,8 +6883,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM su LEFT JOIN e p
             ON p.user_id = su.user_id AND p.event_type = 'purchase'
           GROUP BY su.user_id, su.signup_ts)
-    SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d')
-               AS signup_week,
+    SELECT strftime(date_trunc('day', signup_ts), '%Y-%m-%d')
+               AS signup_day,
            CAST(count(*) AS BIGINT) AS n_signup_users,
            CAST(count(purchase_ts) AS BIGINT) AS n_converted,
            CAST(sum((epoch_us(purchase_ts) - epoch_us(signup_ts))
@@ -6893,11 +6893,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // 1000000) AS BIGINT) AS min_conv_sec,
            CAST(max((epoch_us(purchase_ts) - epoch_us(signup_ts))
                     // 1000000) AS BIGINT) AS max_conv_sec
-    FROM c GROUP BY signup_week
+    FROM c GROUP BY signup_day
     """,
 )
 def evt_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert analytics: per signup-week cohort, how many
+    """Time-to-convert analytics: per signup-day cohort, how many
     first-signup users later purchased and the integer-second
     distribution of the first conversion delay.  Purchase side is
     pre-filtered before the join (predicate pushdown to the scan), the
@@ -6927,13 +6927,13 @@ def evt_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.select(
-            F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
-                "signup_week"
+            F.date_format(F.date_trunc("day", "signup_ts"), "yyyy-MM-dd").alias(
+                "signup_day"
             ),
             "purchase_ts",
             conv_sec.alias("conv_sec"),
         )
-        .groupBy("signup_week")
+        .groupBy("signup_day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_signup_users"),
             F.count("purchase_ts").cast("long").alias("n_converted"),
@@ -7015,11 +7015,12 @@ def kr_replication_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
                FROM events GROUP BY user_id),
-    d AS (SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS day,
+    d AS (SELECT strftime(date_trunc('hour', first_ts),
+                          '%Y-%m-%d %H:00') AS hour,
                  CAST(count(*) AS BIGINT) AS n_new
           FROM f GROUP BY 1)
-    SELECT day, n_new,
-           CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+    SELECT hour, n_new,
+           CAST(sum(n_new) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED
                 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
     FROM d
     """,
@@ -7034,19 +7035,19 @@ def evt_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     d = (
         f.select(
-            F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd").alias(
-                "day"
-            )
+            F.date_format(
+                F.date_trunc("hour", "first_ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour")
         )
-        .groupBy("day")
+        .groupBy("hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
     w = (
-        Window.orderBy("day")
+        Window.orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return d.select(
-        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("n_cumulative")
+        "hour", "n_new", F.sum("n_new").over(w).cast("long").alias("n_cumulative")
     )
 
 
@@ -8176,10 +8177,30 @@ _CHECK_FIRST = [
     "agg_hll_sketch_union",
     "fn_url_suite",
     # ---- round-4 window ends here when this list reaches 50 ----
+    "evt_range_count_5m",  # position 50: long-green re-check
+    # ---- r5 rotation head: registered mid-r4 AFTER the window locked,
+    # so never driver-checked; all are sf0.01 parity-green in
+    # PARITY_r04.json.  Promote these to the head for round 5. ----
+    "fn_sql_udf_suite",
+    "sql_parameterized_query",
+    "fn_xml_suite",
+    "fn_collation_suite",
+    "evt_session_window_native",
+    "cdc_incremental_agg_maintenance",
+    "agg_equidepth_histogram",
+    "evt_late_arrival_profile",
+    "agg_winsorized_mean",
+    "evt_type_overlap",
+    "tpch_fulfillment_latency",
+    "win_ratio_to_report",
+    "agg_mad_outliers",
+    "dq_skew_profile",
+    "geo_grid_distance_join",
+    "evt_funnel_within_7d",
+    "tpch_running_backlog",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
-    "evt_range_count_5m",
     "kr_batch_metrics",
     "evt_sessionize_batch",
     "cdc_scd2_intervals",
