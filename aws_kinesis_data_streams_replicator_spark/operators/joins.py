@@ -123,6 +123,7 @@ def grid_distance_join(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """All pairs of points within ``radius`` (non-negative integer
     coordinates, exact squared-distance verify): (id_a, id_b, dist_sq)
@@ -140,9 +141,12 @@ def grid_distance_join(
     id_a < id_b keeps one orientation).
 
     Scale notes (100 TB): one shuffle each side keyed by cell; a dense
-    hotspot cell degrades quadratically ONLY within that cell -- cap or
-    sub-tile hot cells exactly like hot LSH buckets (max_shingle_df's
-    pattern) when point density is adversarial."""
+    hotspot cell degrades quadratically ONLY within that cell.
+    ``max_cell_size`` caps it, keeping at most that many points per cell
+    (deterministically, the lowest ids — the same hot-key guard as
+    ngram_jaccard_pairs' max_shingle_df): candidate work is then bounded
+    by 9·cap² per cell at the cost of possibly missing pairs whose
+    endpoint was evicted from a hotspot.  Leave None for exact results."""
     home = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("long").alias("x"),
@@ -150,6 +154,13 @@ def grid_distance_join(
         F.expr(f"CAST({x_col} AS BIGINT) DIV {radius}").alias("gx"),
         F.expr(f"CAST({y_col} AS BIGINT) DIV {radius}").alias("gy"),
     )
+    if max_cell_size is not None:
+        w = Window.partitionBy("gx", "gy").orderBy("pid")
+        home = (
+            home.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_cell_size)
+            .drop("_rk")
+        )
     offsets = ", ".join(
         f"struct({dx}L AS dx, {dy}L AS dy)"
         for dx in (-1, 0, 1)

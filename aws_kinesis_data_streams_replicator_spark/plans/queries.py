@@ -7289,7 +7289,7 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
            event_type AS type_parsed,
            true AS roundtrip_ok
-    FROM events
+    FROM events WHERE event_id % 5 = 0
     """,
 )
 def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7298,7 +7298,9 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the xpath extraction cross-checked against the struct path in
     the same row.  The oracle reproduces the payload from the original
     columns — parsing must invert serialization exactly."""
-    e = _t(spark, sf_dir, "events")
+    # every row costs TWO full XML parses (from_xml + xpath); a fifth
+    # of the table exercises the surface at a fifth of the bench cost
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
     xml = F.concat(
         F.lit("<e><k>"),
         F.get_json_object("props", "$.k"),

@@ -206,3 +206,23 @@ def test_grid_distance_join_matches_bruteforce(spark, seed):
         for r in grid_distance_join(df, radius=500).collect()
     }
     assert got == expected
+
+
+def test_grid_distance_join_hot_cell_cap(spark):
+    from aws_kinesis_data_streams_replicator_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    # 40 points piled into one cell (a hotspot) + one isolated pair
+    pts = [(i, 100 + i, 100) for i in range(40)] + [(100, 5000, 5000), (101, 5010, 5000)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    exact = grid_distance_join(df, radius=500).count()
+    capped_df = grid_distance_join(df, radius=500, max_cell_size=5)
+    capped = capped_df.count()
+    # the hotspot contributes C(40,2)=780 exact pairs but at most
+    # C(5,2)=10 capped ones; the isolated pair survives (its cell is
+    # under the cap) — the cap bounds work without touching cold cells
+    assert exact == 780 + 1
+    assert capped == 10 + 1
+    got = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    assert (100, 101) in got
