@@ -8206,6 +8206,142 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "udf_arrow_grouped_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(floor(value * 100)) AS BIGINT) AS min_cents,
+           CAST(max(floor(value * 100)) AS BIGINT) AS max_cents,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4): one pyarrow.Table per group,
+    zero pandas conversion — the lowest-overhead grouped-Python surface
+    (columnar end-to-end; pandas' block manager never materializes).
+    The stats themselves are JVM-expressible — like the applyInPandas
+    twin (udf_grouped_user_stats) this is the API-surface demo, held to
+    the same oracle exactness as any JVM query.  Per-group compute is
+    pyarrow.compute kernels (C++), not Python loops."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_type": [t["event_type"][0].as_py()],
+                "n_rows": [t.num_rows],
+                "min_cents": [pc.min(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+                "sum_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    return e.groupBy("event_type").applyInArrow(
+        stats,
+        schema="event_type string, n_rows long, min_cents long, "
+        "max_cents long, sum_cents long",
+    )
+
+
+@_q(
+    "agg_exact_mode",
+    """
+    WITH c AS (SELECT event_type, user_id, count(*) AS n
+               FROM events GROUP BY event_type, user_id),
+    r AS (SELECT event_type, user_id, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, user_id) AS rnk
+          FROM c)
+    SELECT event_type, user_id AS mode_user,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rnk = 1
+    """,
+)
+def agg_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (highest
+    count, then lowest value) — Spark's built-in mode() is free to pick
+    any tied value, which can never hash-match an oracle; the
+    count-then-rank formulation is the portable (and at 100 TB, the
+    map-side-combinable) way to ask "most frequent"."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@_q(
+    "agg_exact_covariance",
+    """
+    WITH b AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+               FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(p) AS BIGINT) AS sum_p,
+           CAST(sum(CAST(q AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)))
+                AS VARCHAR) AS sum_qp,
+           CAST(CAST(count(*) AS DECIMAL(38,0))
+                * sum(CAST(q AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)))
+                - CAST(sum(q) AS DECIMAL(38,0))
+                * CAST(sum(p) AS DECIMAL(38,0)) AS VARCHAR) AS cov_numer
+    FROM b GROUP BY l_returnflag
+    """,
+)
+def agg_exact_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance via cleared denominators (the stats.py 3σ
+    technique applied to a SECOND moment across two columns):
+    cov = (n·Σqp − Σq·Σp)/n², so the numerator n·Σqp − Σq·Σp is the
+    engine-portable fact — exact DECIMAL(38) products serialized as
+    strings (they pass 2⁶³), no float accumulation anywhere.  One
+    map-side-combined aggregation; covar_pop/corr float forms exist in
+    both engines but can never hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("p"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    pd_ = F.col("p").cast("decimal(38,0)")
+    g = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum("p").cast("long").alias("sum_p"),
+        F.sum(qd * pd_).alias("_sum_qp"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "sum_q",
+        "sum_p",
+        F.col("_sum_qp").cast("string").alias("sum_qp"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("_sum_qp")
+            - F.col("sum_q").cast("decimal(38,0)")
+            * F.col("sum_p").cast("decimal(38,0)")
+        )
+        .cast("string")
+        .alias("cov_numer"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -8295,6 +8431,9 @@ _CHECK_FIRST = [
     "tpch_running_backlog",
     "text_lang_confusion_matrix",
     "text_vocab_coverage_curve",
+    "udf_arrow_grouped_stats",
+    "agg_exact_mode",
+    "agg_exact_covariance",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
