@@ -3,9 +3,9 @@
 ``entry(spark)`` smoke-runs the flagship replication query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``aws_kinesis_data_streams_replicator_spark.plans.queries`` — one entry
-per implemented operator (SURVEY.md §2 + LLM-pipeline extensions), each
-with a DuckDB oracle except the explicitly approximate / pandas-UDF ones
-(rows-only check).
+per implemented operator (SURVEY.md §2 + LLM-pipeline extensions),
+every one with a full DuckDB value oracle (approximate operators emit
+tolerance claims as oracle-asserted booleans).
 """
 
 from __future__ import annotations

@@ -107,3 +107,7 @@ def test_rollup_maintenance_equals_batch_and_replay_safe(spark, sf_dir, tmp_path
         if (m := re.fullmatch(r"v(\d+)", name))
     )
     assert versions2 == versions  # no phantom versions from the restart
+
+
+def test_read_rollup_none_before_first_batch(spark, tmp_path):
+    assert read_rollup(spark, str(tmp_path / "nonexistent")) is None
