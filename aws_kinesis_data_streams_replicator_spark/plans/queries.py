@@ -8538,6 +8538,211 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["doc_split_leakage_audit"] = doc_split_leakage_audit
 
 
+ORACLE_SQL["doc_neardup_cluster_size_hist"] = """
+    WITH comp AS ({clusters})
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+    GROUP BY cluster_size
+    """.format(clusters=ORACLE_SQL["doc_neardup_clusters"])
+
+
+def doc_neardup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many components of each
+    size the LSH pair graph produces — the first thing to look at
+    before choosing a keeper policy (a corpus with thousand-doc
+    components needs different handling than one of pairs).  Composes
+    the connected-components operator with two bounded aggregations."""
+    from ..operators.clustering import connected_components
+
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, n_hashes=8, n_bands=4
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long"), "n_clusters")
+    )
+
+
+QUERIES["doc_neardup_cluster_size_hist"] = doc_neardup_cluster_size_hist
+
+
+@_q(
+    "evt_bounce_rate_by_entry",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    f AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS session_seq
+          FROM f),
+    g AS (SELECT user_id, session_seq,
+                 min(struct_pack(ts := ts, event_id := event_id,
+                                 event_type := event_type)).event_type
+                     AS entry_type,
+                 count(*) AS n_events
+          FROM s GROUP BY user_id, session_seq)
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS bounce_bp
+    FROM g GROUP BY entry_type
+    """,
+)
+def evt_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry event: sessions that end after one
+    event, grouped by what started them — the landing-page quality
+    metric, here over 30-min inactivity sessions.  Entry selection is a
+    struct-min (ts, event_id orders it deterministically) inside the
+    same aggregation that counts the session, so sessionize → entry →
+    rate is two window passes and two aggregations total."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    s = f.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    g = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CAST(n_events = 1 AS BIGINT)) * 10000 "
+            "DIV count(*) AS BIGINT)"
+        ).alias("bounce_bp"),
+    )
+
+
+ORACLE_SQL["doc_lsh_precision_eval"] = f"""
+    WITH {{shingles}},
+    pairs AS ({{pairs}}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.doc_a
+              JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+              GROUP BY p.doc_a, p.doc_b),
+    v AS (SELECT p.doc_a, p.doc_b,
+                 coalesce(i.n_inter, 0) AS n_inter,
+                 sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+    SELECT CAST(doc_a % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN n_inter * 3 >= n_union THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_neardups,
+           CAST(sum(CASE WHEN n_inter * 3 >= n_union THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS precision_bp
+    FROM v GROUP BY bucket
+    """.format(
+    shingles=_SHINGLE_CTE.strip(), pairs=ORACLE_SQL["doc_minhash_lsh_pairs"]
+)
+
+
+def doc_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-precision evaluation of the MinHash-LSH blocking: what
+    fraction of emitted candidate pairs are TRUE near-dups (exact
+    shingle Jaccard ≥ 1/3), per doc bucket — the complement of
+    emb_ann_recall_eval: recall says what the index finds, precision
+    says how much verify work each candidate costs.  Exact set
+    arithmetic (3·|∩| ≥ |∪| avoids division) over the candidate set
+    only — never all pairs."""
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+    from ..operators.util import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    )
+    sh = (
+        spread(docs)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b", "shingle": "shingle_b"}),
+            "doc_b",
+        )
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    v = (
+        pairs.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b"
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (
+                F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    return v.groupBy((F.col("doc_a") % 10).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("n_inter") * 3 >= F.col("n_union")).cast("long"))
+        .cast("long")
+        .alias("n_true_neardups"),
+        F.expr(
+            "CAST(sum(CAST(n_inter * 3 >= n_union AS BIGINT)) * 10000 "
+            "DIV count(*) AS BIGINT)"
+        ).alias("precision_bp"),
+    )
+
+
+QUERIES["doc_lsh_precision_eval"] = doc_lsh_precision_eval
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -8634,6 +8839,9 @@ _CHECK_FIRST = [
     "tpch_repeat_purchase_cohorts",
     "emb_ann_recall_eval",
     "doc_split_leakage_audit",
+    "doc_neardup_cluster_size_hist",
+    "evt_bounce_rate_by_entry",
+    "doc_lsh_precision_eval",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
