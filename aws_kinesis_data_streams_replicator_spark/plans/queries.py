@@ -8810,6 +8810,149 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_SQL["doc_quality_dup_crosstab"] = """
+    WITH g AS ({gopher}),
+    dup AS (SELECT doc_id, count(*) OVER (PARTITION BY content_hash) > 1
+                       AS is_dup
+            FROM (SELECT doc_id, md5(text) AS content_hash FROM documents))
+    SELECT CAST(g.gopher_pass AS INTEGER) AS gopher_pass, dup.is_dup,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM g JOIN dup ON dup.doc_id = g.doc_id
+    GROUP BY g.gopher_pass, dup.is_dup
+    """.format(gopher=ORACLE_SQL["text_gopher_rules"])
+
+
+def doc_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diagnostics cross-tab: Gopher quality pass/fail × exact-
+    duplicate membership — answers "are my duplicates disproportionately
+    low-quality?", which decides whether dedup-before-filter or
+    filter-before-dedup wastes less compute in a curation pipeline.
+    Composes two registered operators with one window and one bounded
+    aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    g = text.gopher_quality(docs).select("doc_id", "gopher_pass")
+    dup = docs.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy(F.md5("text"))) > 1
+        ).alias("is_dup"),
+    )
+    return (
+        g.join(dup, "doc_id")
+        .groupBy("gopher_pass", "is_dup")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+QUERIES["doc_quality_dup_crosstab"] = doc_quality_dup_crosstab
+
+
+@_q(
+    "part_abc_pareto",
+    """
+    WITH pr AS (SELECT l_partkey,
+                       sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                           AS rev_c
+                FROM lineitem GROUP BY l_partkey),
+    r AS (SELECT l_partkey, rev_c,
+                 sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_c,
+                 sum(rev_c) OVER () AS tot_c
+          FROM pr),
+    cl AS (SELECT l_partkey, rev_c,
+                  CASE WHEN cum_c * 10000 <= tot_c * 8000 THEN 'A'
+                       WHEN cum_c * 10000 <= tot_c * 9500 THEN 'B'
+                       ELSE 'C' END AS abc_class
+           FROM r)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+    FROM cl GROUP BY abc_class
+    """,
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis: parts classified by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C the tail) — the inventory-concentration
+    query.  Runs on the |parts|-row rollup, not the fact table: one
+    fact aggregation, one ranked prefix sum, integer cross-multiplied
+    thresholds (cum·10000 ≤ tot·8000 avoids division entirely)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias(
+            "rev_c"
+        )
+    )
+    w_cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = pr.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).alias("tot_c"),
+    )
+    cl = r.select(
+        "rev_c",
+        F.when(F.col("cum_c") * 10000 <= F.col("tot_c") * 8000, "A")
+        .when(F.col("cum_c") * 10000 <= F.col("tot_c") * 9500, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cl.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("revenue_cents"),
+    )
+
+
+@_q(
+    "evt_user_concentration_gini",
+    """
+    WITH u AS (SELECT event_type, user_id, count(*) AS x
+               FROM events GROUP BY event_type, user_id),
+    r AS (SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, user_id) AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM u)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS n_events,
+           CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_numer,
+           CAST(sum((2 * i - n - 1) * x) * 10000
+                // (max(n) * sum(x)) AS BIGINT) AS gini_bp
+    FROM r GROUP BY event_type
+    """,
+)
+def evt_user_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity (how concentrated is each
+    event type among its users) — the inequality measure behind "do 1%
+    of users generate 90% of the load", which is the same fact that
+    predicts shuffle skew.  Exact integer Mean-Difference form:
+    G·n·Σx = Σ(2i−n−1)·xᵢ over ranked counts, ties broken by user_id;
+    no floats until never."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    r = u.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+        .cast("long")
+        .alias("gini_numer"),
+        F.expr(
+            "CAST(sum((2 * i - n - 1) * x) * 10000 "
+            "DIV (max(n) * sum(x)) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -8911,6 +9054,9 @@ _CHECK_FIRST = [
     "doc_lsh_precision_eval",
     "agg_bitmap_distinct",
     "fn_aes_roundtrip",
+    "doc_quality_dup_crosstab",
+    "part_abc_pareto",
+    "evt_user_concentration_gini",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
