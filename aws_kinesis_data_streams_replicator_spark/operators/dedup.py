@@ -729,3 +729,89 @@ def span_dup_fraction(
             .alias("dup_milli"),
         )
     )
+
+
+def shingle_containment_pairs(
+    documents: DataFrame,
+    k_shingle: int = 3,
+    threshold_bp: int = 8000,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    distinct k-word shingle sets — the near-dup measure Jaccard misses
+    when a short document is embedded inside a much longer one (quote
+    farms, boilerplate wrappers, partial scrapes).  Broder's original
+    resemblance paper defines both; most pipelines only ship Jaccard.
+
+    Emits every unordered pair whose containment in EITHER direction
+    reaches ``threshold_bp`` basis points, with both directional values:
+    since C(A→B) = inter/n_a and C(B→A) = inter/n_b, the pair qualifies
+    iff inter·10000 ≥ threshold_bp·min(n_a, n_b).  Integer basis-point
+    arithmetic end-to-end (truncating division matches DuckDB ``//``).
+
+    Scale notes (100 TB): identical cost shape to
+    ``ngram_jaccard_pairs(max_shingle_df=...)`` — ONE aggregation builds
+    capped posting lists (collect_set doubles as per-doc dedup), pairs
+    come from an in-array combination expansion (≤ cap²/2 per shingle,
+    skew structurally impossible), and the per-doc size table rides the
+    same shuffle key.  No all-pairs join anywhere.
+    """
+    base = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k_shingle)).alias(
+                "shingle"
+            ),
+        )
+    )
+    postings = (
+        base.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .where(F.size("docs") <= F.lit(max_shingle_df))
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    docs_arr = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs_arr,
+            lambda x, i: F.transform(
+                F.slice(docs_arr, i + F.lit(2), F.size(docs_arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        postings.where(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_inter") * F.lit(10000)
+            >= F.lit(threshold_bp) * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST(n_inter * 10000 DIV n_a AS BIGINT)").alias(
+                "cont_a_bp"
+            ),
+            F.expr("CAST(n_inter * 10000 DIV n_b AS BIGINT)").alias(
+                "cont_b_bp"
+            ),
+        )
+    )

@@ -549,3 +549,122 @@ def bpe_pair_counts(documents: DataFrame) -> DataFrame:
         .groupBy("sym_a", "sym_b")
         .agg(F.sum("n_word").cast("long").alias("n_pairs"))
     )
+
+
+def stopword_candidates(
+    documents: DataFrame, min_df_ratio_bp: int = 6000
+) -> DataFrame:
+    """Corpus-driven stopword discovery: words whose DOCUMENT frequency
+    (fraction of docs containing the word at least once) reaches
+    ``min_df_ratio_bp`` basis points, ranked by df — the data-dependent
+    stopword list real pipelines derive per-language instead of shipping
+    a fixed English list.  Output: (word, df, df_ratio_bp, df_rank).
+
+    Scale notes (100 TB): ONE distinct (doc, word) aggregation (the
+    dominant shuffle, keyed by word — no skew risk in the OUTPUT since it
+    is per-word), then a ranking over the few rows that clear the
+    threshold; the corpus total rides in via a broadcast 1-row cross
+    join, never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        spread(documents)
+        .select("doc_id", F.explode(word_tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    df_ = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("df").desc(), "word")
+    return (
+        df_.crossJoin(F.broadcast(total))
+        .where(F.col("df") * 10000 >= F.lit(min_df_ratio_bp) * F.col("n_docs"))
+        .select(
+            "word",
+            F.col("df").cast("long").alias("df"),
+            F.expr("CAST(df * 10000 DIV n_docs AS BIGINT)").alias(
+                "df_ratio_bp"
+            ),
+            F.row_number().over(w).cast("long").alias("df_rank"),
+        )
+    )
+
+
+def bpe_merge_step(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """ONE BPE training iteration, end-to-end in the engine: find the
+    most frequent adjacent symbol pair (deterministic tie-break: count
+    desc, then pair lexicographic), APPLY the merge to the vocabulary,
+    and return the post-merge top-``top_k`` pair counts — the iterated
+    statistic a distributed tokenizer trainer loops on.
+
+    The merge application is ``replace(word, merged, chr(1))``: SQL
+    replace is left-to-right non-overlapping, which IS the greedy BPE
+    merge order, and the single-char sentinel (\\x01, absent from any
+    text corpus) makes the merged pair one symbol for the recount.
+    Output symbols map the sentinel back to the merged string.
+
+    Scale notes (100 TB): both pair counts run on the (word, count)
+    VOCABULARY rollup (bounded ~10^5-10^6 rows regardless of corpus
+    size), the winning pair reaches the recount via a broadcast 1-row
+    cross join (no driver round-trip), and the final top-k is one
+    window over the bounded symbol-pair table.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        spread(documents)
+        .select(F.explode(word_tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    # localCheckpoint barrier: the vocabulary feeds BOTH the round-1
+    # winner selection and the merged recount — without it the
+    # tokenize+explode subtree executes twice.
+    vocab = vocab.localCheckpoint(eager=False)
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> struct(substring(word, i, 1) AS sym_a, "
+            "substring(word, i + 1, 1) AS sym_b))"
+        )
+    ).alias("p")
+    pairs1 = (
+        vocab.where(F.length("word") >= 2)
+        .select("n_word", pair_expr)
+        .groupBy("p.sym_a", "p.sym_b")
+        .agg(F.sum("n_word").alias("n_pairs"))
+    )
+    w1 = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+    winner = (
+        pairs1.withColumn("rnk", F.row_number().over(w1))
+        .where(F.col("rnk") == 1)
+        .select(F.concat("sym_a", "sym_b").alias("merged"))
+    )
+    merged_vocab = vocab.crossJoin(F.broadcast(winner)).select(
+        F.expr("replace(word, merged, chr(1))").alias("word"),
+        "n_word",
+        "merged",
+    )
+    pairs2 = (
+        merged_vocab.where(F.length("word") >= 2)
+        .select("n_word", "merged", pair_expr)
+        .groupBy("merged", "p.sym_a", "p.sym_b")
+        .agg(F.sum("n_word").alias("n_pairs"))
+    )
+    w2 = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+    return (
+        pairs2.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            F.col("merged").alias("merged_pair"),
+            F.expr(
+                "CASE WHEN sym_a = chr(1) THEN merged ELSE sym_a END"
+            ).alias("sym_a"),
+            F.expr(
+                "CASE WHEN sym_b = chr(1) THEN merged ELSE sym_b END"
+            ).alias("sym_b"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("rnk").cast("long").alias("pair_rank"),
+        )
+    )

@@ -8953,6 +8953,266 @@ def evt_user_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_shingle_containment_pairs",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(n_inter * 10000 // sa.n_sh AS BIGINT) AS cont_a_bp,
+           CAST(n_inter * 10000 // sb.n_sh AS BIGINT) AS cont_b_bp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 10000 >= 5000 * least(sa.n_sh, sb.n_sh)
+    """,
+)
+def doc_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B|/|A|) pairs at ≥ 0.5 in
+    either direction (operators/dedup.py:shingle_containment_pairs) —
+    catches a short document embedded inside a much longer one, which
+    symmetric Jaccard scores near zero.  Same capped posting-list plan
+    shape as doc_ngram_jaccard_pairs: no all-pairs join, per-shingle
+    work bounded by the DF cap."""
+    return dedup.shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        k_shingle=3,
+        threshold_bp=5000,
+        max_shingle_df=50,
+    )
+
+
+@_q(
+    "text_stopword_discovery",
+    """
+    WITH w AS (SELECT DISTINCT doc_id, word FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents) WHERE word <> ''),
+    d AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+    t AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT word, CAST(df AS BIGINT) AS df,
+           CAST(df * 10000 // n_docs AS BIGINT) AS df_ratio_bp,
+           CAST(row_number() OVER (ORDER BY df DESC, word) AS BIGINT)
+               AS df_rank
+    FROM d, t WHERE df * 10000 >= 6000 * n_docs
+    """,
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery (operators/text.py:
+    stopword_candidates): words present in ≥ 60% of documents, ranked
+    by document frequency — the per-language stopword list derived from
+    the corpus itself rather than a fixed English list."""
+    return text.stopword_candidates(
+        _t(spark, sf_dir, "documents"), min_df_ratio_bp=6000
+    )
+
+
+@_q(
+    "text_bpe_merge_step",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    v AS (SELECT word, count(*) AS n_word FROM w WHERE word <> ''
+          GROUP BY word),
+    p1 AS (SELECT n_word, substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
+                  substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
+           FROM v, unnest(range(1, strlen(word))) AS t(i)
+           WHERE strlen(word) >= 2),
+    c1 AS (SELECT sym_a, sym_b, sum(n_word) AS n_pairs FROM p1
+           GROUP BY sym_a, sym_b),
+    win AS (SELECT sym_a || sym_b AS merged FROM c1
+            ORDER BY n_pairs DESC, sym_a, sym_b LIMIT 1),
+    mv AS (SELECT replace(word, merged, chr(1)) AS word, n_word, merged
+           FROM v, win),
+    p2 AS (SELECT merged, n_word,
+                  substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
+                  substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
+           FROM mv, unnest(range(1, strlen(word))) AS t(i)
+           WHERE strlen(word) >= 2),
+    c2 AS (SELECT merged, sym_a, sym_b, sum(n_word) AS n_pairs FROM p2
+           GROUP BY merged, sym_a, sym_b),
+    r AS (SELECT merged, sym_a, sym_b, n_pairs,
+                 row_number() OVER (ORDER BY n_pairs DESC, sym_a, sym_b)
+                     AS rnk
+          FROM c2)
+    SELECT merged AS merged_pair,
+           CASE WHEN sym_a = chr(1) THEN merged ELSE sym_a END AS sym_a,
+           CASE WHEN sym_b = chr(1) THEN merged ELSE sym_b END AS sym_b,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(rnk AS BIGINT) AS pair_rank
+    FROM r WHERE rnk <= 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration (operators/text.py:
+    bpe_merge_step): pick the top adjacent pair, APPLY the merge to the
+    vocabulary via left-to-right non-overlapping replace (= greedy BPE),
+    recount, return the post-merge top-20 — the loop body of a
+    distributed tokenizer trainer, all on the bounded vocabulary
+    rollup."""
+    return text.bpe_merge_step(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+@_q(
+    "agg_exact_regression",
+    """
+    WITH b AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+               FROM lineitem),
+    g AS (SELECT l_returnflag, count(*) AS n, sum(q) AS sq, sum(p) AS sp,
+                 sum(CAST(q AS HUGEINT) * CAST(p AS HUGEINT)) AS sqp,
+                 sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq,
+                 sum(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS spp
+          FROM b GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(sq AS BIGINT) AS sum_q, CAST(sp AS BIGINT) AS sum_p,
+           CAST(CAST(n AS HUGEINT) * sqp
+                - CAST(sq AS HUGEINT) * CAST(sp AS HUGEINT)
+                AS VARCHAR) AS sxy,
+           CAST(CAST(n AS HUGEINT) * sqq
+                - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)
+                AS VARCHAR) AS sxx,
+           CAST(CAST(n AS HUGEINT) * spp
+                - CAST(sp AS HUGEINT) * CAST(sp AS HUGEINT)
+                AS VARCHAR) AS syy
+    FROM g
+    """,
+)
+def agg_exact_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group OLS sufficient statistics via cleared denominators
+    (the agg_exact_covariance technique extended to the full regression
+    triple): sxy = n·Σqp − Σq·Σp, sxx = n·Σq² − (Σq)², syy analogous —
+    slope = sxy/sxx, intercept = (Σp·Σq² − Σq·Σqp)/(n·sxx/n), and
+    r² = sxy²/(sxx·syy) all derive from these three DECIMAL(38) strings
+    with zero float accumulation.  ONE map-side-combined aggregation;
+    regr_slope/regr_r2 float forms exist in both engines but can never
+    hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("p"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    pd_ = F.col("p").cast("decimal(38,0)")
+    g = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum("p").cast("long").alias("sum_p"),
+        F.sum(qd * pd_).alias("_sqp"),
+        F.sum(qd * qd).alias("_sqq"),
+        F.sum(pd_ * pd_).alias("_spp"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sqd = F.col("sum_q").cast("decimal(38,0)")
+    spd = F.col("sum_p").cast("decimal(38,0)")
+    return g.select(
+        "l_returnflag",
+        "n",
+        "sum_q",
+        "sum_p",
+        (nd * F.col("_sqp") - sqd * spd).cast("string").alias("sxy"),
+        (nd * F.col("_sqq") - sqd * sqd).cast("string").alias("sxx"),
+        (nd * F.col("_spp") - spd * spd).cast("string").alias("syy"),
+    )
+
+
+@_q(
+    "evt_activity_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS idx
+               FROM events),
+    r AS (SELECT user_id, idx,
+                 idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY idx) AS grp
+          FROM d),
+    s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp),
+    m AS (SELECT user_id, max(len) AS max_streak FROM s GROUP BY user_id)
+    SELECT CAST(max_streak AS BIGINT) AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM m GROUP BY max_streak
+    """,
+)
+def evt_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the engagement metric behind "7-day streak" product features.
+    Gaps-and-islands on the per-user distinct-day index (idx −
+    row_number is constant within a run); two user-keyed aggregations
+    ride the same shuffle partitioning, the final histogram is over
+    ≤ max-streak rows."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "idx"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("idx")
+    r = d.select(
+        "user_id", "idx", (F.col("idx") - F.row_number().over(w)).alias("grp")
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    m = s.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return m.groupBy(F.col("max_streak").cast("long").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@_q(
+    "tpch_revenue_mom_growth",
+    """
+    WITH m AS (SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+                          AS month,
+                      sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS rev_c
+               FROM orders GROUP BY 1),
+    l AS (SELECT month, rev_c,
+                 lag(rev_c) OVER (ORDER BY month) AS prev_c
+          FROM m)
+    SELECT month, CAST(rev_c AS BIGINT) AS rev_cents,
+           CAST(prev_c AS BIGINT) AS prev_cents,
+           CAST((rev_c - prev_c) * 10000 // prev_c AS BIGINT) AS growth_bp
+    FROM l
+    """,
+)
+def tpch_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in basis points (lag window over
+    the monthly rollup) — the time-series KPI query.  The global-order
+    lag window runs on the |months|-row rollup, never the fact table;
+    truncating integer division (DIV ↔ DuckDB //) keeps negative growth
+    months portable."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "rev_c"
+        )
+    )
+    l = m.select(
+        "month",
+        "rev_c",
+        F.lag("rev_c").over(Window.orderBy("month")).alias("prev_c"),
+    )
+    return l.select(
+        "month",
+        F.col("rev_c").cast("long").alias("rev_cents"),
+        F.col("prev_c").cast("long").alias("prev_cents"),
+        F.expr("CAST((rev_c - prev_c) * 10000 DIV prev_c AS BIGINT)").alias(
+            "growth_bp"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -1,0 +1,86 @@
+"""Round-5-staged operators: shingle containment, stopword discovery,
+BPE merge step, activity streaks — hand-computed small cases (fixture-
+scale equivalence is covered by the oracle parity suite)."""
+
+from __future__ import annotations
+
+from aws_kinesis_data_streams_replicator_spark.operators.dedup import (
+    shingle_containment_pairs,
+)
+from aws_kinesis_data_streams_replicator_spark.operators.text import (
+    bpe_merge_step,
+    stopword_candidates,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_embedded_doc(spark):
+    # doc 1 is fully contained in doc 2 (Jaccard would be only 3/8);
+    # doc 3 shares nothing.
+    rows = [
+        (1, "a b c d e"),  # 3 shingles: abc bcd cde
+        (2, "a b c d e x y z w v"),  # 8 shingles, the first 3 = doc 1's
+        (3, "p q r s t"),
+    ]
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in shingle_containment_pairs(
+            _docs(spark, rows), threshold_bp=8000
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.n_inter, r.n_a, r.n_b) == (3, 3, 8)
+    assert r.cont_a_bp == 10000  # 3/3 — full containment
+    assert r.cont_b_bp == 3750  # 3/8
+    # Jaccard 3/8 = 0.375 would NOT pass a 0.8 similarity gate
+
+
+def test_containment_threshold_filters(spark):
+    rows = [(1, "a b c d e"), (2, "c d e f g h i j k l")]
+    # inter = 1 shingle ("c d e"); min side has 3 → 3333 bp < 8000
+    assert (
+        shingle_containment_pairs(_docs(spark, rows), threshold_bp=8000).count()
+        == 0
+    )
+
+
+def test_stopword_candidates_df_ratio(spark):
+    rows = [
+        (1, "the cat"),
+        (2, "the dog"),
+        (3, "the cow"),
+        (4, "a bird"),
+    ]
+    got = {r.word: r for r in stopword_candidates(
+        _docs(spark, rows).selectExpr("doc_id", "text"), min_df_ratio_bp=7000
+    ).collect()}
+    assert set(got) == {"the"}
+    assert got["the"].df == 3
+    assert got["the"].df_ratio_bp == 7500
+    assert got["the"].df_rank == 1
+
+
+def test_bpe_merge_step_applies_top_merge(spark):
+    # vocabulary: "abab" ×3, "abc" ×2 → pair counts: (a,b)=3*2+2=8,
+    # (b,a)=3, (b,c)=2.  Winner = "ab".  After replace with sentinel:
+    # "abab"→ S S (pair (ab,ab)=3), "abc"→ S c (pair (ab,c)=2).
+    rows = [(1, "abab abab abc"), (2, "abab abc")]
+    out = bpe_merge_step(_docs(spark, rows), top_k=10).collect()
+    assert all(r.merged_pair == "ab" for r in out)
+    got = {(r.sym_a, r.sym_b): r.n_pairs for r in out}
+    assert got == {("ab", "ab"): 3, ("ab", "c"): 2}
+    ranks = {(r.sym_a, r.sym_b): r.pair_rank for r in out}
+    assert ranks[("ab", "ab")] == 1
+
+
+def test_bpe_merge_replace_is_left_to_right(spark):
+    # "aaa" ×1: pairs (a,a)=2 → winner "aa"; replace("aaa","aa",S)="Sa"
+    # (greedy non-overlapping, NOT "aS") → post-merge pair (aa, a)=1.
+    rows = [(1, "aaa")]
+    out = bpe_merge_step(_docs(spark, rows), top_k=5).collect()
+    assert len(out) == 1
+    assert (out[0].sym_a, out[0].sym_b, out[0].n_pairs) == ("aa", "a", 1)
