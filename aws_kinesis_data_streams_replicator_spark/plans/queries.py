@@ -9213,6 +9213,327 @@ def tpch_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_hll_overlap_estimate",
+    """
+    WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM e GROUP BY event_type),
+    ov AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                  count(*) AS n_overlap
+           FROM e a JOIN e b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY a.event_type, b.event_type)
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(n_overlap AS BIGINT) AS exact_overlap,
+           true AS est_ok
+    FROM ov
+    JOIN n na ON na.event_type = ta
+    JOIN n nb ON nb.event_type = tb
+    """,
+)
+def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience-overlap estimation: |A∩B| from HLL sketches
+    via inclusion-exclusion est(A)+est(B)−est(A∪B) — the privacy-size
+    trade every ad-tech / analytics overlap product makes, because
+    sketches union mergeably while exact intersection needs raw IDs.
+    Emits the exact overlap (hash-sensitive ground truth) plus the claim
+    that the sketch estimate lands within 5% of the UNION-SCALE terms
+    (|est−exact| ≤ 0.05·(n_a+n_b): inclusion-exclusion error is
+    proportional to the set sizes, not the overlap, so that is the
+    honest bound; lgK=14 keeps per-sketch error ≈ 0.8%).  One distinct
+    pass builds both sketches and exact sets; the pair join is over the
+    |event_types|-row sketch rollup."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    e = e.localCheckpoint(eager=False)
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    est = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (
+            F.expr("hll_sketch_estimate(sk_a)")
+            + F.expr("hll_sketch_estimate(sk_b)")
+            - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+        ).alias("est_overlap"),
+    )
+    exact = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= (F.col("n_a") + F.col("n_b")) * F.lit(0.05)
+        ).alias("est_ok"),
+    )
+
+
+@_q(
+    "graph_degree_histogram",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+               FROM lineitem),
+    d AS (SELECT x.item AS item, count(DISTINCT y.item) AS degree
+          FROM b x JOIN b y ON x.g = y.g AND x.item <> y.item
+          GROUP BY x.item)
+    SELECT CAST(floor(log2(degree)) AS INTEGER) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(degree) AS BIGINT) AS sum_degree,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM d GROUP BY deg_bucket
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph, log2-bucketed —
+    the first diagnostic run on any large graph (power-law tail ⇒ skew
+    risk for every downstream self-join).  Pair generation is the same
+    Σ basket² co-occurrence shape as part_cooccurrence_pairs (baskets
+    ≤ 7 items in TPC-H; cap pathological baskets at scale); floor(log2)
+    of an int64 is exact in IEEE double in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    d = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.item") != F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("item"))
+        .agg(F.countDistinct(F.col("y.item")).alias("degree"))
+    )
+    return d.groupBy(
+        F.floor(F.log2("degree")).cast("int").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("degree").cast("long").alias("sum_degree"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+@_q(
+    "fn_interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(CAST(o_orderdate AS TIMESTAMP)
+                         + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d')
+               AS plus_3_months,
+           strftime(CAST(CAST(o_orderdate AS TIMESTAMP)
+                         - INTERVAL 90 DAY AS DATE), '%Y-%m-%d')
+               AS minus_90_days,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS plus_36_hours,
+           CAST((year(CAST(o_orderdate AS TIMESTAMP)) - 1995) * 12
+                + month(CAST(o_orderdate AS TIMESTAMP)) - 6 AS BIGINT)
+               AS months_from_199506,
+           CAST(date_diff('hour', TIMESTAMP '1995-06-01 00:00:00',
+                          CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS hours_from_199506
+    FROM orders
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI interval arithmetic surface: year-month interval addition
+    (with end-of-month clamping, identical in both engines), day-time
+    interval addition on dates and timestamps, calendar-month distance
+    (exact integer year·12+month arithmetic — months_between's float is
+    unportable), and whole-hour timestamp distance (timestampdiff ↔
+    DuckDB date_diff).  Pure per-row JVM expressions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.expr("CAST(o_orderdate + INTERVAL '3' MONTH AS DATE)"),
+            "yyyy-MM-dd",
+        ).alias("plus_3_months"),
+        F.date_format(
+            F.expr("CAST(o_orderdate - INTERVAL '90' DAY AS DATE)"),
+            "yyyy-MM-dd",
+        ).alias("minus_90_days"),
+        F.date_format(
+            F.expr("o_orderdate + INTERVAL '36' HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus_36_hours"),
+        F.expr(
+            "CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 6 "
+            "AS BIGINT)"
+        ).alias("months_from_199506"),
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '1995-06-01 00:00:00', "
+            "o_orderdate) AS BIGINT)"
+        ).alias("hours_from_199506"),
+    )
+
+
+@_q(
+    "evt_peak_concurrency",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS seq,
+                 epoch_us(ts) AS us
+          FROM f),
+    iv AS (SELECT min(us) AS s_us, max(us) AS e_us FROM s
+           GROUP BY user_id, seq),
+    delta AS (SELECT s_us AS t, 1 AS d FROM iv
+              UNION ALL SELECT e_us + 1, -1 FROM iv),
+    per_t AS (SELECT t, sum(d) AS d FROM delta GROUP BY t),
+    run AS (SELECT t, sum(d) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+            FROM per_t)
+    SELECT CAST(DATE '1970-01-01' + CAST(t // 86400000000 AS INTEGER)
+                AS VARCHAR) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — capacity planning's headline
+    number — via the interval→timeline rewrite: sessionize (30-min
+    gaps), emit ±1 deltas at session start / end+1µs, COLLAPSE deltas
+    per instant (so simultaneous start+end resolves atomically), one
+    running sum, max per day.  The ordered prefix window runs over the
+    ≤ 2·|sessions| collapsed delta rollup, never raw events; days derive
+    from integer epoch-µs division, no timezone round-trip."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = f.groupBy("user_id", "seq").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    delta = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = delta.groupBy("t").agg(F.sum("d").alias("d"))
+    run = per_t.withColumn(
+        "conc",
+        F.sum("d").over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return run.groupBy(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("t") / F.lit(86_400_000_000)).cast("int"),
+        )
+        .cast("string")
+        .alias("day")
+    ).agg(F.max("conc").cast("long").alias("peak_concurrent"))
+
+
+@_q(
+    "text_zipf_curve",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> ''
+          GROUP BY word),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+          FROM c)
+    SELECT CAST(floor(log2(rnk)) AS INTEGER) AS rank_bucket,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS sum_count,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           CAST(min(cnt) AS BIGINT) AS min_count
+    FROM r GROUP BY rank_bucket
+    """,
+)
+def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve, log2-rank-bucketed: total token mass
+    per frequency-rank octave — the corpus-statistics plot that decides
+    vocabulary size and stopword cut-offs (a healthy natural corpus is
+    near-linear in log-log; synthetic or boilerplate-heavy corpora bend).
+    The global rank window runs on the |vocab|-row rollup (bounded
+    regardless of corpus size); deterministic ties via (count desc,
+    word)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens as _wt
+    from ..operators.util import spread as _spread
+
+    c = (
+        _spread(d)
+        .select(F.explode(_wt(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = c.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rnk"),
+    )
+    return r.groupBy(
+        F.floor(F.log2("rnk")).cast("int").alias("rank_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("cnt").cast("long").alias("sum_count"),
+        F.max("cnt").cast("long").alias("max_count"),
+        F.min("cnt").cast("long").alias("min_count"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -9317,6 +9638,17 @@ _CHECK_FIRST = [
     "doc_quality_dup_crosstab",
     "part_abc_pareto",
     "evt_user_concentration_gini",
+    "doc_shingle_containment_pairs",
+    "text_stopword_discovery",
+    "text_bpe_merge_step",
+    "agg_exact_regression",
+    "evt_activity_streaks",
+    "tpch_revenue_mom_growth",
+    "agg_hll_overlap_estimate",
+    "graph_degree_histogram",
+    "fn_interval_arithmetic",
+    "evt_peak_concurrency",
+    "text_zipf_curve",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
