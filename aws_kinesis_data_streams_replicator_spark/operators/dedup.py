@@ -573,11 +573,25 @@ def semantic_dedup_pairs(
             lambda acc, d: acc + d,
         )
         scored = e.join(F.broadcast(cent)).select("vid", "qe", "cell", dist.alias("_d"))
-        w = Window.partitionBy("vid").orderBy(F.col("_d").asc(), F.col("cell").asc())
+        # argmin via map-side-combinable min(struct) — struct ordering IS
+        # (dist asc, cell asc), same tie rule as the ranking-window form
+        # without sorting N·n_cells rows (see similarity.py ivf assign)
         return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("vid", "qe", "cell")
+            scored.groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_d").alias("d"),
+                        F.col("cell").alias("cell"),
+                        F.col("qe").alias("qe"),
+                    )
+                ).alias("_s")
+            )
+            .select(
+                "vid",
+                F.col("_s.qe").alias("qe"),
+                F.col("_s.cell").alias("cell"),
+            )
         )
 
     a1 = assign(seeds)

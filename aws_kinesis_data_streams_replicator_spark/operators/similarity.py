@@ -150,8 +150,33 @@ def ivf_topk(
             F.col("cell"),
             dot_q(F.col(vec_col), F.col("c_qe")).alias("_cd"),
         )
-        # partition by the id column only (first col) — the vector array
-        # is functionally dependent and hashing it as a key is wasted work
+        if n_keep == 1:
+            # Argmax as ONE hash aggregation — max(struct(dot, −cell,
+            # carries)) reproduces the (dot desc, cell asc) tie rule and
+            # combines map-side, so the post-join N·n_cells rows reduce
+            # to N BEFORE the shuffle.  The ranking-window form (hash
+            # exchange + per-id sort of all N·n_cells rows) measured ~2×
+            # slower on the sf0.1 assignment passes.
+            carry = df.columns[1:]
+            s = F.max(
+                F.struct(
+                    F.col("_cd").alias("d"),
+                    (-F.col("cell")).alias("nc"),
+                    *[F.col(c).alias(c) for c in carry],
+                )
+            ).alias("_s")
+            return (
+                scored.groupBy(df.columns[0])
+                .agg(s)
+                .select(
+                    df.columns[0],
+                    *[F.col(f"_s.{c}").alias(c) for c in carry],
+                    (-F.col("_s.nc")).alias(out),
+                )
+            )
+        # multi-probe (n_keep > 1): keep the ranking window — partition
+        # by the id column only (first col); the vector array is
+        # functionally dependent and hashing it as a key is wasted work
         w = Window.partitionBy(df.columns[0]).orderBy(
             F.col("_cd").desc(), F.col("cell").asc()
         )
@@ -222,13 +247,23 @@ def lloyd_centroids(
             "cell",
             dot_q(F.col("qe"), F.col("c_qe")).alias("_cd"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_cd").desc(), F.col("cell").asc()
-        )
+        # argmax via map-side-combinable max(struct) — same (dot desc,
+        # cell asc) rule as the ranking-window form, without sorting
+        # N·n_cells rows (see ivf assign above for the measurement)
         assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("cell", "qe")
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_cd").alias("d"),
+                        (-F.col("cell")).alias("nc"),
+                        F.col("qe").alias("qe"),
+                    )
+                ).alias("_s")
+            )
+            .select(
+                (-F.col("_s.nc")).alias("cell"), F.col("_s.qe").alias("qe")
+            )
         )
         comp = (
             assigned.select("cell", F.posexplode("qe").alias("pos0", "q"))
@@ -422,11 +457,18 @@ def pq_encode(
     scored = subs.join(F.broadcast(codebooks), "sub").select(
         id_col, "sub", "code", dist.alias("_d")
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    # argmin via map-side-combinable min(struct(dist, code)) — struct
+    # ordering IS (dist asc, code asc), so the tie rule is preserved and
+    # the N·n_sub·n_cent scored rows reduce before the shuffle instead
+    # of being sorted per (vector, subspace) by a ranking window
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select(id_col, "sub", "code")
+        scored.groupBy(id_col, "sub")
+        .agg(
+            F.min(
+                F.struct(F.col("_d").alias("d"), F.col("code").alias("code"))
+            ).alias("_s")
+        )
+        .select(id_col, "sub", F.col("_s.code").alias("code"))
     )
 
 

@@ -60,6 +60,11 @@ _BNLJ_OK = {
     # rationale); the rerank stage joins only the 50-row shortlist
     "emb_matryoshka_staged_topk",
     "emb_knn_label_classify",  # brute-force stage: emb_ann_topk rationale
+    "text_stopword_discovery",  # corpus doc-count 1-row scalar broadcast
+    "text_bpe_merge_step",  # winning merge pair 1-row scalar broadcast
+    # type-pair join over the |event_types|-row sketch rollup — bounded
+    # build side (≤ dozens of types), deliberate inequality pair join
+    "agg_hll_overlap_estimate",
 }
 
 
