@@ -6266,8 +6266,25 @@ def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from ..functions.hashing import shingles_of_tokens, word_tokens
 
-    sig = dedup.minhash_signatures(docs, 3, 8)
-    pairs = dedup.minhash_lsh_candidate_pairs(docs, 3, 8, 4)
+    # the signature table feeds BOTH the band self-join (candidate
+    # generation) and the per-pair agreement count; materialize it ONCE
+    # instead of re-shingling the corpus per reference (was 2 signature
+    # builds: one here, one inside minhash_lsh_candidate_pairs)
+    sig = dedup.minhash_signatures(docs, 3, 8).localCheckpoint(eager=False)
+    bands = dedup.minhash_band_buckets(signatures=sig, n_hashes=8, n_bands=4)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
     )
@@ -6282,12 +6299,15 @@ def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (agree * 125).cast("long").alias("est_milli"))
     )
+    # the shingle table feeds the two exact-intersection joins plus the
+    # size rollup — one lazy barrier replaces three tokenize+explode runs
     sh = (
         docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id", F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle")
         )
         .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)
     )
     inter = (
         F.broadcast(pairs)
