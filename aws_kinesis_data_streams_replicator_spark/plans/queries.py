@@ -9561,6 +9561,194 @@ def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_multitouch_attribution",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    pt AS (SELECT p.event_id AS p_id, t.event_id AS t_id,
+                  t.event_type AS t_type, t.us AS t_us
+           FROM e p JOIN e t
+             ON p.user_id = t.user_id
+            AND t.us < p.us
+            AND p.us - t.us <= CAST(7 AS BIGINT) * 86400 * 1000000
+           WHERE p.event_type = 'purchase' AND t.event_type <> 'purchase'),
+    c AS (SELECT p_id, t_type,
+                 count(*) OVER (PARTITION BY p_id) AS n,
+                 row_number() OVER (PARTITION BY p_id
+                                    ORDER BY t_us DESC, t_id DESC) AS rn
+          FROM pt),
+    credit AS (SELECT t_type,
+                      1000 // n + CASE WHEN rn = 1
+                                       THEN 1000 - n * (1000 // n)
+                                       ELSE 0 END AS milli
+               FROM c)
+    SELECT t_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(milli) AS BIGINT) AS credit_milli
+    FROM credit GROUP BY t_type
+    """,
+)
+def evt_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits 1000 milli
+    of credit equally across the user's non-purchase touches in the
+    prior 7 days, integer remainder to the touch CLOSEST to conversion
+    (deterministic: ts desc, event_id desc) — so total credit is exactly
+    1000·|purchases with ≥1 touch|, auditable to the milli.  The
+    purchase×touch pair join is per-user time-range-bounded (the
+    evt_funnel_within_7d shape); at 100 TB pre-bucket by (user, week) so
+    each pair task touches two adjacent buckets, never a user's full
+    history."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.col("us").alias("p_us"),
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t_type"),
+        F.col("us").alias("t_us"),
+    )
+    pt = p.join(t, "u").where(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("p_us") - F.col("t_us") <= 7 * 86400 * 1_000_000)
+    )
+    c = pt.select(
+        "p_id",
+        "t_type",
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n"),
+        F.row_number()
+        .over(
+            Window.partitionBy("p_id").orderBy(
+                F.col("t_us").desc(), F.col("t_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    credit = c.select(
+        "t_type",
+        (
+            F.expr("1000 DIV n")
+            + F.when(
+                F.col("rn") == 1, F.lit(1000) - F.col("n") * F.expr("1000 DIV n")
+            ).otherwise(0)
+        ).alias("milli"),
+    )
+    return credit.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("milli").cast("long").alias("credit_milli"),
+    )
+
+
+@_q(
+    "agg_weighted_median",
+    """
+    WITH b AS (SELECT l_returnflag,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    g AS (SELECT l_returnflag, cents, sum(w) AS w FROM b
+          GROUP BY l_returnflag, cents),
+    r AS (SELECT l_returnflag, cents, w,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cw,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM g)
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS weighted_median_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower weighted median: first value whose
+    cumulative weight reaches half the total) — the robust center for
+    quantity-weighted price, where the plain median over-counts small
+    lots.  Pre-aggregating to distinct (group, value) rows first bounds
+    the ranked window to the value-domain size, not the fact-table size;
+    integer cumulative-weight comparison (2·cw ≥ tw) avoids division
+    entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = b.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    r = g.select(
+        "l_returnflag",
+        "cents",
+        "w",
+        F.sum("w")
+        .over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )
+
+
+@_q(
+    "dq_k_anonymity",
+    """
+    WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                      CASE WHEN c_acctbal < 0 THEN 'neg'
+                           WHEN c_acctbal < 5000 THEN 'low'
+                           ELSE 'high' END AS bal_band
+               FROM customer),
+    g AS (SELECT c_nationkey, c_mktsegment, bal_band,
+                 count(*) AS group_size
+          FROM q GROUP BY c_nationkey, c_mktsegment, bal_band)
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_customers,
+           group_size < 5 AS below_k5
+    FROM g GROUP BY group_size
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation × market segment
+    × balance band): the distribution of equivalence-class sizes, with
+    the below-k=5 re-identification-risk flag — the privacy check run
+    before releasing or training on quasi-identifiable records.  Two
+    map-side-combined aggregations; the second runs on the equivalence-
+    class rollup."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        g.groupBy(F.col("group_size").cast("long").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .select("*", (F.col("group_size") < 5).alias("below_k5"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -9677,6 +9865,9 @@ _CHECK_FIRST = [
     "evt_peak_concurrency",
     "text_zipf_curve",
     "udf_grouped_user_stats",  # re-check: bounded to user_id%5 slice in r4
+    "evt_multitouch_attribution",
+    "agg_weighted_median",
+    "dq_k_anonymity",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
