@@ -212,3 +212,93 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
     q.awaitTermination(30)
     assert (102, None) in final, f"unmatched left row never emitted: {final}"
     assert (101, 201) in final
+
+
+def test_stream_stream_full_outer_join_emits_nulls_both_sides(
+    spark, tmp_path
+):
+    """Purchases FULL OUTER JOIN clicks: after the watermark passes, an
+    unmatched purchase emits (p_id, null) AND an unmatched click emits
+    (null, c_id) — both sides' state is evictable, which is what makes
+    the full-outer form runnable on unbounded streams at all."""
+    l_stage, r_stage = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: P1/C1 match; P2 unmatched purchase; C2 unmatched click.
+    _write_one_file(
+        spark,
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 101), "
+        "(2, TIMESTAMP '2024-01-01 10:05:00', 102)",
+        "user_id INT, p_ts TIMESTAMP, p_id INT",
+        l_stage,
+        "b1.parquet",
+    )
+    _write_one_file(
+        spark,
+        "(1, TIMESTAMP '2024-01-01 09:50:00', 201), "
+        "(3, TIMESTAMP '2024-01-01 09:55:00', 202)",
+        "c_user INT, c_ts TIMESTAMP, c_id INT",
+        r_stage,
+        "b1.parquet",
+    )
+    purchases = (
+        spark.readStream.schema("user_id INT, p_ts TIMESTAMP, p_id INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_stage)
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("c_user INT, c_ts TIMESTAMP, c_id INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_stage)
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("p_id", "c_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssfoj")
+        .option("checkpointLocation", str(tmp_path / "wal"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    first = {(r.p_id, r.c_id) for r in spark.sql("SELECT * FROM ssfoj").collect()}
+    assert (101, 201) in first
+    assert (102, None) not in first and (None, 202) not in first, (
+        "outer nulls must wait for the watermark"
+    )
+
+    # batch 2: far-future rows on both sides advance the watermark.
+    _write_one_file(
+        spark,
+        "(9, TIMESTAMP '2024-01-01 12:00:00', 900)",
+        "user_id INT, p_ts TIMESTAMP, p_id INT",
+        l_stage,
+        "b2.parquet",
+    )
+    _write_one_file(
+        spark,
+        "(9, TIMESTAMP '2024-01-01 12:00:00', 901)",
+        "c_user INT, c_ts TIMESTAMP, c_id INT",
+        r_stage,
+        "b2.parquet",
+    )
+    deadline = time.time() + 60
+    final = set()
+    while time.time() < deadline:
+        q.processAllAvailable()
+        final = {
+            (r.p_id, r.c_id) for r in spark.sql("SELECT * FROM ssfoj").collect()
+        }
+        if (102, None) in final and (None, 202) in final:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert (102, None) in final, f"unmatched purchase never emitted: {final}"
+    assert (None, 202) in final, f"unmatched click never emitted: {final}"
+    assert (101, 201) in final
