@@ -9749,6 +9749,180 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_pattern_match_cep",
+    """
+    WITH s AS (SELECT user_id,
+                      string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id) AS seq
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(strlen(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'c[vse]*p')) AS BIGINT)
+               AS n_journeys
+    FROM s
+    """,
+)
+def evt_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE-lite):
+    per user, fold the time-ordered event-type sequence into an initials
+    string and count non-overlapping 'c[vse]*p' journeys — click, any
+    non-click non-purchase activity, purchase.  The string-fold rewrite
+    turns sequence-pattern matching into ONE aggregation + a per-row
+    regex (linear scan, no backtracking risk: the class excludes the
+    anchors, so matches are unique under both leftmost-first and
+    leftmost-longest semantics — Spark's Java regex and DuckDB's RE2
+    agree).  Portable ordering: array_sort over (ts, event_id) structs
+    ↔ string_agg ORDER BY."""
+    e = _t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ini"),
+            )
+        )
+    )
+    s = e.groupBy("user_id").agg(
+        F.array_join(F.transform(arr, lambda x: x["ini"]), "").alias("seq")
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all("seq", F.lit("c[vse]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_journeys"),
+    )
+
+
+@_q(
+    "doc_phrase_search",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                   t[CAST(i.i AS INTEGER)] AS word
+            FROM toks, unnest(range(1, len(t) + 1)) AS i(i)),
+    p AS (SELECT * FROM pos WHERE word IN ('slow', 'hash', 'batch'))
+    SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p p1
+    JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+    WHERE p1.word = 'slow' AND p2.word = 'hash' AND p3.word = 'batch'
+    GROUP BY p1.doc_id
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: exact occurrence counts of the
+    phrase "slow hash batch" via position-list adjacency joins — the
+    phrase-query leg of an inverted index, where a LIKE scan would
+    re-read every document.  The postings are filtered to the three
+    phrase terms BEFORE any join (predicate pushdown does this at the
+    scan), so join input is per-term posting lists, not the corpus;
+    at 100 TB the posting table is the materialized index and the same
+    three-way adjacency join runs against it unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens as _wt
+
+    pos = d.select(
+        "doc_id",
+        F.posexplode(_wt(F.col("text"))).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p = pos.where(F.col("word").isin("slow", "hash", "batch")).localCheckpoint(
+        eager=False
+    )
+    p1 = p.where(F.col("word") == "slow").select("doc_id", "pos")
+    p2 = p.where(F.col("word") == "hash").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    p3 = p.where(F.col("word") == "batch").select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .join(p3, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+@_q(
+    "evt_ab_test_chisq",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST(user_id % 2 AS INTEGER) AS cohort,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS converted
+               FROM events GROUP BY user_id),
+    c AS (SELECT
+              sum(CASE WHEN cohort = 0 AND converted = 1 THEN 1 ELSE 0 END) AS a,
+              sum(CASE WHEN cohort = 0 AND converted = 0 THEN 1 ELSE 0 END) AS b,
+              sum(CASE WHEN cohort = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c_,
+              sum(CASE WHEN cohort = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
+          FROM u)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c_ AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST((a + b + c_ + d)
+                * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c_)
+                * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c_)
+                AS VARCHAR) AS chisq_numer,
+           CAST(CAST(a + b AS HUGEINT) * (c_ + d) * (a + c_) * (b + d)
+                AS VARCHAR) AS chisq_denom,
+           (a + b + c_ + d)
+               * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c_)
+               * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c_) * 1000
+               > 3841 * CAST(a + b AS HUGEINT) * (c_ + d) * (a + c_) * (b + d)
+               AS significant_95
+    FROM c
+    """,
+)
+def evt_ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with an EXACT chi-square test: cohorts by
+    user-id parity, outcome = converted-to-purchase, 2×2 contingency
+    counts plus the chi-square statistic as cleared-denominator
+    DECIMAL(38) strings (χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))) and the
+    5%-level verdict via integer cross-multiplication against the 3.841
+    critical value — no float anywhere, so the significance decision is
+    bit-reproducible.  One user rollup, one 1-row contingency
+    aggregation."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("cohort"), "converted")
+    cell = lambda co, cv: F.sum(  # noqa: E731
+        F.when((F.col("cohort") == co) & (F.col("converted") == cv), 1).otherwise(
+            0
+        )
+    )
+    c = u.agg(
+        cell(0, 1).cast("long").alias("a"),
+        cell(0, 0).cast("long").alias("b"),
+        cell(1, 1).cast("long").alias("c"),
+        cell(1, 0).cast("long").alias("d"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    adbc = dec("a") * dec("d") - dec("b") * dec("c")
+    n = dec("a") + dec("b") + dec("c") + dec("d")
+    denom = (
+        (dec("a") + dec("b"))
+        * (dec("c") + dec("d"))
+        * (dec("a") + dec("c"))
+        * (dec("b") + dec("d"))
+    )
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (n * adbc * adbc).cast("string").alias("chisq_numer"),
+        denom.cast("string").alias("chisq_denom"),
+        (n * adbc * adbc * 1000 > denom * 3841).alias("significant_95"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -9868,6 +10042,9 @@ _CHECK_FIRST = [
     "evt_multitouch_attribution",
     "agg_weighted_median",
     "dq_k_anonymity",
+    "evt_pattern_match_cep",
+    "doc_phrase_search",
+    "evt_ab_test_chisq",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
