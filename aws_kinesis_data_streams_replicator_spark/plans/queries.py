@@ -9923,6 +9923,170 @@ def evt_ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_CONFIGS = [(2, 4), (4, 2), (8, 1)]  # (n_bands, rows_per_band), 8 hashes
+_SWEEP_BANDS_SQL = " UNION ALL ".join(
+    " UNION ALL ".join(
+        f"SELECT '{b}x{r}' AS config, doc_id, {band} AS band_id, "
+        + " || ".join(f"h{band * r + j}" for j in range(r))
+        + " AS bucket FROM sig"
+        for band in range(b)
+    )
+    for b, r in _SWEEP_CONFIGS
+)
+
+
+@_q(
+    "doc_lsh_band_sweep",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_SWEEP_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.config = b.config AND a.band_id = b.band_id
+              AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    dup AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM (SELECT doc_id, md5(text) AS h FROM documents) x
+            JOIN (SELECT doc_id, md5(text) AS h FROM documents) y
+              ON x.h = y.h AND x.doc_id < y.doc_id)
+    SELECT config,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN dup.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup_candidates
+    FROM cand
+    LEFT JOIN dup ON dup.doc_a = cand.doc_a AND dup.doc_b = cand.doc_b
+    GROUP BY config
+    """,
+)
+def doc_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding hyper-parameter sweep: for (bands × rows) in
+    {2×4, 4×2, 8×1} over the SAME 8 minhashes, the candidate-pair
+    count and how many candidates are exact duplicates — the
+    selectivity-vs-recall curve (P(candidate) = 1−(1−j^r)^b) measured
+    on the corpus before committing a config to a 100 TB run.  The
+    signature table is built ONCE (lazy localCheckpoint) and re-banded
+    per config; candidates come from per-config bucket equi-joins,
+    never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, 3, 8).localCheckpoint(eager=False)
+    sweeps = []
+    for b, r in _SWEEP_CONFIGS:
+        bands = dedup.minhash_band_buckets(
+            signatures=sig, n_hashes=8, n_bands=b
+        )
+        x, y = bands.alias("a"), bands.alias("b")
+        sweeps.append(
+            x.join(
+                y,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(f"{b}x{r}").alias("config"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    cand = sweeps[0]
+    for s in sweeps[1:]:
+        cand = cand.unionByName(s)
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    dup = (
+        h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1).alias("is_dup"),
+        )
+    )
+    return (
+        cand.join(dup, ["doc_a", "doc_b"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact_dup_candidates"),
+        )
+    )
+
+
+@_q(
+    "evt_rolling_corr",
+    """
+    WITH d AS (SELECT date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+                      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS x,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS y
+               FROM events GROUP BY day),
+    r AS (SELECT day, x, y,
+                 count(*) OVER w AS n,
+                 sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                 sum(x * y) OVER w AS sxy,
+                 sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+          FROM d
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS corr_numer,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_x_numer,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_y_numer
+    FROM r
+    """,
+)
+def evt_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day click↔purchase correlation, exact integer form:
+    the windowed sufficient statistics (n·Σxy−ΣxΣy and both variance
+    numerators — corr² = numer²/(varx·vary)) over the daily count
+    series.  The rolling window runs on the |days|-row rollup, never
+    raw events; counts are small ints so everything stays in int64."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    r = d.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    return r.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("corr_numer"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_x_numer"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("var_y_numer"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10045,6 +10209,8 @@ _CHECK_FIRST = [
     "evt_pattern_match_cep",
     "doc_phrase_search",
     "evt_ab_test_chisq",
+    "doc_lsh_band_sweep",
+    "evt_rolling_corr",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
