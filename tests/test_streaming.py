@@ -238,3 +238,45 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     q.stop()
     n = spark.sql("SELECT count(*) c FROM dedup_out").first().c
     assert n == events.count()
+
+
+def test_union_of_two_stream_sources_matches_batch(spark, envelope, tmp_path):
+    """Multi-stream ingestion: two independent staged sources (as a real
+    deployment has one Kinesis stream per event family) unioned into ONE
+    streaming query with a single WAL.  The union must replicate exactly
+    the batch answer over the combined input — offsets for both sources
+    are tracked in the same checkpoint."""
+    out = str(tmp_path / "out")
+    stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    part_a = envelope.where(F.col("eventSourceARN").contains("kds-click"))
+    part_b = envelope.where(~F.col("eventSourceARN").contains("kds-click"))
+    stage_envelope_files(part_a, stage_a, n_files=2)
+    stage_envelope_files(part_b, stage_b, n_files=3)
+
+    sa = read_envelope_stream(spark, stage_a, max_batches_per_trigger=1)
+    sb = read_envelope_stream(spark, stage_b, max_batches_per_trigger=1)
+    q = run_replication_stream(
+        sa.unionByName(sb),
+        _config_df(spark),
+        "us-east-1",
+        replicated_dir=os.path.join(out, "replicated"),
+        checkpoint_table_dir=os.path.join(out, "checkpoint_table"),
+        stream_checkpoint_dir=os.path.join(out, "wal"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = spark.read.parquet(os.path.join(out, "replicated"))
+    want = replication.replicated_records(
+        replication.gate_active_region(
+            replication.with_decoded(envelope), _config_df(spark), "us-east-1"
+        )
+    )
+    assert got.count() == want.count()
+    assert (
+        got.select("sequenceNumber")
+        .subtract(want.select("sequenceNumber"))
+        .count()
+        == 0
+    )
