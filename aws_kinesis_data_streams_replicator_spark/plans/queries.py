@@ -10087,6 +10087,108 @@ def evt_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_epochs_to_budget",
+    """
+    WITH s AS (SELECT source,
+                      count(*) AS n_docs,
+                      sum(len(string_split(text, ' '))) AS ws_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(ws_tokens) AS total, count(*) AS n_sources FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST((10 * total) // n_sources AS BIGINT) AS draw_tokens,
+           CAST(((10 * total) // n_sources) * 1000 // ws_tokens AS BIGINT)
+               AS epochs_milli
+    FROM s, t
+    """,
+)
+def doc_epochs_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training budget projection: at a 10×-corpus
+    token budget drawn UNIFORMLY across sources, how many epochs of
+    each source get consumed (epochs > 1000 milli ⇒ that source repeats
+    — the data-constrained-scaling regime where repeated tokens decay
+    in value).  The sizing arithmetic every mixture plan runs before a
+    100 TB training job; corpus totals ride a broadcast 1-row cross
+    join."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens as _wt
+
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_wt(F.col("text")))).cast("long").alias("ws_tokens"),
+    )
+    t = s.agg(
+        F.sum("ws_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        F.expr("CAST((10 * total) DIV n_sources AS BIGINT)").alias(
+            "draw_tokens"
+        ),
+        F.expr(
+            "CAST(((10 * total) DIV n_sources) * 1000 DIV ws_tokens "
+            "AS BIGINT)"
+        ).alias("epochs_milli"),
+    )
+
+
+@_q(
+    "emb_between_class_scatter",
+    f"""
+    WITH e AS (SELECT label, {_QUANT_SQL} AS qe FROM embeddings),
+    p AS (SELECT label, CAST(t.i AS INTEGER) AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS q
+          FROM e, unnest(range(1, 65)) AS t(i)),
+    g AS (SELECT label, pos, sum(q) AS sq, count(*) AS n
+          FROM p GROUP BY label, pos),
+    tot AS (SELECT pos, sum(sq) AS tsq, sum(n) AS tn FROM g GROUP BY pos),
+    d AS (SELECT label, n,
+                 (g.sq // g.n - tot.tsq // tot.tn)
+                 * (g.sq // g.n - tot.tsq // tot.tn) AS dsq
+          FROM g JOIN tot USING (pos))
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(sum(dsq) AS BIGINT) AS dist_sq,
+           CAST(max(n) * sum(dsq) AS BIGINT) AS weighted_scatter
+    FROM d GROUP BY label
+    """,
+)
+def emb_between_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-class scatter of the embedding space: squared distance of
+    each label's centroid from the global centroid (quantized integer
+    means, truncating DIV in both engines), n-weighted — the trace of
+    the between-class scatter matrix, i.e. "are my labels separated at
+    all" measured before training a probe on the embeddings.  Runs
+    entirely on the (label × dim) centroid rollup from ONE posexplode
+    aggregation; the global centroid derives from the same rollup, no
+    second corpus pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = similarity.group_centroids(emb, "label").select(
+        "label", "pos", F.col("sum_q").alias("sq"), F.col("n_vecs").alias("n")
+    )
+    g = g.localCheckpoint(eager=False)
+    tot = g.groupBy("pos").agg(
+        F.sum("sq").alias("tsq"), F.sum("n").alias("tn")
+    )
+    d = g.join(tot, "pos").select(
+        "label",
+        "n",
+        (
+            (F.expr("sq DIV n") - F.expr("tsq DIV tn"))
+            * (F.expr("sq DIV n") - F.expr("tsq DIV tn"))
+        ).alias("dsq"),
+    )
+    return d.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum("dsq").cast("long").alias("dist_sq"),
+        (F.max("n") * F.sum("dsq")).cast("long").alias("weighted_scatter"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10211,6 +10313,8 @@ _CHECK_FIRST = [
     "evt_ab_test_chisq",
     "doc_lsh_band_sweep",
     "evt_rolling_corr",
+    "doc_epochs_to_budget",
+    "emb_between_class_scatter",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
