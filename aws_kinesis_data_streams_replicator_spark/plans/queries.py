@@ -10189,6 +10189,64 @@ def emb_between_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_power_iteration_matvec",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    p AS (SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
+                 qe[CAST(ti.i AS INTEGER)] * qe[CAST(tj.j AS INTEGER)]
+                     AS prod
+          FROM e, unnest(range(1, 65)) AS ti(i),
+               unnest(range(1, 65)) AS tj(j)),
+    g AS (SELECT i, j, sum(prod) AS v FROM p GROUP BY i, j),
+    x1 AS (SELECT i AS pos, sum(v) AS x1 FROM g GROUP BY i),
+    x2 AS (SELECT g.i AS pos, sum(CAST(g.v AS HUGEINT) * x1.x1) AS x2
+           FROM g JOIN x1 ON x1.pos = g.j GROUP BY g.i)
+    SELECT x1.pos, CAST(x1.x1 AS BIGINT) AS x1,
+           CAST(x2.x2 AS VARCHAR) AS x2
+    FROM x1 JOIN x2 ON x2.pos = x1.pos
+    """,
+)
+def emb_power_iteration_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled power-iteration matvecs on the exact Gram matrix:
+    x1 = G·1, x2 = G·x1 — after two multiplies x2 already points along
+    the dominant principal direction (normalize offline; sqrt is not
+    engine-portable, the DIRECTION is the exact fact).  Iterative linear
+    algebra as join-aggregate plans: G comes from the one-matmul-per-
+    Arrow-batch gram_matrix operator (dim² rollup rows, never N·dim²),
+    both matvecs run on that 64×64 rollup, x2 in DECIMAL(38) since
+    entries pass 2⁶³.  The PCA-without-a-solver building block for
+    whitening and spectral diagnostics at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # barrier on the TRIANGLE, before the mirror union — the union
+    # references g twice, and both matvecs reference the union again;
+    # without this the Arrow-batch matmul subtree runs 4×
+    g = similarity.gram_matrix(emb).localCheckpoint(eager=False)
+    full = g.unionByName(
+        g.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sum_prod"
+        )
+    ).localCheckpoint(eager=False)
+    x1 = full.groupBy(F.col("i").alias("pos")).agg(
+        F.sum("sum_prod").alias("x1")
+    )
+    x2 = (
+        full.join(x1.select(F.col("pos").alias("j"), "x1"), "j")
+        .groupBy(F.col("i").alias("pos"))
+        .agg(
+            F.sum(
+                F.col("sum_prod").cast("decimal(38,0)")
+                * F.col("x1").cast("decimal(38,0)")
+            ).alias("x2")
+        )
+    )
+    return x1.join(x2, "pos").select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("x2").cast("string").alias("x2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10315,6 +10373,7 @@ _CHECK_FIRST = [
     "evt_rolling_corr",
     "doc_epochs_to_budget",
     "emb_between_class_scatter",
+    "emb_power_iteration_matvec",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

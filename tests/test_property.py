@@ -223,3 +223,58 @@ def test_cooccurrence_matches_bruteforce(spark, rows):
     if not rows:
         got = {}  # the placeholder row can't reach support 2
     assert got == expected
+
+
+# ---- shingle containment vs brute-force set arithmetic ----
+
+word_strategy = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@st.composite
+def containment_corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=6))
+    return [
+        (i, " ".join(draw(st.lists(word_strategy, min_size=3, max_size=10))))
+        for i in range(n_docs)
+    ]
+
+
+@given(containment_corpus())
+@SLOW
+def test_containment_pairs_match_bruteforce(spark, corpus):
+    from aws_kinesis_data_streams_replicator_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {d: shingles(t) for d, t in corpus}
+    # brute-force reference: every unordered pair, max-direction
+    # containment in basis points, threshold 5000, no DF cap effects
+    # (cap=50 never binds at ≤6 docs)
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if inter and inter * 10000 >= 5000 * min(na, nb):
+                want[(a, b)] = (
+                    inter,
+                    na,
+                    nb,
+                    inter * 10000 // na,
+                    inter * 10000 // nb,
+                )
+    vals = ", ".join(f"({d}, '{t}')" for d, t in corpus)
+    docs = spark.sql(f"SELECT * FROM VALUES {vals} AS t(doc_id, text)")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.cont_a_bp, r.cont_b_bp)
+        for r in shingle_containment_pairs(
+            docs, threshold_bp=5000, max_shingle_df=50
+        ).collect()
+    }
+    assert got == want
