@@ -10191,6 +10191,8 @@ def emb_between_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "emb_power_iteration_matvec",
+    "dq_referential_suite",
+    "files_partitioned_write_layout",
     f"""
     WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
     p AS (SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
@@ -10245,6 +10247,118 @@ def emb_power_iteration_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x1").cast("long").alias("x1"),
         F.col("x2").cast("string").alias("x2"),
     )
+
+
+@_q(
+    "dq_referential_suite",
+    """
+    SELECT 'orders.o_custkey->customer' AS rule_name,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+                 (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity suite: every foreign key of
+    the star schema audited in one result (operators/profiling.py:
+    check_referential per edge — each edge is ONE fact scan with a
+    broadcast anti-probe, unioned).  The pre-ingest gate for a 100 TB
+    warehouse load; note lineitem is probed three times because three
+    INDEPENDENT dimensions are checked — each probe prunes to the one
+    key column at the scan."""
+    from ..operators.profiling import check_referential
+
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = [
+        check_referential(
+            _t(spark, sf_dir, f),
+            fk,
+            _t(spark, sf_dir, d),
+            dk,
+            f"{f}.{fk}->{d}",
+        ).select("rule_name", "n_rows", "n_violations")
+        for f, fk, d, dk in edges
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
+    "files_partitioned_write_layout",
+    """
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events GROUP BY day
+    """,
+)
+def files_partitioned_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-write layout audit: events written
+    ``partitionBy(day)`` after a ``repartition(day)`` — hash
+    partitioning routes each day to exactly one task, so each partition
+    directory holds EXACTLY one file (the small-files guarantee a naive
+    partitioned write of 32 tasks × 30 days = 960 files destroys).  The
+    audit reads the result back through partition discovery and counts
+    files per partition via the `_metadata` column; the oracle asserts
+    both the per-day row counts and the one-file-per-partition claim."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    work = tempfile.mkdtemp(prefix="akr-partwrite-")
+    try:
+        e.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(work)
+        back = spark.read.parquet(work)
+        out = (
+            back.select("day", F.col("_metadata.file_path").alias("fp"))
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("fp").cast("long").alias("n_files"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
