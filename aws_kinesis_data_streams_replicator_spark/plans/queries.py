@@ -10191,8 +10191,6 @@ def emb_between_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "emb_power_iteration_matvec",
-    "dq_referential_suite",
-    "files_partitioned_write_layout",
     f"""
     WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
     p AS (SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
@@ -10488,6 +10486,8 @@ _CHECK_FIRST = [
     "doc_epochs_to_budget",
     "emb_between_class_scatter",
     "emb_power_iteration_matvec",
+    "dq_referential_suite",
+    "files_partitioned_write_layout",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

@@ -65,6 +65,7 @@ _BNLJ_OK = {
     # type-pair join over the |event_types|-row sketch rollup — bounded
     # build side (≤ dozens of types), deliberate inequality pair join
     "agg_hll_overlap_estimate",
+    "doc_epochs_to_budget",  # corpus token-total 1-row scalar broadcast
 }
 
 
