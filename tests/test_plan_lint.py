@@ -66,6 +66,9 @@ _BNLJ_OK = {
     # build side (≤ dozens of types), deliberate inequality pair join
     "agg_hll_overlap_estimate",
     "doc_epochs_to_budget",  # corpus token-total 1-row scalar broadcast
+    # 1-row plain-metrics agg × 1-row distinct-counts agg (the split
+    # that dodges the multi-distinct expand rewrite; see profiling.py)
+    "dq_profile_orders",
 }
 
 
