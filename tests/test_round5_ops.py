@@ -84,3 +84,104 @@ def test_bpe_merge_replace_is_left_to_right(spark):
     out = bpe_merge_step(_docs(spark, rows), top_k=5).collect()
     assert len(out) == 1
     assert (out[0].sym_a, out[0].sym_b, out[0].n_pairs) == ("aa", "a", 1)
+
+
+def test_weighted_median_hand_case(spark):
+    # values 10(w1), 20(w1), 30(w8): total w=10, half=5 → first value
+    # with 2*cw >= tw is 30 (cw: 1, 2, 10).
+    from pyspark.sql import functions as F, Window
+
+    df = spark.sql(
+        "SELECT * FROM VALUES ('A', 10, 1), ('A', 20, 1), ('A', 30, 8) "
+        "AS t(g, cents, w)"
+    )
+    g = df.groupBy("g", "cents").agg(F.sum("w").alias("w"))
+    r = g.select(
+        "g",
+        "cents",
+        "w",
+        F.sum("w")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+    )
+    row = (
+        r.groupBy("g")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))).alias(
+                "wm"
+            )
+        )
+        .collect()[0]
+    )
+    assert row.wm == 30
+
+
+def test_multitouch_credit_sums_to_1000_per_purchase(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    out = QUERIES["evt_multitouch_attribution"](spark, sf_dir)
+    total_credit = out.agg(F.sum("credit_milli")).collect()[0][0]
+    # total credit must be exactly 1000 x (purchases with >=1 touch)
+    from aws_kinesis_data_streams_replicator_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("u"),
+        F.col("us").alias("p_us"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("u"), F.col("us").alias("t_us")
+    )
+    n_with_touch = (
+        p.join(t, "u")
+        .where(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= 7 * 86400 * 1_000_000)
+        )
+        .select("p_id")
+        .distinct()
+        .count()
+    )
+    assert total_credit == 1000 * n_with_touch
+
+
+def test_phrase_search_counts_repeated_occurrences(spark):
+    from aws_kinesis_data_streams_replicator_spark.functions.hashing import (
+        word_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    # doc 1 contains the phrase twice, doc 2 once reversed (no match)
+    docs = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'slow hash batch x slow hash batch'), "
+        "(2, 'batch hash slow') AS t(doc_id, text)"
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p = pos.where(F.col("word").isin("slow", "hash", "batch"))
+    p1 = p.where(F.col("word") == "slow").select("doc_id", "pos")
+    p2 = p.where(F.col("word") == "hash").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    p3 = p.where(F.col("word") == "batch").select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    got = {
+        r.doc_id: r.n
+        for r in p1.join(p2, ["doc_id", "pos"])
+        .join(p3, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {1: 2}
