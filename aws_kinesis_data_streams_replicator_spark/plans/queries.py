@@ -10359,6 +10359,94 @@ def files_partitioned_write_layout(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+@_q(
+    "evt_timeseries_similarity",
+    """
+    WITH s AS (SELECT user_id,
+                      date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+                      count(*) AS c
+               FROM events GROUP BY user_id, day),
+    q AS (SELECT min(user_id) AS qid FROM events),
+    qs AS (SELECT day, c AS qc FROM s, q WHERE s.user_id = q.qid),
+    norms AS (SELECT user_id, sum(c * c) AS norm2 FROM s GROUP BY user_id),
+    qnorm AS (SELECT sum(qc * qc) AS qnorm2 FROM qs),
+    cross_t AS (SELECT s.user_id, sum(s.c * qs.qc) AS cross_term
+                FROM s JOIN qs ON qs.day = s.day GROUP BY s.user_id),
+    d AS (SELECT n.user_id,
+                 n.norm2 + qn.qnorm2
+                     - 2 * coalesce(ct.cross_term, 0) AS dist2
+          FROM norms n
+          LEFT JOIN cross_t ct ON ct.user_id = n.user_id
+          CROSS JOIN qnorm qn, q
+          WHERE n.user_id <> q.qid),
+    r AS (SELECT user_id, dist2,
+                 row_number() OVER (ORDER BY dist2, user_id) AS rank
+          FROM d)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(dist2 AS BIGINT) AS dist2,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def evt_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity time-series similarity search: the 10 users whose daily
+    event-count profile is closest (squared Euclidean) to the min-id
+    query user — cohort matching / look-alike audiences over behavioral
+    series.  SPARSE formulation: ‖u−q‖² = ‖u‖² + ‖q‖² − 2·u·q, so the
+    only join is the cross term keyed on day (≤ |days| keys, never a
+    dense |users|×|days| pivot) and users sharing no active day with the
+    query still get exact distances via the LEFT join.  Integer counts
+    end-to-end; top-k over the |users|-row distance rollup."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = s.localCheckpoint(eager=False)
+    q = s.groupBy().agg(F.min("user_id").alias("qid"))
+    qs = s.crossJoin(F.broadcast(q)).where(
+        F.col("user_id") == F.col("qid")
+    ).select("day", F.col("c").alias("qc"))
+    norms = s.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("norm2")
+    )
+    qnorm = qs.agg(F.sum(F.col("qc") * F.col("qc")).alias("qnorm2"))
+    cross_t = (
+        s.join(F.broadcast(qs), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("cross_term"))
+    )
+    d = (
+        norms.join(cross_t, "user_id", "left")
+        .crossJoin(F.broadcast(qnorm))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("user_id") != F.col("qid"))
+        .select(
+            "user_id",
+            (
+                F.col("norm2")
+                + F.col("qnorm2")
+                - 2 * F.coalesce(F.col("cross_term"), F.lit(0))
+            ).alias("dist2"),
+        )
+    )
+    r = d.select(
+        "user_id",
+        "dist2",
+        F.row_number()
+        .over(Window.orderBy("dist2", "user_id"))
+        .alias("rank"),
+    )
+    return r.where(F.col("rank") <= 10).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("dist2").cast("long").alias("dist2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10488,6 +10576,7 @@ _CHECK_FIRST = [
     "emb_power_iteration_matvec",
     "dq_referential_suite",
     "files_partitioned_write_layout",
+    "evt_timeseries_similarity",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

@@ -69,6 +69,8 @@ _BNLJ_OK = {
     # 1-row plain-metrics agg × 1-row distinct-counts agg (the split
     # that dodges the multi-distinct expand rewrite; see profiling.py)
     "dq_profile_orders",
+    # query-user series + 1-row norm scalars broadcast (sparse top-k)
+    "evt_timeseries_similarity",
 }
 
 
