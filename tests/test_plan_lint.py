@@ -71,6 +71,8 @@ _BNLJ_OK = {
     "dq_profile_orders",
     # query-user series + 1-row norm scalars broadcast (sparse top-k)
     "evt_timeseries_similarity",
+    # brute-force halves (emb_ann_topk rationale) + 1-row median scalar
+    "emb_incremental_topk_maintenance",
 }
 
 
