@@ -10505,6 +10505,137 @@ def emb_incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@_q(
+    "evt_survival_risk_table",
+    """
+    WITH u AS (SELECT user_id,
+                      max(date_diff('day', DATE '2024-01-01',
+                                    CAST(CAST(ts AS TIMESTAMP) AS DATE)))
+                          AS last_day
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(i.i AS INTEGER) AS day
+          FROM unnest(range(0, 30)) AS i(i)),
+    r AS (SELECT t.day,
+                 (SELECT count(*) FROM u WHERE u.last_day >= t.day)
+                     AS n_at_risk,
+                 (SELECT count(*) FROM u
+                  WHERE u.last_day = t.day AND t.day < 29) AS n_churned
+          FROM t)
+    SELECT CAST(day AS INTEGER) AS day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned
+    FROM r WHERE n_at_risk > 0
+    """,
+)
+def evt_survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-analysis risk table (the exact-integer input to a
+    Kaplan-Meier curve): per day, users still at risk (last activity on
+    or after the day) and users whose last-ever activity falls on the
+    day (churn events; the final observation day is censored, not
+    churn).  S(t) = Π(1 − dᵢ/nᵢ) is a float product, so the ENGINE
+    emits the exact (nᵢ, dᵢ) table and the caller multiplies at
+    whatever precision it wants.  One user rollup + a broadcast join
+    against the 30-row day spine with a ≥ predicate — at 100 TB the
+    spine side stays tiny, so the 'correlated count' shape is a
+    broadcast range probe, not a subquery per row."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        ).alias("last_day")
+    )
+    days = spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+    r = (
+        u.join(F.broadcast(days), F.col("last_day") >= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+            F.sum(
+                F.when(
+                    (F.col("last_day") == F.col("day")) & (F.col("day") < 29),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+    return r.select(F.col("day").cast("int").alias("day"), "n_at_risk", "n_churned")
+
+
+@_q(
+    "dq_distribution_drift",
+    """
+    WITH b AS (SELECT event_type,
+                      CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 2 END AS half,
+                      least(CAST(floor(value / 10) AS INTEGER), 9) AS bin
+               FROM events),
+    c AS (SELECT event_type, bin,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+          FROM b GROUP BY event_type, bin),
+    n AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM c
+          GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           CAST(sum(abs(c.c1 * n.n2 - c.c2 * n.n1)) AS BIGINT)
+               AS tvd_numer,
+           CAST(sum(abs(c.c1 * n.n2 - c.c2 * n.n1)) * 1000
+                // (2 * n.n1 * n.n2) AS BIGINT) AS tvd_milli
+    FROM c JOIN n ON n.event_type = c.event_type
+    GROUP BY c.event_type, n.n1, n.n2
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total variation distance between the
+    first and second half-month's value histograms, per event type —
+    the input-drift alarm run before retraining or trusting a model in
+    production.  Exact integer form: TV = ½Σ|p−q| cross-multiplies to
+    Σ|c1·n2 − c2·n1| / (2·n1·n2), so the drift score is
+    bit-reproducible.  One scan builds both halves' histograms
+    (conditional sums, map-side combined); the final join is on the
+    |event_types|-row margins rollup."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        c.join(n, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("_tv")
+        )
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("_tv").cast("long").alias("tvd_numer"),
+            F.expr("CAST(_tv * 1000 DIV (2 * n1 * n2) AS BIGINT)").alias(
+                "tvd_milli"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10636,6 +10767,8 @@ _CHECK_FIRST = [
     "files_partitioned_write_layout",
     "evt_timeseries_similarity",
     "emb_incremental_topk_maintenance",
+    "evt_survival_risk_table",
+    "dq_distribution_drift",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

@@ -73,6 +73,8 @@ _BNLJ_OK = {
     "evt_timeseries_similarity",
     # brute-force halves (emb_ann_topk rationale) + 1-row median scalar
     "emb_incremental_topk_maintenance",
+    # 30-row day-spine broadcast range probe (at-risk counting)
+    "evt_survival_risk_table",
 }
 
 
