@@ -99,6 +99,17 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_score_postings(tf, dl, k)
+
+
+def bm25_score_postings(tf: DataFrame, dl: DataFrame, k: int = 20) -> DataFrame:
+    """BM25 scoring tail over a PRE-BUILT inverted index: ``tf`` =
+    (doc_id, term, tf) postings already pruned to the query terms,
+    ``dl`` = (doc_id, dl) document lengths.  Same integer-exact math as
+    ``bm25_topk`` (which delegates here) — factored out so a
+    STREAMING-MAINTAINED index (streaming/job.py:
+    streaming_retrieval_index_maintenance) serves queries through the
+    identical scoring plan without touching raw text."""
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
@@ -177,3 +188,24 @@ def hybrid_rrf_topk(
         .where(F.col("rnk") <= k)
         .select("doc_id", "rrf_micro", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def bm25_topk_from_index(
+    spark, index_dir: str, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """BM25 query served ENTIRELY from a maintained on-disk inverted
+    index (postings + document lengths under ``index_dir``, as laid out
+    by streaming/job.py:streaming_retrieval_index_maintenance) — raw
+    text is never read at query time.  The term filter prunes the
+    postings scan (pushed predicate on the ``term`` column), so query
+    cost is proportional to the query terms' posting lists, not the
+    corpus — the property that makes an inverted index an INDEX."""
+    values = ", ".join("('" + t.replace("'", "''") + "')" for t in query_terms)
+    qdf = spark.sql(f"SELECT * FROM VALUES {values} AS q(term)")
+    tf = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(F.broadcast(qdf), "term")
+        .select("doc_id", "term", "tf")
+    )
+    dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
+    return bm25_score_postings(tf, dl, k)

@@ -492,3 +492,53 @@ def streaming_rollup_maintenance(
         .option("checkpointLocation", stream_checkpoint_dir)
         .start()
     )
+
+
+def streaming_retrieval_index_maintenance(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally maintained inverted index: each micro-batch of
+    documents appends its (doc_id, term, tf) postings and (doc_id, dl)
+    lengths under ``index_dir``, after which BM25 queries run against
+    the INDEX alone (operators/retrieval.py:bm25_topk_from_index) and
+    return exactly what a from-scratch index over all ingested docs
+    would — the streaming-ingest → searchable-corpus loop of a
+    production retrieval stack, with no rebuild step.
+
+    Idempotent under WAL replay: every batch writes into its OWN
+    ``batch_id=N`` subdirectories with overwrite mode, so a replayed
+    batch replaces its previous (possibly partial) output instead of
+    double-counting term frequencies — the same exactly-once file-sink
+    pattern as sinks.replicated_exactly_once.  At 100 TB, partition the
+    postings by a term hash so query-term probes prune to a few
+    directories; df/N statistics stay query-time aggregations, so no
+    global state needs transactional maintenance.
+    """
+    from ..functions.hashing import word_tokens
+    from ..operators.retrieval import term_postings
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.persist()
+        try:
+            term_postings(batch_df).write.mode("overwrite").parquet(
+                f"{index_dir}/postings/batch_id={batch_id}"
+            )
+            batch_df.select(
+                "doc_id",
+                F.size(word_tokens(F.col("text"))).cast("long").alias("dl"),
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/doclen/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
