@@ -98,3 +98,41 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[merge_fn[fn](name).alias(name) for name, (fn, _) in aggs.items()]
     )
+
+
+def salted_join(
+    fact,
+    dim,
+    key: str,
+    n_salt: int = 16,
+    salt_source: str | None = None,
+):
+    """Skew-safe equi-join: the FACT side's hot keys are split across
+    ``n_salt`` sub-partitions by a deterministic salt, and the DIM side
+    is replicated once per salt value — so one hot join key spreads over
+    ``n_salt`` reducers instead of melting one.
+
+    The manual fallback when AQE's skew-join split can't apply (the
+    skewed exchange feeds a downstream stateful op, or the join is
+    inside a streaming foreachBatch where AQE re-planning is off).
+    Salt is ``xxhash64(salt_source) pmod n_salt`` — deterministic, so
+    retried tasks land rows identically (F.rand would break replay
+    idempotency); pass a high-cardinality fact column (an id) as
+    ``salt_source``, defaulting to the join key itself, which still
+    fixes *reducer* skew caused by key collisions in hash partitioning
+    (several large keys hashing together) though not a single giant key.
+
+    Cost: dim is materialized ``n_salt``× into the shuffle — use only
+    when dim ≪ fact (but too big or too state-entangled to broadcast).
+    Result is exactly ``fact JOIN dim USING (key)``.
+    """
+    from pyspark.sql import functions as F
+
+    src = salt_source or key
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salt)).cast("int")
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")

@@ -185,3 +185,28 @@ def test_phrase_search_counts_repeated_occurrences(spark):
         .collect()
     }
     assert got == {1: 2}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from aws_kinesis_data_streams_replicator_spark.operators.util import (
+        salted_join,
+    )
+    from aws_kinesis_data_streams_replicator_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    got = (
+        salted_join(orders, customer, "o_custkey", n_salt=8,
+                    salt_source="o_orderkey")
+        .groupBy("c_nationkey")
+        .count()
+    )
+    want = orders.join(customer, "o_custkey").groupBy("c_nationkey").count()
+    assert {(r.c_nationkey, r["count"]) for r in got.collect()} == {
+        (r.c_nationkey, r["count"]) for r in want.collect()
+    }
