@@ -260,3 +260,34 @@ def arrow_byte_stats(documents: DataFrame) -> DataFrame:
     return spread(documents.select("doc_id", "text")).mapInArrow(
         run, schema="doc_id long, n_bytes long, n_chars long, n_spaces long, n_a long"
     )
+
+
+class UserSummaryUDTF:
+    """TABLE-argument UDTF (Spark 4): consumes
+    ``TABLE(events) PARTITION BY user_id ORDER BY ts, event_id`` — the
+    engine routes each user's rows, in order, through one UDTF instance,
+    and ``terminate()`` emits the partition summary.  The SQL-standard
+    polymorphic-table-function shape (think MATCH_RECOGNIZE /
+    sessionization hooks) as opposed to the per-row lateral UDTFs above.
+
+    Row-at-a-time Python — API-surface demo; the identical output is a
+    window + aggregate JVM plan (see the oracle), which is the
+    production path at scale.
+    """
+
+    def __init__(self):
+        self._uid = None
+        self._n = 0
+        self._first = None
+        self._last = None
+
+    def eval(self, row):
+        self._uid = row["user_id"]
+        self._n += 1
+        if self._first is None:
+            self._first = row["event_type"]
+        self._last = row["event_type"]
+
+    def terminate(self):
+        if self._n:
+            yield self._uid, self._n, self._first, self._last

@@ -10636,6 +10636,47 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "udtf_table_arg_user_summary",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      row_number() OVER w AS rn,
+                      count(*) OVER (PARTITION BY user_id) AS n
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn = n THEN event_type END) AS last_type
+    FROM e GROUP BY user_id
+    """,
+)
+def udtf_table_arg_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-argument UDTF (operators/udfs.py:UserSummaryUDTF): the SQL
+    polymorphic-table-function surface — ``PARTITION BY user_id ORDER BY
+    ts, event_id`` routes each user's ordered rows through one UDTF
+    instance, terminate() emits the summary.  Oracle = the JVM
+    window+aggregate formulation of the same output, which doubles as
+    the documented production path."""
+    from pyspark.sql.functions import udtf
+
+    from ..operators.udfs import UserSummaryUDTF
+
+    spark.udtf.register(
+        "user_summary_udtf",
+        udtf(
+            UserSummaryUDTF,
+            returnType="user_id bigint, n_events bigint, "
+            "first_type string, last_type string",
+        ),
+    )
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_evt_udtf_ta")
+    return spark.sql(
+        "SELECT * FROM user_summary_udtf("
+        "TABLE(SELECT user_id, event_type, ts, event_id FROM _evt_udtf_ta) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10769,6 +10810,7 @@ _CHECK_FIRST = [
     "emb_incremental_topk_maintenance",
     "evt_survival_risk_table",
     "dq_distribution_drift",
+    "udtf_table_arg_user_summary",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
