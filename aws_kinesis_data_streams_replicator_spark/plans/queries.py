@@ -10677,6 +10677,102 @@ def udtf_table_arg_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pipeline_event_analytics",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_type, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS seq
+          FROM f),
+    sess AS (SELECT user_id, seq,
+                    min(ts) AS start_ts,
+                    count(*) AS n_events,
+                    CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                         // 1000000 AS BIGINT) AS dur_secs,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS converted
+             FROM s GROUP BY user_id, seq)
+    SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS bounce_bp,
+           CAST(sum(converted) * 10000 // count(*) AS BIGINT)
+               AS conversion_bp,
+           CAST(sum(dur_secs) AS BIGINT) AS total_session_secs
+    FROM sess GROUP BY day
+    """,
+)
+def pipeline_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed event-analytics pipeline — the events-side flagship
+    mirroring the corpus-curation pipelines: sessionize (30-min gaps) →
+    per-session rollup (length, duration, conversion) → daily KPI board
+    (sessions, bounce rate, conversion rate, engaged time) in ONE plan.
+    The session rollup is computed once and feeds every KPI; both
+    window passes and the rollup share the user_id shuffle key, so the
+    whole pipeline is two shuffles (user, then day) regardless of KPI
+    count — integer basis-point rates throughout."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = f.groupBy("user_id", "seq").agg(
+        F.min("ts").alias("start_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("dur_secs"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess.groupBy(
+        F.date_format(F.date_trunc("day", "start_ts"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 "
+            "DIV count(1) AS BIGINT)"
+        ).alias("bounce_bp"),
+        F.expr(
+            "CAST(sum(converted) * 10000 DIV count(1) AS BIGINT)"
+        ).alias("conversion_bp"),
+        F.sum("dur_secs").cast("long").alias("total_session_secs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10811,6 +10907,7 @@ _CHECK_FIRST = [
     "evt_survival_risk_table",
     "dq_distribution_drift",
     "udtf_table_arg_user_summary",
+    "pipeline_event_analytics",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
