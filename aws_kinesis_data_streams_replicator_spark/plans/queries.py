@@ -10773,6 +10773,78 @@ def pipeline_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_typo_variant_pairs",
+    """
+    WITH w AS (SELECT word, count(*) AS n FROM (
+                   SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents) WHERE strlen(word) >= 3
+               GROUP BY word),
+    a AS (SELECT word, n, strlen(word) + CAST(t.d AS INTEGER) AS tgt
+          FROM w, unnest(range(-2, 3)) AS t(d)),
+    p AS (SELECT a.word AS word_a, c.word AS word_b,
+                 a.n AS n_a, c.n AS n_b,
+                 levenshtein(a.word, c.word) AS dist
+          FROM a JOIN w c
+            ON a.tgt = strlen(c.word) AND a.word < c.word)
+    SELECT word_a, word_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(dist AS INTEGER) AS dist
+    FROM p WHERE dist <= 2
+    """,
+)
+def text_typo_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant / typo pair detection over the corpus
+    vocabulary: words (len ≥ 3) within Levenshtein distance 2, candidate
+    pairs generated by LENGTH-DIFFERENCE BLOCKING — |len(a)−len(b)| ≤ d
+    is a true lower bound on edit distance, so unlike prefix blocking
+    this loses ZERO recall while cutting the all-pairs product to
+    same-length-band bands (the entity-resolution blocking pattern
+    applied to vocab normalization; at real vocab scale add a character
+    n-gram count filter as a second sound lower bound).  Each unordered
+    pair joins exactly once: the lexicographically smaller word fans out
+    to its ±2 length band and probes the other side by exact length."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens as _wt
+    from ..operators.util import spread as _spread
+
+    w = (
+        _spread(d)
+        .select(F.explode(_wt(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = w.select(
+        "word",
+        "n",
+        F.explode(
+            F.sequence(F.length("word") - 2, F.length("word") + 2)
+        ).alias("tgt"),
+    )
+    c = w.select(
+        F.col("word").alias("word_b"),
+        F.col("n").alias("n_b"),
+        F.length("word").alias("blen"),
+    )
+    return (
+        a.join(
+            c,
+            (F.col("tgt") == F.col("blen"))
+            & (F.col("word") < F.col("word_b")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("word"), F.col("word_b")))
+        .where(F.col("dist") <= 2)
+        .select(
+            F.col("word").alias("word_a"),
+            "word_b",
+            F.col("n").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10908,6 +10980,7 @@ _CHECK_FIRST = [
     "dq_distribution_drift",
     "udtf_table_arg_user_summary",
     "pipeline_event_analytics",
+    "text_typo_variant_pairs",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
