@@ -10845,6 +10845,39 @@ def text_typo_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "fn_str_to_map_suite",
+    """
+    SELECT doc_id,
+           lang AS kv_lang,
+           source AS kv_source,
+           CAST(n_chars AS BIGINT) AS kv_chars,
+           CAST(3 AS INTEGER) AS n_keys
+    FROM documents
+    """,
+)
+def fn_str_to_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited key-value log parsing: a synthesized
+    ``lang=..&source=..&chars=..`` string is torn apart with
+    ``str_to_map`` (the log/qs-parsing workhorse that avoids three
+    regexes and three scans) and the extracted values must round-trip
+    to the source columns exactly — the oracle reconstructs them
+    directly, so any parse divergence hash-fails.  Pure JVM per-row
+    expressions; map_keys size proves no key is silently dropped."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.expr(
+        "str_to_map(concat('lang=', lang, '&source=', source, "
+        "'&chars=', CAST(n_chars AS STRING)), '&', '=')"
+    )
+    return d.select(
+        "doc_id",
+        m.getItem("lang").alias("kv_lang"),
+        m.getItem("source").alias("kv_source"),
+        m.getItem("chars").cast("long").alias("kv_chars"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -10981,6 +11014,7 @@ _CHECK_FIRST = [
     "udtf_table_arg_user_summary",
     "pipeline_event_analytics",
     "text_typo_variant_pairs",
+    "fn_str_to_map_suite",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
