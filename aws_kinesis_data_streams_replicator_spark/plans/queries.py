@@ -10878,6 +10878,163 @@ def fn_str_to_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_channel_ltv",
+    """
+    WITH u AS (SELECT user_id,
+                      min({'ts': CAST(ts AS TIMESTAMP), 'eid': event_id,
+                           'etype': event_type}) AS first_evt,
+                      sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(floor(value * 100) AS BIGINT)
+                               ELSE 0 END) AS ltv_c
+               FROM events GROUP BY user_id),
+    f AS (SELECT user_id, first_evt.etype AS channel, ltv_c FROM u)
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ltv_c) AS BIGINT) AS total_ltv_cents,
+           CAST(sum(ltv_c) // count(*) AS BIGINT) AS avg_ltv_cents
+    FROM f GROUP BY channel
+    """,
+)
+def evt_channel_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime value by acquisition channel: each user's FIRST-ever
+    event type (deterministic struct-min over (ts, event_id)) is the
+    channel; LTV = total purchase cents — the marketing query that
+    decides channel spend.  ONE user rollup computes both the first
+    touch and the LTV (conditional sum), so the fact table is scanned
+    once; the channel aggregate runs on the |users| rollup."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        ).alias("first_evt"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(floor(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("ltv_c"),
+    )
+    f = u.select(F.col("first_evt.event_type").alias("channel"), "ltv_c")
+    return f.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("ltv_c").cast("long").alias("total_ltv_cents"),
+        F.expr("CAST(sum(ltv_c) DIV count(1) AS BIGINT)").alias(
+            "avg_ltv_cents"
+        ),
+    )
+
+
+@_q(
+    "evt_path_to_purchase_length",
+    """
+    WITH fp AS (SELECT user_id,
+                       min(ROW(CAST(ts AS TIMESTAMP), event_id)) AS first_p
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id),
+    n AS (SELECT e.user_id, count(*) AS path_len
+          FROM events e JOIN fp ON fp.user_id = e.user_id
+          WHERE ROW(CAST(e.ts AS TIMESTAMP), e.event_id) < fp.first_p
+          GROUP BY e.user_id)
+    SELECT CAST(path_len AS BIGINT) AS path_len,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM n GROUP BY path_len
+    """,
+)
+def evt_path_to_purchase_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-to-purchase length distribution: events each user generates
+    strictly BEFORE their first purchase, histogrammed — how much
+    consideration precedes conversion.  First purchase is a struct-min
+    per user (deterministic (ts, event_id) order); the before-count is
+    a broadcast join of that |purchasers|-row rollup back onto the fact
+    scan with a tuple comparison — no window pass over raw events."""
+    e = _t(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first_p"))
+    )
+    n = (
+        e.join(F.broadcast(fp), "user_id")
+        .where(
+            F.struct(F.col("ts"), F.col("event_id")) < F.col("first_p")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("path_len"))
+    )
+    return n.groupBy(F.col("path_len").cast("long").alias("path_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@_q(
+    "emb_filtered_ann_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, {_QUANT_SQL} AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id, label, {_QUANT_SQL} AS qe FROM embeddings),
+    s AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                                            i -> q.qe[i] * c.qe[i]))
+                    AS BIGINT) AS dot_q
+        FROM q JOIN c ON c.label = q.q_label AND c.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY dot_q DESC, neighbor_id ASC) AS INTEGER)
+                        AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, dot_q, rank FROM r WHERE rank <= 5
+    """,
+)
+def emb_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-5 neighbors restricted to vectors
+    sharing the query's label — the metadata-predicate-plus-ANN shape
+    every production vector store must answer.  This is the PRE-filter
+    formulation (predicate applied before scoring, exact top-k among
+    survivors); the post-filter alternative (score first, filter the
+    top-k) silently returns < k rows when the predicate is selective —
+    the classic filtered-ANN bug this query's semantics pin down.  The
+    label predicate joins before any dot product, so scoring cost is
+    |Q|·|matching partition|, and at scale the label becomes the IVF
+    partition key so the filter prunes cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import quantize_embedding
+
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        quantize_embedding(F.col("embedding")).alias("q_qe"),
+    )
+    c = emb.select(
+        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    from ..operators.similarity import dot_q as _dq
+
+    s = (
+        c.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dq(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11015,6 +11172,9 @@ _CHECK_FIRST = [
     "pipeline_event_analytics",
     "text_typo_variant_pairs",
     "fn_str_to_map_suite",
+    "evt_channel_ltv",
+    "evt_path_to_purchase_length",
+    "emb_filtered_ann_topk",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
