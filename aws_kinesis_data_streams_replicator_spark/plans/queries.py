@@ -11035,6 +11035,64 @@ def emb_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_seasonal_naive_backtest",
+    """
+    WITH d AS (SELECT event_type,
+                      date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+                      count(*) AS c
+               FROM events GROUP BY event_type, day),
+    j AS (SELECT a.event_type, a.day, a.c AS actual, p.c AS predicted
+          FROM d a JOIN d p
+            ON p.event_type = a.event_type AND p.day = a.day - 7
+          WHERE a.day >= 16)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - predicted)) AS BIGINT) AS mae_numer,
+           CAST(sum(actual) AS BIGINT) AS actual_total,
+           CAST(sum(abs(actual - predicted)) * 10000 // sum(actual)
+                AS BIGINT) AS wape_bp
+    FROM j GROUP BY event_type
+    """,
+)
+def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest harness on the seasonal-naive baseline
+    (predict day d with day d−7): per event type, exact integer MAE
+    numerator and WAPE basis points over the final two weeks — the
+    sanity bar every fancier forecaster must beat, and the backtest
+    join shape (series self-join at lag k) any model evaluation reuses.
+    Runs entirely on the (type × day) rollup; the lag join is an
+    equi-join on (type, day−7), not a window, so backtesting horizon
+    h costs h equi-joins of rollup-sized inputs at any corpus scale."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d = d.localCheckpoint(eager=False)
+    a = d.select("event_type", "day", F.col("c").alias("actual"))
+    p = d.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("c").alias("predicted"),
+    )
+    j = a.join(p, ["event_type", "day"]).where(F.col("day") >= 16)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("actual") - F.col("predicted")))
+        .cast("long")
+        .alias("mae_numer"),
+        F.sum("actual").cast("long").alias("actual_total"),
+        F.expr(
+            "CAST(sum(abs(actual - predicted)) * 10000 DIV sum(actual) "
+            "AS BIGINT)"
+        ).alias("wape_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11175,6 +11233,7 @@ _CHECK_FIRST = [
     "evt_channel_ltv",
     "evt_path_to_purchase_length",
     "emb_filtered_ann_topk",
+    "evt_seasonal_naive_backtest",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
