@@ -11093,6 +11093,46 @@ def evt_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kr_ops_dashboard",
+    f"""
+    WITH {_GATED_CTE.strip()}
+    SELECT streamName,
+           CAST(count(*) AS BIGINT) AS n_replicated,
+           max(commitTimestamp) AS last_commit_ts,
+           CAST(count(DISTINCT partitionKey) AS BIGINT) AS n_partition_keys,
+           CAST(epoch_us(max(arrival)) - epoch_us(min(arrival)) AS BIGINT)
+               AS arrival_span_us,
+           min(sequenceNumber) AS first_seq,
+           max(sequenceNumber) AS last_seq
+    FROM gated GROUP BY streamName
+    """,
+)
+def kr_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication operations dashboard: the kr_* surface composed into
+    the one per-stream status row an operator actually watches —
+    replicated count, checkpoint value (max commit ts), partition-key
+    fan-out, arrival span, and the sequence-number range that brackets
+    the replicated prefix (Handler.java ops 2-8+10 as observability).
+    One aggregation over the gated stream; every column is either the
+    checkpoint rule itself or a distinct-count/extreme that merges
+    map-side."""
+    g = _gated(spark, sf_dir)
+    return g.groupBy("streamName").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicated"),
+        F.max("commitTimestamp").alias("last_commit_ts"),
+        F.countDistinct("partitionKey").cast("long").alias("n_partition_keys"),
+        (
+            F.unix_micros(F.max("approximateArrivalTimestamp"))
+            - F.unix_micros(F.min("approximateArrivalTimestamp"))
+        )
+        .cast("long")
+        .alias("arrival_span_us"),
+        F.min("sequenceNumber").alias("first_seq"),
+        F.max("sequenceNumber").alias("last_seq"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11234,6 +11274,7 @@ _CHECK_FIRST = [
     "evt_path_to_purchase_length",
     "emb_filtered_ann_topk",
     "evt_seasonal_naive_backtest",
+    "kr_ops_dashboard",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
