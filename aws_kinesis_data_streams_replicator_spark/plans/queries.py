@@ -11133,6 +11133,138 @@ def kr_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                  md5(t[CAST(i.i AS INTEGER)] || ' '
+                      || t[CAST(i.i AS INTEGER) + 1] || ' '
+                      || t[CAST(i.i AS INTEGER) + 2]) AS h
+           FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i(i)),
+    w AS (SELECT doc_id, pos, h,
+                 min({{'h': h, 'pos': pos}}) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM sh),
+    f AS (SELECT DISTINCT doc_id, sel.h AS fp, sel.pos AS fp_pos
+          FROM w
+          WHERE pos + 3 <= (SELECT max(pos) FROM sh s2
+                            WHERE s2.doc_id = w.doc_id))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           min(fp) AS min_fp
+    FROM f GROUP BY doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    algorithm): per document, every window of 4 consecutive 3-gram
+    hashes selects its minimum (ties → leftmost position), and the
+    distinct selected (hash, pos) set is the fingerprint — guaranteed
+    to catch any shared run ≥ window+k−1 tokens, with ~2/(w+1) density
+    instead of all shingles.  One codegen'd window pass over the
+    per-doc shingle stream (ROWS frame, bounded lookahead); only FULL
+    windows select, matching the canonical definition.  The per-doc
+    fingerprint COUNT and min hash are the checked output — compact but
+    sensitive to any selection divergence."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+
+    sh = (
+        d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_tokens(F.col("toks"), 3)).alias(
+                "pos0", "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("shingle").alias("h"),
+        )
+    )
+    sh = sh.localCheckpoint(eager=False)
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    maxpos = sh.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    w = sh.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct(F.col("h").alias("h"), F.col("pos").alias("pos")))
+        .over(wspec)
+        .alias("sel"),
+    )
+    f = (
+        w.join(F.broadcast(maxpos), "doc_id")
+        .where(F.col("pos") + 3 <= F.col("max_pos"))
+        .select("doc_id", F.col("sel.h").alias("fp"), F.col("sel.pos"))
+        .distinct()
+    )
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+@_q(
+    "evt_transition_conformance",
+    """
+    WITH allowed(prev_t, next_t) AS (VALUES
+        ('signup', 'click'), ('click', 'view'), ('view', 'view'),
+        ('view', 'click'), ('click', 'click'), ('view', 'purchase'),
+        ('click', 'purchase'), ('purchase', 'click'),
+        ('purchase', 'view')),
+    t AS (SELECT user_id, event_type AS next_t,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_t
+          FROM events),
+    j AS (SELECT t.prev_t, t.next_t,
+                 CASE WHEN a.prev_t IS NULL THEN 0 ELSE 1 END AS ok
+          FROM t LEFT JOIN allowed a
+            ON a.prev_t = t.prev_t AND a.next_t = t.next_t
+          WHERE t.prev_t IS NOT NULL)
+    SELECT prev_t, next_t,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(max(ok) AS INTEGER) AS is_allowed
+    FROM j GROUP BY prev_t, next_t
+    """,
+)
+def evt_transition_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check: observed per-user event
+    transitions audited against an allowed-transition model (broadcast
+    VALUES relation), every (prev, next) pair counted and flagged — the
+    state-machine validation run on instrumentation data to find
+    impossible flows (errors firing before signup, purchases from
+    nowhere).  One lag window per user + a broadcast left join against
+    the model."""
+    e = _t(spark, sf_dir, "events")
+    allowed = spark.sql(
+        "SELECT * FROM VALUES "
+        "('signup','click'), ('click','view'), ('view','view'), "
+        "('view','click'), ('click','click'), ('view','purchase'), "
+        "('click','purchase'), ('purchase','click'), ('purchase','view') "
+        "AS a(prev_t, next_t)"
+    ).withColumn("ok", F.lit(1))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.col("event_type").alias("next_t"),
+    ).where(F.col("prev_t").isNotNull())
+    return (
+        t.join(F.broadcast(allowed), ["prev_t", "next_t"], "left")
+        .groupBy("prev_t", "next_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.max(F.coalesce(F.col("ok"), F.lit(0)))
+            .cast("int")
+            .alias("is_allowed"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11275,6 +11407,8 @@ _CHECK_FIRST = [
     "emb_filtered_ann_topk",
     "evt_seasonal_naive_backtest",
     "kr_ops_dashboard",
+    "doc_winnowing_fingerprints",
+    "evt_transition_conformance",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
