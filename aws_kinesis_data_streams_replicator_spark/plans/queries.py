@@ -11265,6 +11265,174 @@ def evt_transition_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_winnowing_overlap_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                  md5(t[CAST(i.i AS INTEGER)] || ' '
+                      || t[CAST(i.i AS INTEGER) + 1] || ' '
+                      || t[CAST(i.i AS INTEGER) + 2]) AS h
+           FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i(i)),
+    w AS (SELECT doc_id, pos,
+                 min({{'h': h, 'pos': pos}}) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM sh),
+    f AS (SELECT DISTINCT doc_id, sel.h AS fp
+          FROM w
+          WHERE pos + 3 <= (SELECT max(pos) FROM sh s2
+                            WHERE s2.doc_id = w.doc_id)),
+    hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 50),
+    fc AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS pipeline completed: winnowed fingerprints inverted into
+    an index, documents paired by shared-fingerprint count (≥ 3) — the
+    plagiarism/mirror-detection query, at winnowed density instead of
+    full-shingle cost.  Hot fingerprints (boilerplate selected by > 50
+    docs) are dropped before the self-join, the same DF-cap skew guard
+    as ngram_jaccard_pairs; candidate generation is a fingerprint
+    equi-join, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+
+    sh = (
+        d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_tokens(F.col("toks"), 3)).alias(
+                "pos0", "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("shingle").alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    maxpos = sh.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    f = (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.min(
+                F.struct(F.col("h").alias("h"), F.col("pos").alias("pos"))
+            )
+            .over(wspec)
+            .alias("sel"),
+        )
+        .join(F.broadcast(maxpos), "doc_id")
+        .where(F.col("pos") + 3 <= F.col("max_pos"))
+        .select("doc_id", F.col("sel.h").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hot = f.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > 50
+    )
+    fc = f.join(hot.select("fp"), "fp", "left_anti")
+    a, b = fc.alias("a"), fc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= 3)
+    )
+
+
+@_q(
+    "emb_centroid_distance_profile",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_SQL} AS qe FROM embeddings),
+    p AS (SELECT label, CAST(t.i AS INTEGER) AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS q, vec_id
+          FROM e, unnest(range(1, 65)) AS t(i)),
+    c AS (SELECT label, pos, sum(q) // count(*) AS m FROM p
+          GROUP BY label, pos),
+    d AS (SELECT p.vec_id, p.label,
+                 sum((p.q - c.m) * (p.q - c.m)) AS dist2
+          FROM p JOIN c ON c.label = p.label AND c.pos = p.pos
+          GROUP BY p.vec_id, p.label),
+    r AS (SELECT label, dist2,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist2, vec_id) AS rn,
+                 count(*) OVER (PARTITION BY label) AS n
+          FROM d)
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(max(CASE WHEN rn = ((n - 1) // 2) + 1 THEN dist2 END)
+                AS BIGINT) AS p50_dist2,
+           CAST(max(CASE WHEN rn = ((19 * (n - 1)) // 20) + 1 THEN dist2
+                    END) AS BIGINT) AS p95_dist2,
+           CAST(max(dist2) AS BIGINT) AS max_dist2
+    FROM r GROUP BY label
+    """,
+)
+def emb_centroid_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class compactness profile: exact p50/p95/max squared distance
+    of each label's members to their own (integer-mean) centroid — the
+    calibration table behind centroid-distance OOD scoring ("flag
+    vectors beyond the class's p95").  Centroids come from one
+    (label × dim) rollup; per-vector distances from a broadcast join of
+    that rollup back onto the exploded components; percentiles by exact
+    rank selection, deterministic ties on vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import quantize_embedding
+
+    p = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(quantize_embedding(F.col("embedding"))).alias(
+            "pos0", "q"
+        ),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "q")
+    p = p.localCheckpoint(eager=False)
+    c = p.groupBy("label", "pos").agg(
+        F.expr("sum(q) DIV count(1)").alias("m")
+    )
+    d = (
+        p.join(F.broadcast(c), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
+                "dist2"
+            )
+        )
+    )
+    w = Window.partitionBy("label").orderBy("dist2", "vec_id")
+    r = d.select(
+        "label",
+        "dist2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n"),
+    )
+    pick = lambda idx: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(idx), F.col("dist2"))
+    )
+    return r.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        pick("((n - 1) DIV 2) + 1").cast("long").alias("p50_dist2"),
+        pick("((19 * (n - 1)) DIV 20) + 1").cast("long").alias("p95_dist2"),
+        F.max("dist2").cast("long").alias("max_dist2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11409,6 +11577,8 @@ _CHECK_FIRST = [
     "kr_ops_dashboard",
     "doc_winnowing_fingerprints",
     "evt_transition_conformance",
+    "doc_winnowing_overlap_pairs",
+    "emb_centroid_distance_profile",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
