@@ -210,3 +210,70 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert {(r.c_nationkey, r["count"]) for r in got.collect()} == {
         (r.c_nationkey, r["count"]) for r in want.collect()
     }
+
+
+def test_winnowing_hand_case(spark):
+    """Hand-computed MOSS winnowing: 8 tokens → 6 3-gram hashes, window
+    w=4 → 3 full windows; each selects its min (hash, pos).  The
+    fingerprint count must equal the number of DISTINCT selected
+    positions, which is ≤ 3 and ≥ ceil(6/4) by the winnowing density
+    guarantee."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+    import hashlib
+
+    rows = [(1, "a b c d e f g h")]
+    docs = spark.sql(
+        "SELECT * FROM VALUES (1, 'a b c d e f g h') AS t(doc_id, text)"
+    )
+    # reproduce selection in python
+    toks = "a b c d e f g h".split(" ")
+    hs = [
+        hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+        for i in range(len(toks) - 2)
+    ]
+    sel = set()
+    for start in range(len(hs) - 3):
+        window = [(hs[start + j], start + j + 1) for j in range(4)]
+        sel.add(min(window))
+    from aws_kinesis_data_streams_replicator_spark.functions.hashing import (
+        shingles_of_tokens,
+        word_tokens,
+    )
+    from pyspark.sql import Window, functions as F
+
+    sh = (
+        docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_tokens(F.col("toks"), 3)).alias(
+                "pos0", "shingle"
+            ),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("shingle").alias("h")
+        )
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    got = {
+        (r.fp, r.fp_pos)
+        for r in sh.select(
+            "pos",
+            F.min(F.struct(F.col("h").alias("h"), F.col("pos").alias("pos")))
+            .over(wspec)
+            .alias("sel"),
+        )
+        .where(F.col("pos") + 3 <= len(hs))
+        .select(F.col("sel.h").alias("fp"), F.col("sel.pos").alias("fp_pos"))
+        .distinct()
+        .collect()
+    }
+    assert got == sel
+
+
+def test_cep_pattern_counts_hand_case(spark):
+    """'c v v p c p e c v' → journeys: c v v p (1), c p (2); the final
+    'c v' never completes.  Non-overlapping leftmost matching."""
+    import re
+
+    seq = "cvvpcpecv"
+    assert len(re.findall("c[vse]*p", seq)) == 2
