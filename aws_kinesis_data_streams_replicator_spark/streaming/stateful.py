@@ -253,3 +253,61 @@ def expiring_user_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "event_type string, n_seen long, mean_cents long, cusum_cents long, "
+    "alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "n long, sum_c long, cusum_c long"
+
+
+def _cusum_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    slack_c = 500  # ignore drifts smaller than 5.00 in value units
+    threshold_c = 20000  # alarm when accumulated drift passes 200.00
+    n, sum_c, cusum_c = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for cents in (pdf["value"] * 100).astype("int64").map(int):
+            # deviation vs the PRE-update running mean: online CUSUM
+            if n > 0:
+                dev = cents - sum_c // n - slack_c
+                cusum_c = max(0, cusum_c + dev)
+            n += 1
+            sum_c += cents
+    state.update((int(n), int(sum_c), int(cusum_c)))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "mean_cents": [sum_c // n if n else 0],
+            "cusum_cents": [cusum_c],
+            "alarm": [cusum_c >= threshold_c],
+        }
+    )
+
+
+def streaming_cusum_alerts(events_stream: DataFrame) -> DataFrame:
+    """Online CUSUM change detection per event type: bounded keyed state
+    (n, Σcents, CUSUM) updated row-at-a-time in event order, one status
+    row per (type, batch) with the alarm flag — the streaming twin of
+    the batch dq_distribution_drift monitor, catching a sustained
+    upward shift in value as it happens instead of at the next offline
+    comparison.  Integer arithmetic end-to-end so replayed batches
+    recompute identical state; keys are event types (finite), so
+    NoTimeout state is bounded by construction."""
+    return (
+        events_stream.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _cusum_update,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,82 @@
+"""Streaming CUSUM change detection: a stable value stream must not
+alarm; a sustained upward shift must accumulate drift and alarm, with
+state carried across micro-batches."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from aws_kinesis_data_streams_replicator_spark.streaming.stateful import (
+    streaming_cusum_alerts,
+)
+
+SCHEMA = "event_type string, ts timestamp, event_id long, value double"
+
+
+def _write_file(spark, rows_sql, stage, name):
+    df = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t(event_type, ts, event_id, value)")
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(stage, exist_ok=True)
+    (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    shutil.move(src, os.path.join(stage, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rows(kind, start_id, base_val, n=20):
+    return ", ".join(
+        f"('{kind}', TIMESTAMP '2024-01-01 10:{i:02d}:00', {start_id + i}, "
+        f"CAST({base_val} AS DOUBLE))"
+        for i in range(n)
+    )
+
+
+def test_cusum_alarms_on_sustained_shift_only(spark, tmp_path):
+    stage = str(tmp_path / "stage")
+    # batch 1: stable around 100 for both streams
+    _write_file(
+        spark,
+        _rows("stable", 0, 100) + ", " + _rows("shifty", 1000, 100),
+        stage,
+        "b1.parquet",
+    )
+    # batch 2: 'shifty' jumps to 400 (+300 >> slack 5), 'stable' stays
+    _write_file(
+        spark,
+        _rows("stable", 100, 100) + ", " + _rows("shifty", 1100, 400),
+        stage,
+        "b2.parquet",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        streaming_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .option("checkpointLocation", str(tmp_path / "wal"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = spark.sql("SELECT * FROM cusum_out").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    # stable stream: never alarms, mean stays 100.00
+    assert all(not r.alarm for r in by_type["stable"])
+    assert all(r.mean_cents == 10000 for r in by_type["stable"])
+    # shifty stream: no alarm while stable, alarm after the shift batch
+    shifty = sorted(by_type["shifty"], key=lambda r: r.n_seen)
+    assert not shifty[0].alarm
+    assert shifty[-1].alarm
+    # 20 values +300 above mean accumulate ~ (30000-ish) > 20000 cents
+    assert shifty[-1].cusum_cents >= 20000
+    assert shifty[-1].n_seen == 40  # state carried across batches
