@@ -277,3 +277,35 @@ def test_cep_pattern_counts_hand_case(spark):
 
     seq = "cvvpcpecv"
     assert len(re.findall("c[vse]*p", seq)) == 2
+
+
+def test_emb_exact_dup_accounting_with_planted_copy(spark):
+    from pyspark.sql import functions as F
+    from aws_kinesis_data_streams_replicator_spark.functions.vectors import (
+        quantize_embedding,
+    )
+
+    emb = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))), "
+        "(2, array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))), "  # copy of 1
+        "(3, array(CAST(0.1 AS FLOAT), CAST(0.9 AS FLOAT))) "
+        "AS t(vec_id, embedding)"
+    )
+    h = emb.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    quantize_embedding(F.col("embedding")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vec_hash"),
+    )
+    row = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_hash").alias("d"),
+    ).collect()[0]
+    assert (row.n, row.d) == (3, 2)  # the planted copy collapses
