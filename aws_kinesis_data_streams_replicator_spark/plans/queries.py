@@ -11665,6 +11665,70 @@ def emb_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_error_budget_burn",
+    """
+    WITH d AS (SELECT date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+                      count(*) AS n,
+                      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS errs
+               FROM events GROUP BY day),
+    c AS (SELECT day, n, errs,
+                 sum(n) OVER w AS cum_n, sum(errs) OVER w AS cum_errs
+          FROM d
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(errs AS BIGINT) AS errors,
+           CAST(errs * 10000 // n AS BIGINT) AS day_error_bp,
+           CAST(cum_errs AS BIGINT) AS cum_errors,
+           CAST(cum_errs * 1000000 // (cum_n * 100) AS BIGINT)
+               AS budget_burn_pm,
+           cum_errs * 100 > cum_n AS budget_exhausted
+    FROM c
+    """,
+)
+def evt_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down against a 1% SLO: daily error rate,
+    cumulative errors vs the cumulative 1%-of-traffic budget, burn
+    expressed per-mille of budget consumed, and the exhaustion flag —
+    all exact integer cross-multiplication (cum_errs·100 > cum_n IS
+    "error rate above 1%").  Runs on the |days|-row rollup; the
+    cumulative window never touches raw events."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errs"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("errs").over(w).alias("cum_errs"),
+    )
+    return c.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("errs").cast("long").alias("errors"),
+        F.expr("CAST(errs * 10000 DIV n AS BIGINT)").alias("day_error_bp"),
+        F.col("cum_errs").cast("long").alias("cum_errors"),
+        F.expr(
+            "CAST(cum_errs * 1000000 DIV (cum_n * 100) AS BIGINT)"
+        ).alias("budget_burn_pm"),
+        (F.col("cum_errs") * 100 > F.col("cum_n")).alias("budget_exhausted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11815,6 +11879,7 @@ _CHECK_FIRST = [
     "tpch_supplier_scorecard",
     "text_word_bigram_familiarity",
     "emb_exact_dup_groups",
+    "evt_error_budget_burn",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
