@@ -11729,6 +11729,146 @@ def evt_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_decile_lift_table",
+    """
+    WITH u AS (SELECT user_id, count(*) AS activity,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS converted
+               FROM events GROUP BY user_id),
+    q AS (SELECT user_id, converted,
+                 ntile(10) OVER (ORDER BY activity DESC, user_id) AS decile
+          FROM u),
+    t AS (SELECT sum(converted) AS tot_conv, count(*) AS tot_n FROM q)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 10000 // count(*) AS BIGINT)
+               AS conv_bp,
+           CAST((sum(converted) * t.tot_n * 1000)
+                // (count(*) * t.tot_conv) AS BIGINT) AS lift_milli
+    FROM q, t GROUP BY decile, t.tot_conv, t.tot_n
+    """,
+)
+def evt_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the campaign-targeting evaluation: users
+    ranked into activity deciles (deterministic ntile ties on user_id),
+    per-decile conversion rate and LIFT vs the population rate
+    (cross-multiplied to exact milli: (conv_d/n_d)/(conv/n) =
+    conv_d·n·1000 // (n_d·conv)).  If the top decile's lift ≈ 1000 the
+    score is useless — the one-table answer to "is activity worth
+    targeting on".  Runs on the |users| rollup; totals broadcast."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    q = u.select(
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("activity").desc(), "user_id"))
+        .alias("decile"),
+    )
+    t = q.agg(
+        F.sum("converted").alias("tot_conv"), F.count(F.lit(1)).alias("tot_n")
+    )
+    return (
+        q.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(n_converted * 10000 DIV n_users AS BIGINT)"
+            ).alias("conv_bp"),
+            F.expr(
+                "CAST((n_converted * tot_n * 1000) DIV (n_users * tot_conv) "
+                "AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
+@_q(
+    "text_classifier_calibration",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(toks,
+                      t -> ('0x' || substr(md5(t), 1, 4))::BIGINT - 32768))
+                      AS BIGINT) // CAST(len(toks) AS BIGINT) AS spt
+          FROM toks),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 200
+                       AND length(text)
+                           >= 3 * len(string_split(text, ' '))
+                      THEN 1 ELSE 0 END AS gopher_pass
+          FROM documents),
+    q AS (SELECT s.doc_id, s.spt, g.gopher_pass,
+                 ntile(10) OVER (ORDER BY s.spt, s.doc_id) AS bin
+          FROM s JOIN g ON g.doc_id = s.doc_id)
+    SELECT CAST(bin AS INTEGER) AS score_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(spt) AS BIGINT) AS min_score,
+           CAST(max(spt) AS BIGINT) AS max_score,
+           CAST(sum(gopher_pass) * 10000 // count(*) AS BIGINT)
+               AS gopher_pass_bp
+    FROM q GROUP BY bin
+    """,
+)
+def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-rules calibration: the hashed linear classifier's
+    per-token score binned into deciles, with the Gopher-rule pass rate
+    per bin — monotone pass rate across bins means the cheap classifier
+    ranks quality consistently with the rules and can gate at scale; a
+    flat curve means it is noise.  Composes two registered operators on
+    ONE documents scan; the rank bin rides the |docs| score rollup.
+    NOTE: the oracle inlines a simplified two-rule gopher gate (token
+    count in [10, 200] and mean word length ≥ 3) matching the Spark
+    side below — calibration shape, not the full rule set."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import word_tokens
+
+    toks = word_tokens(F.col("text"))
+    s = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(transform(split(text, ' '), "
+            "t -> conv(substring(md5(t), 1, 4), 16, 10) - 32768), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT)) "
+            "AS BIGINT) DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("spt"),
+        F.when(
+            F.size(toks).between(10, 200)
+            & (F.length("text") >= 3 * F.size(toks)),
+            1,
+        )
+        .otherwise(0)
+        .alias("gopher_pass"),
+    )
+    q = s.select(
+        "spt",
+        "gopher_pass",
+        F.ntile(10).over(Window.orderBy("spt", "doc_id")).alias("bin"),
+    )
+    return q.groupBy(F.col("bin").cast("int").alias("score_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("spt").cast("long").alias("min_score"),
+        F.max("spt").cast("long").alias("max_score"),
+        F.expr(
+            "CAST(sum(gopher_pass) * 10000 DIV count(1) AS BIGINT)"
+        ).alias("gopher_pass_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -11880,6 +12020,8 @@ _CHECK_FIRST = [
     "text_word_bigram_familiarity",
     "emb_exact_dup_groups",
     "evt_error_budget_burn",
+    "evt_decile_lift_table",
+    "text_classifier_calibration",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

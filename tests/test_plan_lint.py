@@ -75,6 +75,7 @@ _BNLJ_OK = {
     "emb_incremental_topk_maintenance",
     # 30-row day-spine broadcast range probe (at-risk counting)
     "evt_survival_risk_table",
+    "evt_decile_lift_table",  # 1-row population-totals scalar broadcast
 }
 
 
