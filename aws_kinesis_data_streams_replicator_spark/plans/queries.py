@@ -11869,6 +11869,133 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_source_overlap_matrix",
+    f"""
+    WITH docsrc AS (SELECT doc_id, source FROM documents),
+    {_SHINGLE_CTE.strip()},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT sh.doc_id, d.source, sh.shingle
+            FROM sh JOIN docsrc d ON d.doc_id = sh.doc_id
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    pairs AS (SELECT DISTINCT a.source AS source_a, b.source AS source_b,
+                     a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM shc a JOIN shc b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup matrix: for every source pair, the count of
+    cross-source document pairs sharing ≥ 1 (DF-capped) 3-shingle — the
+    provenance diagnostic that finds mirror sites and re-crawls BEFORE
+    corpus-wide dedup decides which copy to keep (once mirrors are
+    known, keeper policy can prefer the canonical source over min
+    doc_id).  Same capped inverted-index join as the dedup family, with
+    the source inequality pushed into the pair join so same-source
+    pairs never materialize."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+
+    sh = (
+        d.select(
+            "doc_id", "source", word_tokens(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50)
+        .select("shingle")
+    )
+    shc = sh.join(hot, "shingle", "left_anti")
+    a, b = shc.alias("a"), shc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+
+
+@_q(
+    "dq_unreferenced_dims",
+    """
+    SELECT 'customer_without_orders' AS dim_check,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_dim_rows,
+           CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT) AS n_unreferenced
+    UNION ALL
+    SELECT 'part_never_ordered',
+           CAST((SELECT count(*) FROM part) AS BIGINT),
+           CAST((SELECT count(*) FROM part p WHERE NOT EXISTS
+                 (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier_never_used',
+           CAST((SELECT count(*) FROM supplier) AS BIGINT),
+           CAST((SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                 (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+                AS BIGINT)
+    """,
+)
+def dq_unreferenced_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-dimension report — the REVERSE of referential integrity:
+    dimension rows no fact ever references (inactive customers, parts
+    never ordered, idle suppliers).  Each check is one LEFT ANTI join
+    counting the dim side against the fact's distinct keys; the fact
+    scan prunes to the single key column.  Together with
+    dq_referential_suite this closes both directions of the FK audit."""
+    checks = [
+        ("customer_without_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("part_never_ordered", "part", "p_partkey", "lineitem", "l_partkey"),
+        ("supplier_never_used", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ]
+    outs = []
+    for name, dim, dk, fact, fk in checks:
+        dimdf = _t(spark, sf_dir, dim)
+        keys = _t(spark, sf_dir, fact).select(F.col(fk).alias(dk)).distinct()
+        n_dim = dimdf.agg(F.count(F.lit(1)).alias("n_dim_rows"))
+        n_unref = (
+            dimdf.join(keys, dk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_unreferenced"))
+        )
+        outs.append(
+            n_dim.crossJoin(F.broadcast(n_unref)).select(
+                F.lit(name).alias("dim_check"),
+                F.col("n_dim_rows").cast("long").alias("n_dim_rows"),
+                F.col("n_unreferenced").cast("long").alias("n_unreferenced"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -12022,6 +12149,8 @@ _CHECK_FIRST = [
     "evt_error_budget_burn",
     "evt_decile_lift_table",
     "text_classifier_calibration",
+    "doc_source_overlap_matrix",
+    "dq_unreferenced_dims",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
