@@ -76,6 +76,7 @@ _BNLJ_OK = {
     # 30-row day-spine broadcast range probe (at-risk counting)
     "evt_survival_risk_table",
     "evt_decile_lift_table",  # 1-row population-totals scalar broadcast
+    "dq_unreferenced_dims",  # 1-row count x 1-row count per check
 }
 
 
