@@ -11996,6 +11996,95 @@ def dq_unreferenced_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q(
+    "emb_ivf_probe_sweep",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings),
+    cent AS (SELECT vec_id AS cell, qe AS c_qe FROM e
+             ORDER BY vec_id LIMIT 16),
+    fa AS (SELECT e.vec_id, e.qe, c.cell,
+           CAST(list_sum(list_transform(range(1, 65),
+                         i -> e.qe[i] * c.c_qe[i])) AS BIGINT) AS cd
+           FROM e, cent c),
+    far AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cd DESC, cell ASC) AS r FROM fa),
+    cand AS (SELECT vec_id, qe, cell FROM far WHERE r = 1),
+    probes(p) AS (VALUES (1), (2), (4)),
+    qsx AS (SELECT pr.p, vec_id AS query_id, qe AS q_qe, cell
+            FROM far, probes pr
+            WHERE far.r <= pr.p AND vec_id % 50 = 0),
+    s AS (SELECT DISTINCT q.p, q.query_id, c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> q.q_qe[i] * c.qe[i])) AS BIGINT) AS dot_q
+          FROM qsx q JOIN cand c USING (cell)
+          WHERE c.vec_id <> q.query_id),
+    rr AS (SELECT *, row_number() OVER (PARTITION BY p, query_id
+                     ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+           FROM s),
+    ivf_k AS (SELECT p, query_id, neighbor_id FROM rr WHERE rank <= 10),
+    exq AS (SELECT vec_id AS query_id, qe AS q_qe FROM e
+            WHERE vec_id % 50 = 0),
+    exs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.q_qe[i] * c.qe[i])) AS BIGINT) AS dot_q
+            FROM exq q, e c WHERE c.vec_id <> q.query_id),
+    exr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+            FROM exs),
+    exact_k AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= 10),
+    nq AS (SELECT count(*) AS n FROM exq)
+    SELECT CAST(i.p AS INTEGER) AS n_probe,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) * 10000 // (10 * nq.n) AS BIGINT) AS recall_bp
+    FROM ivf_k i JOIN exact_k x USING (query_id, neighbor_id), nq
+    GROUP BY i.p, nq.n
+    """,
+)
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n_probe tuning curve: recall@10 against the exact baseline
+    for n_probe ∈ {1, 2, 4} — the accuracy-vs-cost sweep run before
+    fixing a probe count for a 100 TB serving index (recall must be
+    monotone in probes; where it plateaus is the budget).  The cell
+    assignment is computed ONCE and re-probed per config; the exact
+    baseline (bounded |Q|·N, the emb_ann_topk rationale) is computed
+    once behind a lazy barrier and joined against each config's
+    top-10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n"))
+    sweeps = []
+    for p in (1, 2, 4):
+        ivf = similarity.ivf_topk(
+            emb, queries, k=10, n_cells=16, n_probe=p
+        ).select(
+            F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
+        )
+        sweeps.append(ivf)
+    allp = sweeps[0]
+    for s_ in sweeps[1:]:
+        allp = allp.unionByName(s_)
+    return (
+        allp.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.col("n").cast("long").alias("n_queries"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(n_hits * 10000 DIV (10 * n) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -12151,6 +12240,7 @@ _CHECK_FIRST = [
     "text_classifier_calibration",
     "doc_source_overlap_matrix",
     "dq_unreferenced_dims",
+    "emb_ivf_probe_sweep",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation

@@ -77,6 +77,8 @@ _BNLJ_OK = {
     "evt_survival_risk_table",
     "evt_decile_lift_table",  # 1-row population-totals scalar broadcast
     "dq_unreferenced_dims",  # 1-row count x 1-row count per check
+    # exact baseline leg (emb_ann_topk rationale) + IVF centroid cross
+    "emb_ivf_probe_sweep",
 }
 
 
