@@ -80,3 +80,43 @@ def test_cusum_alarms_on_sustained_shift_only(spark, tmp_path):
     # 20 values +300 above mean accumulate ~ (30000-ish) > 20000 cents
     assert shifty[-1].cusum_cents >= 20000
     assert shifty[-1].n_seen == 40  # state carried across batches
+
+
+def test_cusum_state_survives_restart(spark, tmp_path):
+    """Kill the query between batches and restart on the SAME WAL: the
+    state store must restore (n, sum, cusum) so n_seen keeps counting
+    from where it left off instead of restarting at 20."""
+    stage = str(tmp_path / "stage")
+    _write_file(spark, _rows("s1", 0, 100), stage, "b1.parquet")
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        # file sink, not memory: only durable sinks support restart
+        # recovery from a checkpointLocation
+        q = (
+            streaming_cusum_alerts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "wal"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()  # processes b1, then stops
+    _write_file(spark, _rows("s1", 100, 100), stage, "b2.parquet")
+    run_once()  # restart: must resume state, process only b2
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r.n_seen
+    )
+    assert rows[-1].n_seen == 40, "state was not restored across restart"
+    assert rows[-1].mean_cents == 10000
+    assert not rows[-1].alarm
