@@ -12085,6 +12085,140 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_cohort_ltv_triangle",
+    """
+    WITH f AS (SELECT user_id,
+                      min(date_diff('day', DATE '2024-01-01',
+                                    CAST(CAST(ts AS TIMESTAMP) AS DATE)))
+                          AS cohort_wk
+               FROM events GROUP BY user_id),
+    r AS (SELECT e.user_id, f.cohort_wk,
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(CAST(e.ts AS TIMESTAMP) AS DATE))
+                     - f.cohort_wk AS wk_since,
+                 CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(floor(e.value * 100) AS BIGINT)
+                      ELSE 0 END AS rev_c
+          FROM events e JOIN f ON f.user_id = e.user_id),
+    cell AS (SELECT cohort_wk, wk_since, sum(rev_c) AS rev_c
+             FROM r GROUP BY cohort_wk, wk_since),
+    sz AS (SELECT cohort_wk, count(*) AS n_users FROM f
+           GROUP BY cohort_wk)
+    SELECT CAST(c.cohort_wk AS INTEGER) AS cohort_day,
+           CAST(c.wk_since AS INTEGER) AS day_since,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           CAST(sum(c.rev_c) OVER (PARTITION BY c.cohort_wk
+                ORDER BY c.wk_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(sum(c.rev_c) OVER (PARTITION BY c.cohort_wk
+                ORDER BY c.wk_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // s.n_users AS BIGINT) AS cum_ltv_per_user_cents
+    FROM cell c JOIN sz s ON s.cohort_wk = c.cohort_wk
+    """,
+)
+def evt_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users bucketed by first-seen day, purchase
+    revenue accumulated by days-since-acquisition — the growth-
+    accounting table behind payback-period and LTV-projection decisions
+    (each row of the triangle is one cohort's revenue curve; newer
+    cohorts have fewer filled cells, hence 'triangle').  One first-seen
+    rollup broadcast back onto the fact scan, one (cohort × week) cell
+    aggregation, cumulative window over the bounded triangle."""
+    e = _t(spark, sf_dir, "events")
+    wk_expr = F.expr(
+        "CAST(datediff(to_date(ts), DATE '2024-01-01') AS INT)"
+    )
+    f = e.groupBy("user_id").agg(F.min(wk_expr).alias("cohort_wk"))
+    r = e.join(F.broadcast(f), "user_id").select(
+        "cohort_wk",
+        (wk_expr - F.col("cohort_wk")).alias("wk_since"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(floor(value * 100) AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("rev_c"),
+    )
+    cell = r.groupBy("cohort_wk", "wk_since").agg(
+        F.sum("rev_c").alias("rev_c")
+    )
+    sz = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("wk_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(sz), "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("int").alias("cohort_day"),
+            F.col("wk_since").cast("int").alias("day_since"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.sum("rev_c").over(w).cast("long").alias("cum_rev_cents"),
+            F.expr(
+                "CAST(sum(rev_c) OVER (PARTITION BY cohort_wk "
+                "ORDER BY wk_since ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "CURRENT ROW) DIV n_users AS BIGINT)"
+            ).alias("cum_ltv_per_user_cents"),
+        )
+    )
+
+
+@_q(
+    "evt_training_set_assembly",
+    """
+    WITH w AS (SELECT user_id, event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts,
+                      row_number() OVER win - 1 AS prior_n,
+                      lag(event_type) OVER win AS last_type,
+                      epoch_us(CAST(ts AS TIMESTAMP))
+                        - first_value(epoch_us(CAST(ts AS TIMESTAMP)))
+                          OVER win AS us_since_first
+               FROM events
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id AS label_event_id, user_id,
+           CAST(prior_n AS BIGINT) AS f_prior_events,
+           coalesce(last_type, 'NONE') AS f_last_type,
+           CAST(us_since_first // 1000000 AS BIGINT) AS f_secs_since_first
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def evt_training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly: one row per label event
+    (purchase) with features computed ONLY from the user's strictly
+    earlier history — prior event count, previous event type, seconds
+    since first seen.  The feature-store point-in-time contract encoded
+    directly in window frames (row_number/lag/first_value all end at
+    the current row's predecessors), so future leakage is impossible by
+    construction instead of by discipline; one window pass per user,
+    label filter applied after."""
+    e = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.row_number().over(win) - 1).alias("prior_n"),
+        F.lag("event_type").over(win).alias("last_type"),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.first(F.unix_micros(F.col("ts"))).over(win)
+        ).alias("us_since_first"),
+    )
+    return w.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("prior_n").cast("long").alias("f_prior_events"),
+        F.coalesce(F.col("last_type"), F.lit("NONE")).alias("f_last_type"),
+        F.expr("CAST(us_since_first DIV 1000000 AS BIGINT)").alias(
+            "f_secs_since_first"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -12241,6 +12375,8 @@ _CHECK_FIRST = [
     "doc_source_overlap_matrix",
     "dq_unreferenced_dims",
     "emb_ivf_probe_sweep",
+    "evt_cohort_ltv_triangle",
+    "evt_training_set_assembly",
     # round-3 window (all 50 driver-green in CORRECTNESS_r03): r2
     # failures fixed by the TIMESTAMP_NTZ loader normalization first,
     # then the r1/r2 never-checked rotation
