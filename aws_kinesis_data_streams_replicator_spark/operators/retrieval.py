@@ -199,13 +199,31 @@ def bm25_topk_from_index(
     text is never read at query time.  The term filter prunes the
     postings scan (pushed predicate on the ``term`` column), so query
     cost is proportional to the query terms' posting lists, not the
-    corpus — the property that makes an inverted index an INDEX."""
+    corpus — the property that makes an inverted index an INDEX.
+
+    Re-ingested documents (same doc_id in a later batch) are resolved
+    LAST-WRITE-WINS here at query time: each doc's postings and length
+    come from its highest batch_id, so N and Σdl never double-count an
+    updated doc.  The winner join keys on doc_id — the doclen side is
+    read anyway for scoring, so this costs one extra per-doc rollup,
+    not a second corpus scan."""
+    if not query_terms:
+        # an interpolated empty VALUES list is malformed SQL; the right
+        # answer for a no-term query is simply no hits
+        return spark.createDataFrame(
+            [], "doc_id long, score long, rnk long"
+        )
     values = ", ".join("('" + t.replace("'", "''") + "')" for t in query_terms)
     qdf = spark.sql(f"SELECT * FROM VALUES {values} AS q(term)")
+    doclen = spark.read.parquet(f"{index_dir}/doclen")
+    latest = doclen.groupBy("doc_id").agg(
+        F.max("batch_id").alias("batch_id")
+    )
     tf = (
         spark.read.parquet(f"{index_dir}/postings")
         .join(F.broadcast(qdf), "term")
+        .join(latest, ["doc_id", "batch_id"])
         .select("doc_id", "term", "tf")
     )
-    dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
+    dl = doclen.join(latest, ["doc_id", "batch_id"]).select("doc_id", "dl")
     return bm25_score_postings(tf, dl, k)

@@ -5528,8 +5528,11 @@ def doc_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplication rate per source (share of docs in ≥1 Jaccard-0.3
     pair, integer milli) — the per-domain contamination dashboard that
     decides which sources need aggressive dedup.  Reuses the capped
-    posting-list pair generator; the rate join is a broadcast of the
-    (small) duplicated-doc set."""
+    posting-list pair generator; the rate join is deliberately UNHINTED:
+    |dup_docs| scales with the duplicate count (can approach |docs| in a
+    crawl-heavy corpus), so we let AQE pick broadcast vs shuffle from the
+    runtime size instead of forcing a driver-side collect of an unbounded
+    set."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         docs, k_shingle=3, threshold=0.3, max_shingle_df=50
@@ -5541,7 +5544,7 @@ def doc_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        docs.join(dup_docs, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -6807,8 +6810,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY word),
     p AS (SELECT n_word, substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
                  substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
-          FROM v, unnest(range(1, strlen(word))) AS t(i)
-          WHERE strlen(word) >= 2)
+          FROM v, unnest(range(1, length(word))) AS t(i)
+          WHERE length(word) >= 2)
     SELECT sym_a, sym_b, CAST(sum(n_word) AS BIGINT) AS n_pairs
     FROM p GROUP BY sym_a, sym_b
     """,
@@ -9051,8 +9054,8 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY word),
     p1 AS (SELECT n_word, substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
                   substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
-           FROM v, unnest(range(1, strlen(word))) AS t(i)
-           WHERE strlen(word) >= 2),
+           FROM v, unnest(range(1, length(word))) AS t(i)
+           WHERE length(word) >= 2),
     c1 AS (SELECT sym_a, sym_b, sum(n_word) AS n_pairs FROM p1
            GROUP BY sym_a, sym_b),
     win AS (SELECT sym_a || sym_b AS merged FROM c1
@@ -9062,8 +9065,8 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 AS (SELECT merged, n_word,
                   substr(word, CAST(t.i AS INTEGER), 1) AS sym_a,
                   substr(word, CAST(t.i AS INTEGER) + 1, 1) AS sym_b
-           FROM mv, unnest(range(1, strlen(word))) AS t(i)
-           WHERE strlen(word) >= 2),
+           FROM mv, unnest(range(1, length(word))) AS t(i)
+           WHERE length(word) >= 2),
     c2 AS (SELECT merged, sym_a, sym_b, sum(n_word) AS n_pairs FROM p2
            GROUP BY merged, sym_a, sym_b),
     r AS (SELECT merged, sym_a, sym_b, n_pairs,
@@ -9430,13 +9433,14 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events),
-    f AS (SELECT user_id, ts,
+    f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                            > 30 * 60 * 1000000
                       THEN 1 ELSE 0 END AS new_session
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS seq,
                  epoch_us(ts) AS us
@@ -9462,11 +9466,16 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per instant (so simultaneous start+end resolves atomically), one
     running sum, max per day.  The ordered prefix window runs over the
     ≤ 2·|sessions| collapsed delta rollup, never raw events; days derive
-    from integer epoch-µs division, no timezone round-trip."""
+    from integer epoch-µs division, no timezone round-trip.  Both the
+    new_session lag and the prefix-sum seq window order by
+    (ts, event_id) — an us-only ordering would make session assignment
+    order-dependent when a user has duplicate timestamps at a session
+    boundary (engines could legally disagree)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     f = e.select(
         "user_id",
+        "event_id",
         F.unix_micros("ts").alias("us"),
         F.when(
             F.unix_micros(F.col("ts"))
@@ -9480,7 +9489,7 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy("us")
+            .orderBy("us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
@@ -9757,7 +9766,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ORDER BY ts, event_id) AS seq
                FROM events GROUP BY user_id)
     SELECT user_id,
-           CAST(strlen(seq) AS BIGINT) AS seq_len,
+           CAST(length(seq) AS BIGINT) AS seq_len,
            CAST(len(regexp_extract_all(seq, 'c[vse]*p')) AS BIGINT)
                AS n_journeys
     FROM s
@@ -10778,15 +10787,15 @@ def pipeline_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (SELECT word, count(*) AS n FROM (
                    SELECT unnest(string_split(text, ' ')) AS word
-                   FROM documents) WHERE strlen(word) >= 3
+                   FROM documents) WHERE length(word) >= 3
                GROUP BY word),
-    a AS (SELECT word, n, strlen(word) + CAST(t.d AS INTEGER) AS tgt
+    a AS (SELECT word, n, length(word) + CAST(t.d AS INTEGER) AS tgt
           FROM w, unnest(range(-2, 3)) AS t(d)),
     p AS (SELECT a.word AS word_a, c.word AS word_b,
                  a.n AS n_a, c.n AS n_b,
                  levenshtein(a.word, c.word) AS dist
           FROM a JOIN w c
-            ON a.tgt = strlen(c.word) AND a.word < c.word)
+            ON a.tgt = length(c.word) AND a.word < c.word)
     SELECT word_a, word_b, CAST(n_a AS BIGINT) AS n_a,
            CAST(n_b AS BIGINT) AS n_b, CAST(dist AS INTEGER) AS dist
     FROM p WHERE dist <= 2
@@ -10945,9 +10954,13 @@ def evt_path_to_purchase_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-to-purchase length distribution: events each user generates
     strictly BEFORE their first purchase, histogrammed — how much
     consideration precedes conversion.  First purchase is a struct-min
-    per user (deterministic (ts, event_id) order); the before-count is
-    a broadcast join of that |purchasers|-row rollup back onto the fact
-    scan with a tuple comparison — no window pass over raw events."""
+    per user (deterministic (ts, event_id) order); the before-count
+    joins that |purchasers|-row rollup back onto the fact scan with a
+    tuple comparison — no window pass over raw events.  The join is
+    deliberately UNHINTED: |purchasers| grows with |users|, so a forced
+    broadcast is a driver OOM at 100×; both sides hash-partition on
+    user_id and AQE picks broadcast only when the rollup is actually
+    small."""
     e = _t(spark, sf_dir, "events")
     fp = (
         e.where(F.col("event_type") == "purchase")
@@ -10955,7 +10968,7 @@ def evt_path_to_purchase_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first_p"))
     )
     n = (
-        e.join(F.broadcast(fp), "user_id")
+        e.join(fp, "user_id")
         .where(
             F.struct(F.col("ts"), F.col("event_id")) < F.col("first_p")
         )
@@ -11166,6 +11179,10 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of all shingles.  One codegen'd window pass over the
     per-doc shingle stream (ROWS frame, bounded lookahead); only FULL
     windows select, matching the canonical definition.  The per-doc
+    max position is a second frame (unbounded ROWS max) over the SAME
+    (doc_id, pos) window partitioning, so Catalyst fuses it into the
+    one WindowExec — no per-doc rollup join at all (a |docs|-sized
+    broadcast would be a driver OOM at scale).  The per-doc
     fingerprint COUNT and min hash are the checked output — compact but
     sensitive to any selection divergence."""
     d = _t(spark, sf_dir, "documents")
@@ -11185,21 +11202,24 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("shingle").alias("h"),
         )
     )
-    sh = sh.localCheckpoint(eager=False)
     wspec = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     )
-    maxpos = sh.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    wall = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     w = sh.select(
         "doc_id",
         "pos",
         F.min(F.struct(F.col("h").alias("h"), F.col("pos").alias("pos")))
         .over(wspec)
         .alias("sel"),
+        F.max("pos").over(wall).alias("max_pos"),
     )
     f = (
-        w.join(F.broadcast(maxpos), "doc_id")
-        .where(F.col("pos") + 3 <= F.col("max_pos"))
+        w.where(F.col("pos") + 3 <= F.col("max_pos"))
         .select("doc_id", F.col("sel.h").alias("fp"), F.col("sel.pos"))
         .distinct()
     )
@@ -11300,7 +11320,10 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-shingle cost.  Hot fingerprints (boilerplate selected by > 50
     docs) are dropped before the self-join, the same DF-cap skew guard
     as ngram_jaccard_pairs; candidate generation is a fingerprint
-    equi-join, never all-pairs."""
+    equi-join, never all-pairs.  The full-window validity test uses a
+    fused second frame (unbounded ROWS max(pos)) in the same WindowExec
+    rather than a per-doc rollup join — a |docs|-sized broadcast build
+    would OOM the driver at scale."""
     d = _t(spark, sf_dir, "documents")
     from ..functions.hashing import shingles_of_tokens, word_tokens
 
@@ -11317,10 +11340,13 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos0") + 1).alias("pos"),
             F.md5("shingle").alias("h"),
         )
-        .localCheckpoint(eager=False)
     )
     wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    maxpos = sh.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    wall = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     f = (
         sh.select(
             "doc_id",
@@ -11330,8 +11356,8 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .over(wspec)
             .alias("sel"),
+            F.max("pos").over(wall).alias("max_pos"),
         )
-        .join(F.broadcast(maxpos), "doc_id")
         .where(F.col("pos") + 3 <= F.col("max_pos"))
         .select("doc_id", F.col("sel.h").alias("fp"))
         .distinct()
@@ -11509,9 +11535,17 @@ def tpch_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier scorecard: discounted revenue, order/part fan-out, and a
     30-day ship-latency on-time rate per supplier — the vendor-review
     composite.  lineitem→orders is the one big join (both fact-sized;
-    at 100 TB bucket both by orderkey to make it co-located), the
-    supplier dim broadcasts, and the two distinct counts share one
-    aggregation's expand."""
+    at 100 TB bucket both by orderkey to make it co-located), and the
+    supplier dim broadcasts.  The two DISTINCT counts are deliberately
+    SPLIT out of the main aggregation: mixing count(DISTINCT a),
+    count(DISTINCT b) with plain aggs forces Catalyst's expand rewrite
+    (3× the join output through the shuffle — measured at ~2.4× wall
+    time on this very query).  Instead each runs as its own two-phase
+    distinct (map-side partial dedup), and the three |supplier|-keyed
+    rollups re-join on s_suppkey — unhinted, since |suppliers| grows
+    with SF; AQE broadcasts them only when actually small.  The joined
+    fact subtree is referenced three times, so it gets a lazy
+    localCheckpoint."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -11530,16 +11564,37 @@ def tpch_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("on_time"),
     )
+    j = j.localCheckpoint(eager=False)
+    base = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum("rev_c").alias("rev_c"),
+        F.sum("on_time").alias("n_on_time"),
+    )
+    nord = (
+        j.select("l_suppkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    npart = (
+        j.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
     return (
-        j.join(F.broadcast(s), j.l_suppkey == s.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
-            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
-            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        base.join(nord, "l_suppkey")
+        .join(npart, "l_suppkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_li").cast("long").alias("n_lineitems"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("rev_c").cast("long").alias("revenue_cents"),
             F.expr(
-                "CAST(sum(on_time) * 10000 DIV count(1) AS BIGINT)"
+                "CAST(n_on_time * 10000 DIV n_li AS BIGINT)"
             ).alias("on_time_bp"),
         )
     )
@@ -12124,28 +12179,44 @@ def evt_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue accumulated by days-since-acquisition — the growth-
     accounting table behind payback-period and LTV-projection decisions
     (each row of the triangle is one cohort's revenue curve; newer
-    cohorts have fewer filled cells, hence 'triangle').  One first-seen
-    rollup broadcast back onto the fact scan, one (cohort × week) cell
-    aggregation, cumulative window over the bounded triangle."""
+    cohorts have fewer filled cells, hence 'triangle').  cohort_wk is
+    min(day) OVER (PARTITION BY user_id) — ONE hash exchange on
+    user_id, no per-user rollup join (a |users|-sized broadcast build
+    is a driver OOM at 100×); cohort sizes reuse the same partitioning
+    (per-user distinct partial-aggregates map-side), then one
+    (cohort × day) cell aggregation and a cumulative window over the
+    bounded triangle.  The only broadcast left is sz, keyed by
+    cohort day — bounded by the calendar, never by |users|."""
     e = _t(spark, sf_dir, "events")
     wk_expr = F.expr(
         "CAST(datediff(to_date(ts), DATE '2024-01-01') AS INT)"
     )
-    f = e.groupBy("user_id").agg(F.min(wk_expr).alias("cohort_wk"))
-    r = e.join(F.broadcast(f), "user_id").select(
-        "cohort_wk",
-        (wk_expr - F.col("cohort_wk")).alias("wk_since"),
+    wuser = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        wk_expr.alias("wk"),
         F.when(
             F.col("event_type") == "purchase",
             F.expr("CAST(floor(value * 100) AS BIGINT)"),
         )
         .otherwise(0)
         .alias("rev_c"),
+    ).select(
+        "user_id",
+        F.min("wk").over(wuser).alias("cohort_wk"),
+        "wk",
+        "rev_c",
     )
-    cell = r.groupBy("cohort_wk", "wk_since").agg(
-        F.sum("rev_c").alias("rev_c")
+    r = r.localCheckpoint(eager=False)
+    cell = r.select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_since"), "rev_c"
+    ).groupBy("cohort_wk", "wk_since").agg(F.sum("rev_c").alias("rev_c"))
+    sz = (
+        r.select("user_id", "cohort_wk")
+        .distinct()
+        .groupBy("cohort_wk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    sz = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
     w = (
         Window.partitionBy("cohort_wk")
         .orderBy("wk_since")

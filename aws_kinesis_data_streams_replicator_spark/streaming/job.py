@@ -511,7 +511,11 @@ def streaming_retrieval_index_maintenance(
     ``batch_id=N`` subdirectories with overwrite mode, so a replayed
     batch replaces its previous (possibly partial) output instead of
     double-counting term frequencies — the same exactly-once file-sink
-    pattern as sinks.replicated_exactly_once.  At 100 TB, partition the
+    pattern as sinks.replicated_exactly_once.  A doc_id RE-INGESTED in
+    a later batch (document update) leaves both versions on disk; the
+    query side (bm25_topk_from_index) resolves this last-write-wins by
+    taking each doc's postings + length from its max batch_id, so N and
+    Σdl never inflate.  At 100 TB, partition the
     postings by a term hash so query-term probes prune to a few
     directories; df/N statistics stay query-time aggregations, so no
     global state needs transactional maintenance.

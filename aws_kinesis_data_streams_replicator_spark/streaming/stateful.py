@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -272,7 +273,12 @@ def _cusum_update(
         if not len(pdf):
             continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        for cents in (pdf["value"] * 100).astype("int64").map(int):
+        # np.floor before the cast: a bare int64 cast truncates toward
+        # zero, which diverges from the repo-wide floor(value*100) cents
+        # convention on negative values (batch drift monitor uses floor)
+        for cents in (
+            np.floor(pdf["value"] * 100).astype("int64").map(int)
+        ):
             # deviation vs the PRE-update running mean: online CUSUM
             if n > 0:
                 dev = cents - sum_c // n - slack_c

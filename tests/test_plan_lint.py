@@ -97,3 +97,106 @@ def test_no_pathological_joins(spark, sf_dir, name):
             "either fix the join key or allowlist a deliberate scalar "
             "broadcast"
         )
+
+
+# --------------------------------------------------------------------------
+# Source lint: no explicit F.broadcast() hint on a build side that
+# aggregates by a PER-ENTITY key (user_id / doc_id / vec_id).  Such a
+# rollup's cardinality grows with the data (|users|, |docs|, |vectors|),
+# so a forced broadcast is a guaranteed driver/executor OOM at 100× —
+# the round-4 verdict's exact finding.  Unhinted joins are fine (AQE
+# broadcasts only when the runtime size is actually small); bounded
+# keys (nation, label, cohort day, event_type, band) are fine.
+# --------------------------------------------------------------------------
+
+import ast
+import pathlib
+import re
+
+_PKG = pathlib.Path(__file__).resolve().parents[1] / (
+    "aws_kinesis_data_streams_replicator_spark"
+)
+
+_ENTITY_GROUPBY = re.compile(
+    r"\.groupBy\(\s*[\"'](user_id|doc_id|vec_id)[\"']"
+)
+
+# function names allowed to broadcast something the heuristic resolver
+# cannot prove bounded, each with the boundedness argument
+_ENTITY_BCAST_OK: dict[str, str] = {
+    # broadcast sides are the 1-row min-user-id scalar and the SINGLE
+    # query user's daily series (filtered to user_id == qid, so ≤ |days|
+    # rows) — bounded by a filter, which the grouping-based resolver
+    # can't see
+    "evt_timeseries_similarity": "one user's ≤|days|-row series",
+}
+
+_COLLAPSES = re.compile(r"\.(groupBy|agg)\(")
+
+
+def _entity_broadcast_hits():
+    hits = []
+    for path in sorted(_PKG.rglob("*.py")):
+        src = path.read_text()
+        if "broadcast(" not in src:
+            continue
+        tree = ast.parse(src)
+        for fn in [
+            n for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]:
+            # variable -> every expression ever assigned to it in this fn
+            assigns: dict[str, list[ast.expr]] = {}
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Assign):
+                    for tgt in node.targets:
+                        if isinstance(tgt, ast.Name):
+                            assigns.setdefault(tgt.id, []).append(node.value)
+
+            def entity_key(expr, depth=0):
+                """Return the per-entity grouping key of the OUTERMOST
+                cardinality-determining op in expr's lineage, or None.
+                The outermost .groupBy()/.agg() re-keys the frame, so
+                resolution stops there: a 1-row .agg() over a per-user
+                rollup is bounded, while .groupBy('user_id') is not."""
+                seg = ast.get_source_segment(src, expr) or ""
+                m = _ENTITY_GROUPBY.search(seg)
+                if m:
+                    return m.group(1)
+                if _COLLAPSES.search(seg):
+                    return None  # re-keyed by a bounded/global grouping
+                if depth >= 4:
+                    return None
+                for name_node in ast.walk(expr):
+                    if isinstance(name_node, ast.Name):
+                        for defn in assigns.get(name_node.id, []):
+                            k = entity_key(defn, depth + 1)
+                            if k:
+                                return k
+                return None
+
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                ):
+                    key = entity_key(node.args[0])
+                    if key and fn.name not in _ENTITY_BCAST_OK:
+                        hits.append(
+                            f"{path.relative_to(_PKG.parent)}:"
+                            f"{node.lineno} ({fn.name}) broadcasts a "
+                            f"rollup grouped by {key}"
+                        )
+    return hits
+
+
+def test_no_per_entity_broadcast_hints():
+    hits = _entity_broadcast_hits()
+    assert not hits, (
+        "explicit broadcast() of an unbounded per-entity rollup "
+        "(driver OOM at scale) — drop the hint and let AQE decide, "
+        "or rewrite as a window over the same partitioning:\n  "
+        + "\n  ".join(hits)
+    )
