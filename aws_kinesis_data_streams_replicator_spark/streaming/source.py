@@ -78,6 +78,12 @@ def kinesis_connector_options(source: str) -> dict[str, str]:
       (``BatchSize: 8000``), the per-invocation batch ceiling.
     * ``region`` — optional query parameter; the consumer region
       (defaults to the connector's ambient AWS region when absent).
+    * ``consumer`` — optional query parameter naming an enhanced-fan-out
+      consumer; emits ``consumerType=EFO`` + ``consumerName`` (the
+      reference reads through a dedicated ``AWS::Kinesis::StreamConsumer``
+      — template.yaml:126-130 — whose ConsumerARN is the event source,
+      so the faithful production mapping is EFO, not shared-throughput
+      polling).
 
     Raises ValueError on an empty stream name rather than letting the
     connector fail opaquely at stream start."""
@@ -92,9 +98,14 @@ def kinesis_connector_options(source: str) -> dict[str, str]:
         "startingposition": "LATEST",
         "maxFetchRecordsPerShard": "8000",
     }
-    region = parse_qs(u.query).get("region")
+    qs = parse_qs(u.query)
+    region = qs.get("region")
     if region:
         opts["region"] = region[0]
+    consumer = qs.get("consumer")
+    if consumer:
+        opts["consumerType"] = "EFO"
+        opts["consumerName"] = consumer[0]
     return opts
 
 

@@ -44,10 +44,15 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return best
 
 
-def bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
+def bench_streaming(
+    spark, sf_dir: str, exactly_once: bool = False
+) -> tuple[float, float]:
     """End-to-end streaming replication throughput: stage the envelope
     derivation of `events` as 8 micro-batch files, run the full
-    streaming job (decode → gate → sinks, WAL on), report records/sec."""
+    streaming job (decode → gate → sinks, WAL on), report records/sec.
+    ``exactly_once=True`` measures the batch-id-overwrite delivery mode
+    instead of the default at-least-once append, so BOTH documented
+    delivery contracts carry a throughput number."""
     import shutil
     import tempfile
 
@@ -85,6 +90,7 @@ def bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
             replicated_dir=os.path.join(work, "repl"),
             checkpoint_table_dir=os.path.join(work, "cp"),
             stream_checkpoint_dir=os.path.join(work, "wal"),
+            exactly_once=exactly_once,
         )
         q.processAllAvailable()
         q.stop()
@@ -122,16 +128,35 @@ def main() -> None:
             # py4j refs; the JVM needs a cycle to enqueue the weak refs)
             spark.sparkContext._jvm.System.gc()
     try:
-        # best-of-2, same rationale as run_query: the first run absorbs
-        # streaming-path codegen + state-store init (~2x slower)
+        # best-of-3: the first run absorbs streaming-path codegen +
+        # state-store init (~2x slower), and — measured in the round-5
+        # re-run — the streaming number is the noisiest in the suite
+        # when it executes right after 266 batch queries (block-manager
+        # pressure from accumulated session state put r4's best-of-2 at
+        # 7.3k rec/s vs 8.9-9.2k on a quiet session; see
+        # NOTES_streaming_throughput.md), so one extra sample buys back
+        # most of that variance
         stream_sec, stream_rps = min(
-            (bench_streaming(spark, sf_dir) for _ in range(2)),
+            (bench_streaming(spark, sf_dir) for _ in range(3)),
             key=lambda sr: sr[0],
         )
         timings["streaming_replication"] = stream_sec
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming failed: {e}", file=sys.stderr)
         stream_rps = -1.0
+    try:
+        # the exactly-once (batch-id overwrite) delivery mode, best-of-2
+        eos_sec, eos_rps = min(
+            (
+                bench_streaming(spark, sf_dir, exactly_once=True)
+                for _ in range(2)
+            ),
+            key=lambda sr: sr[0],
+        )
+        timings["streaming_replication_eos"] = eos_sec
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: streaming eos failed: {e}", file=sys.stderr)
+        eos_rps = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "total_seconds_all_queries",
@@ -140,6 +165,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "streaming_records_per_sec": stream_rps,
+        "streaming_eos_records_per_sec": eos_rps,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json artifact keeps only the tail of stdout,

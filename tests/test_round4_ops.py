@@ -152,6 +152,31 @@ def test_kinesis_connector_contract():
         kinesis_connector_options("kinesis://?region=us-east-1")
 
 
+def test_kinesis_connector_efo_contract():
+    """The reference's event source is a dedicated EFO consumer's
+    ConsumerARN (template.yaml:114,126-130: AWS::Kinesis::StreamConsumer
+    named after the stack), so the production mapping must emit the
+    spark-sql-kinesis EFO option pair, not shared-throughput polling —
+    pinned exactly so the stub can't drift from the reference config."""
+    from aws_kinesis_data_streams_replicator_spark.streaming.source import (
+        kinesis_connector_options,
+    )
+
+    opts = kinesis_connector_options(
+        "kinesis://kds-click?region=us-east-1&consumer=replicator-stack"
+    )
+    assert opts == {
+        "streamName": "kds-click",
+        "startingposition": "LATEST",          # template.yaml:118
+        "maxFetchRecordsPerShard": "8000",     # template.yaml:110
+        "region": "us-east-1",
+        "consumerType": "EFO",                 # ConsumerARN event source
+        "consumerName": "replicator-stack",    # template.yaml:130
+    }
+    # no consumer param -> no EFO keys (polling fallback stays valid)
+    assert "consumerType" not in kinesis_connector_options("kinesis://s")
+
+
 def test_grid_distance_join_planted_pairs(spark):
     from aws_kinesis_data_streams_replicator_spark.operators.joins import (
         grid_distance_join,
