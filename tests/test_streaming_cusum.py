@@ -120,3 +120,41 @@ def test_cusum_state_survives_restart(spark, tmp_path):
     assert rows[-1].n_seen == 40, "state was not restored across restart"
     assert rows[-1].mean_cents == 10000
     assert not rows[-1].alarm
+
+
+def test_cusum_negative_values_use_floor_cents(spark, tmp_path):
+    """Cents conversion must FLOOR (round toward -inf), matching the
+    repo-wide floor(value*100) convention — a plain int64 cast truncates
+    toward zero and would put the streaming monitor 1 cent above the
+    batch drift monitor on every negative sample."""
+    stage = str(tmp_path / "stage")
+    _write_file(
+        spark,
+        ", ".join(
+            f"('neg', TIMESTAMP '2024-01-01 10:{i:02d}:00', {i}, "
+            f"CAST(-0.015 AS DOUBLE))"
+            for i in range(4)
+        ),
+        stage,
+        "b1.parquet",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        streaming_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_neg")
+        .option("checkpointLocation", str(tmp_path / "wal"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    (row,) = spark.sql("SELECT * FROM cusum_neg").collect()
+    # floor(-1.5) = -2; truncation would give -1
+    assert row.mean_cents == -2
+    assert not row.alarm
