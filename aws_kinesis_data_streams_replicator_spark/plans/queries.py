@@ -9580,20 +9580,45 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("d")).unionByName(
         iv.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d"))
     )
-    per_t = delta.groupBy("t").agg(F.sum("d").alias("d"))
-    run = per_t.withColumn(
-        "conc",
-        F.sum("d").over(
-            Window.orderBy("t").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
+    per_t = delta.groupBy("t").agg(F.sum("d").alias("d")).withColumn(
+        "day_n", (F.col("t") / F.lit(86_400_000_000)).cast("int")
+    )
+    per_t = per_t.localCheckpoint(eager=False)
+    # TWO-PHASE distributed prefix sum: a global ORDER BY t running sum
+    # would funnel the ~2·|sessions| delta rollup through ONE partition
+    # (WindowExec with no PARTITION BY) — the single-machine sort that
+    # caps at executor memory.  Instead: (1) within-day prefix sums run
+    # partitioned by day; (2) the day-level offsets are a prefix over
+    # the |days|-row daily rollup — the only global window left is over
+    # a calendar-bounded frame, and the offset join back is broadcast
+    # on the same bounded key.  conc(t) = prior-days total + within-day
+    # prefix, exactly the global running sum.
+    daily = per_t.groupBy("day_n").agg(F.sum("d").alias("day_sum"))
+    offs = daily.select(
+        "day_n",
+        F.coalesce(
+            F.sum("day_sum").over(
+                Window.orderBy("day_n").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("prior_days"),
+    )
+    run = (
+        per_t.withColumn(
+            "within",
+            F.sum("d").over(
+                Window.partitionBy("day_n")
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(offs), "day_n")
+        .withColumn("conc", F.col("within") + F.col("prior_days"))
     )
     return run.groupBy(
-        F.date_add(
-            F.lit("1970-01-01").cast("date"),
-            (F.col("t") / F.lit(86_400_000_000)).cast("int"),
-        )
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_n"))
         .cast("string")
         .alias("day")
     ).agg(F.max("conc").cast("long").alias("peak_concurrent"))
@@ -11640,57 +11665,52 @@ def evt_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier scorecard: discounted revenue, order/part fan-out, and a
     30-day ship-latency on-time rate per supplier — the vendor-review
-    composite.  lineitem→orders is the one big join (both fact-sized;
-    at 100 TB bucket both by orderkey to make it co-located), and the
-    supplier dim broadcasts.  The two DISTINCT counts are deliberately
-    SPLIT out of the main aggregation: mixing count(DISTINCT a),
-    count(DISTINCT b) with plain aggs forces Catalyst's expand rewrite
-    (3× the join output through the shuffle — measured at ~2.4× wall
-    time on this very query).  Instead each runs as its own two-phase
-    distinct (map-side partial dedup), and the three |supplier|-keyed
-    rollups re-join on s_suppkey — unhinted, since |suppliers| grows
-    with SF; AQE broadcasts them only when actually small.  The joined
-    fact subtree is referenced three times, so it gets a lazy
-    localCheckpoint."""
+    composite.  Decomposed around two measured Catalyst facts: (1)
+    mixing MULTIPLE count(DISTINCT) columns in one aggregation forces
+    the expand rewrite (3× rows through the shuffle; Spark plans a
+    SINGLE distinct without Expand), and (2) of the five metrics only
+    on_time needs the orders join — revenue and both fan-out counts are
+    lineitem-local.  So: one narrow lineitem rollup carrying the plain
+    aggs + the n_orders distinct, one distinct-only rollup for n_parts,
+    and the lineitem→orders join reduced to a 3-column projection (both
+    fact-sized; at 100 TB bucket both by orderkey to make it
+    co-located).  Each branch scans parquet with its own pruned column
+    set — cheaper than materializing the joined fact for reuse.  The
+    per-supplier rollups re-join unhinted (|suppliers| grows with SF;
+    AQE broadcasts when small); the supplier NAME dim broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_suppkey",
-        "l_partkey",
-        "l_orderkey",
-        F.expr(
-            "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
-        ).alias("rev_c"),
-        F.when(
-            F.col("l_shipdate")
-            <= F.expr("o_orderdate + INTERVAL '30' DAY"),
-            1,
-        )
-        .otherwise(0)
-        .alias("on_time"),
-    )
-    j = j.localCheckpoint(eager=False)
-    base = j.groupBy("l_suppkey").agg(
+    base = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_li"),
-        F.sum("rev_c").alias("rev_c"),
-        F.sum("on_time").alias("n_on_time"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100) "
+                "AS BIGINT)"
+            )
+        ).alias("rev_c"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
-    nord = (
-        j.select("l_suppkey", "l_orderkey")
-        .distinct()
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    npart = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
     )
-    npart = (
-        j.select("l_suppkey", "l_partkey")
-        .distinct()
+    ontime = (
+        li.select("l_suppkey", "l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    <= F.expr("o_orderdate + INTERVAL '30' DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_on_time")
+        )
     )
     return (
-        base.join(nord, "l_suppkey")
-        .join(npart, "l_suppkey")
+        base.join(npart, "l_suppkey")
+        .join(ontime, "l_suppkey")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
