@@ -116,6 +116,83 @@ def sign_lsh_bucket(qe_col, n_planes: int = 8, dim: int = 64, plane_offset: int 
     return F.concat(*bits)
 
 
+def _ivf_default_centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str
+) -> DataFrame:
+    """Deterministic default coarse quantizer: the first ``n_cells``
+    vectors by id (cheap, replayable by the DuckDB oracles)."""
+    return _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col).select(
+        F.col(id_col).alias("cell"), F.col("qe").alias("c_qe")
+    )
+
+
+def _assign_cells(
+    df: DataFrame, cent: DataFrame, vec_col: str, n_keep: int, out: str
+) -> DataFrame:
+    """Nearest-cell assignment against a broadcast centroid relation."""
+    scored = df.join(F.broadcast(cent)).select(
+        *df.columns,
+        F.col("cell"),
+        dot_q(F.col(vec_col), F.col("c_qe")).alias("_cd"),
+    )
+    if n_keep == 1:
+        # Argmax as ONE hash aggregation — max(struct(dot, −cell,
+        # carries)) reproduces the (dot desc, cell asc) tie rule and
+        # combines map-side, so the post-join N·n_cells rows reduce
+        # to N BEFORE the shuffle.  The ranking-window form (hash
+        # exchange + per-id sort of all N·n_cells rows) measured ~2×
+        # slower on the sf0.1 assignment passes.
+        carry = df.columns[1:]
+        s = F.max(
+            F.struct(
+                F.col("_cd").alias("d"),
+                (-F.col("cell")).alias("nc"),
+                *[F.col(c).alias(c) for c in carry],
+            )
+        ).alias("_s")
+        return (
+            scored.groupBy(df.columns[0])
+            .agg(s)
+            .select(
+                df.columns[0],
+                *[F.col(f"_s.{c}").alias(c) for c in carry],
+                (-F.col("_s.nc")).alias(out),
+            )
+        )
+    # multi-probe (n_keep > 1): keep the ranking window — partition
+    # by the id column only (first col); the vector array is
+    # functionally dependent and hashing it as a key is wasted work
+    w = Window.partitionBy(df.columns[0]).orderBy(
+        F.col("_cd").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_keep)
+        .select(*df.columns, F.col("cell").alias(out))
+    )
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The database-side cell assignment (id, qe, cell) on its own —
+    what a real IVF index stores.  Compute it ONCE (optionally behind a
+    lazy localCheckpoint) and pass it to several ``ivf_topk`` calls via
+    ``assigned_cells`` when sweeping n_probe or serving many query
+    batches: the assignment is n_probe-independent, so recomputing it
+    per sweep point is pure waste (it is the most expensive stage —
+    N·n_cells dot products)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_default_centroids(embeddings, n_cells, id_col)
+    )
+    return _assign_cells(_quantized(embeddings, id_col), cent, "qe", 1, "cell")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -124,6 +201,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assigned_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors into cells, probe
     only the query's ``n_probe`` nearest cells.
@@ -134,59 +212,23 @@ def ivf_topk(
     (≤ a few thousand at any scale) so broadcasting it is free; the
     candidate search is an equi-join on cell id — the same shuffle shape
     as the LSH variant, with recall tuned by n_probe instead of plane
-    count.
+    count.  ``assigned_cells`` (from :func:`ivf_assign_cells`) skips the
+    database-side assignment — pass it when calling more than once over
+    the same corpus (probe sweeps, query batches).
     """
-    cand = _quantized(embeddings, id_col)
     cent = (
         centroids
         if centroids is not None
-        else _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
-        .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
+        else _ivf_default_centroids(embeddings, n_cells, id_col)
+    )
+    cand_cells = (
+        assigned_cells
+        if assigned_cells is not None
+        else _assign_cells(_quantized(embeddings, id_col), cent, "qe", 1, "cell")
     )
 
     def assign(df: DataFrame, vec_col: str, n_keep: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cent)).select(
-            *df.columns,
-            F.col("cell"),
-            dot_q(F.col(vec_col), F.col("c_qe")).alias("_cd"),
-        )
-        if n_keep == 1:
-            # Argmax as ONE hash aggregation — max(struct(dot, −cell,
-            # carries)) reproduces the (dot desc, cell asc) tie rule and
-            # combines map-side, so the post-join N·n_cells rows reduce
-            # to N BEFORE the shuffle.  The ranking-window form (hash
-            # exchange + per-id sort of all N·n_cells rows) measured ~2×
-            # slower on the sf0.1 assignment passes.
-            carry = df.columns[1:]
-            s = F.max(
-                F.struct(
-                    F.col("_cd").alias("d"),
-                    (-F.col("cell")).alias("nc"),
-                    *[F.col(c).alias(c) for c in carry],
-                )
-            ).alias("_s")
-            return (
-                scored.groupBy(df.columns[0])
-                .agg(s)
-                .select(
-                    df.columns[0],
-                    *[F.col(f"_s.{c}").alias(c) for c in carry],
-                    (-F.col("_s.nc")).alias(out),
-                )
-            )
-        # multi-probe (n_keep > 1): keep the ranking window — partition
-        # by the id column only (first col); the vector array is
-        # functionally dependent and hashing it as a key is wasted work
-        w = Window.partitionBy(df.columns[0]).orderBy(
-            F.col("_cd").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= n_keep)
-            .select(*df.columns, F.col("cell").alias(out))
-        )
-
-    cand_cells = assign(cand, "qe", 1, "cell")
+        return _assign_cells(df, cent, vec_col, n_keep, out)
     qs = _quantized(queries, id_col).select(
         F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe")
     )

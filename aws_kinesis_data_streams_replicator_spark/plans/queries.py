@@ -12239,10 +12239,17 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     nq = queries.agg(F.count(F.lit(1)).alias("n"))
+    # the database-side cell assignment is n_probe-independent: compute
+    # it once behind a lazy barrier and share it across all three sweep
+    # points (it is the N·n_cells dot-product stage — the sweep's cost
+    # would otherwise triple it)
+    cells = similarity.ivf_assign_cells(emb, n_cells=16).localCheckpoint(
+        eager=False
+    )
     sweeps = []
     for p in (1, 2, 4):
         ivf = similarity.ivf_topk(
-            emb, queries, k=10, n_cells=16, n_probe=p
+            emb, queries, k=10, n_cells=16, n_probe=p, assigned_cells=cells
         ).select(
             F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
         )
