@@ -115,3 +115,43 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         assert r.approx_users_within_5pct
         assert r.approx_events_within_5pct
         assert r.exact_users > 0 and r.n_rows >= r.exact_users
+
+
+def test_supplier_scorecard_has_no_expand(spark, sf_dir):
+    """Round-5 rewrite contract: the two fan-out distincts run as
+    separate single-distinct aggregations, so Catalyst's Expand rewrite
+    (3x rows through the shuffle for multi-distinct aggs) must never
+    reappear in this plan."""
+    plan = plan_of(spark, sf_dir, "tpch_supplier_scorecard")
+    assert "Expand" not in plan
+
+
+def test_peak_concurrency_has_no_global_window(spark, sf_dir):
+    """Round-5 rewrite contract: the running concurrency sum is a
+    two-phase prefix (per-day windows + a bounded day-offset rollup).
+    The only unpartitioned window allowed is the |days|-row offset
+    prefix; the delta stream itself must never funnel through a
+    single-partition WindowExec.  Detect by counting: exactly ONE
+    window spec without a partition clause."""
+    plan = plan_of(spark, sf_dir, "evt_peak_concurrency")
+    import re
+
+    # Spark prints window specs as windowspecdefinition(partCols...,
+    # orderCols...); an unpartitioned spec starts with the order column
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if "day_n" not in s.split(",")[0]]
+    # day_n-partitioned within-day prefix must exist; the only
+    # day_n-free spec is the bounded offset rollup ordered by day_n
+    assert any("day_n" in s.split(",")[0] for s in specs), specs
+    assert all("day_n" in s for s in unpartitioned), specs
+
+
+def test_winnowing_fuses_maxpos_into_one_window(spark, sf_dir):
+    """Round-5 rewrite contract: the per-doc max position rides the
+    SAME WindowExec as the winnowing min-selection (a second frame over
+    identical partitioning) — no join anywhere in the fingerprint
+    plan."""
+    plan = plan_of(spark, sf_dir, "doc_winnowing_fingerprints")
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan
+    assert plan.count("Window") >= 1
