@@ -162,7 +162,13 @@ def kr_stream_name_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kr_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops 3+4 (Handler.java:74,86): UTF-8 decode + schema-on-read JSON
-    probes, including a nested extra field the reference would ignore."""
+    probes, including a nested extra field the reference would ignore.
+    Three get_json_object probes, matching the reference's JSON-pointer
+    formulation.  (Measured: a single partial-schema from_json parse is
+    NOT faster here — Spark's json-expression optimization prunes and
+    splits per-field from_json anyway, and get_json_object's streaming
+    matcher wins slightly at this payload size — so the simpler
+    pointer form stays.)"""
     env = envelope_from_events(_t(spark, sf_dir, "events"))
     from ..functions.json_payload import decode_payload
 
