@@ -6316,7 +6316,8 @@ def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds the two exact-intersection joins plus the
     # size rollup — one lazy barrier replaces three tokenize+explode runs
     sh = (
-        docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        spread(docs)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id", F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle")
         )
@@ -11337,7 +11338,8 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import shingles_of_tokens, word_tokens
 
     sh = (
-        d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        spread(d)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
             F.posexplode(shingles_of_tokens(F.col("toks"), 3)).alias(
@@ -11476,7 +11478,8 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import shingles_of_tokens, word_tokens
 
     sh = (
-        d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+        spread(d)
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
             F.posexplode(shingles_of_tokens(F.col("toks"), 3)).alias(
@@ -12099,7 +12102,8 @@ def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import shingles_of_tokens, word_tokens
 
     sh = (
-        d.select(
+        spread(d)
+        .select(
             "doc_id", "source", word_tokens(F.col("text")).alias("toks")
         )
         .select(
