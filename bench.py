@@ -93,9 +93,13 @@ def bench_streaming(
             exactly_once=exactly_once,
         )
         q.processAllAvailable()
+        # measure HERE: processAllAvailable returns once every staged
+        # record is fully processed and committed; stop()/awaitTermination
+        # is query teardown (executor shutdown latency, 0.5-1s of pure
+        # noise) and does not belong in the throughput denominator
+        dt = time.time() - t0
         q.stop()
         q.awaitTermination(30)
-        dt = time.time() - t0
         return round(dt, 3), round(n_replicated / dt, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -116,26 +120,13 @@ def main() -> None:
     spark.sql("SELECT count(*) FROM range(1000000)").collect()
 
     timings: dict[str, float] = {}
-    for i, name in enumerate(sorted(QUERIES)):
-        try:
-            timings[name] = round(run_query(QUERIES[name], spark, sf_dir), 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        if i % 25 == 24:
-            # JVM GC so the ContextCleaner actually reaps unreferenced
-            # localCheckpoint blocks (python gc alone only detaches the
-            # py4j refs; the JVM needs a cycle to enqueue the weak refs)
-            spark.sparkContext._jvm.System.gc()
+    # Streaming is measured FIRST, on the clean warmed session: run
+    # after the 266 batch queries it inherits their accumulated
+    # block-manager / GC state and the number swings 6.9-10k rec/s
+    # run-to-run (the r4 "-25% regression" was exactly this; see
+    # NOTES_streaming_throughput.md).  Best-of-3 because the first run
+    # still absorbs streaming-path codegen + state-store init (~2x).
     try:
-        # best-of-3: the first run absorbs streaming-path codegen +
-        # state-store init (~2x slower), and — measured in the round-5
-        # re-run — the streaming number is the noisiest in the suite
-        # when it executes right after 266 batch queries (block-manager
-        # pressure from accumulated session state put r4's best-of-2 at
-        # 7.3k rec/s vs 8.9-9.2k on a quiet session; see
-        # NOTES_streaming_throughput.md), so one extra sample buys back
-        # most of that variance
         stream_sec, stream_rps = min(
             (bench_streaming(spark, sf_dir) for _ in range(3)),
             key=lambda sr: sr[0],
@@ -157,6 +148,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming eos failed: {e}", file=sys.stderr)
         eos_rps = -1.0
+    for i, name in enumerate(sorted(QUERIES)):
+        try:
+            timings[name] = round(run_query(QUERIES[name], spark, sf_dir), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+        if i % 25 == 24:
+            # JVM GC so the ContextCleaner actually reaps unreferenced
+            # localCheckpoint blocks (python gc alone only detaches the
+            # py4j refs; the JVM needs a cycle to enqueue the weak refs)
+            spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "total_seconds_all_queries",
