@@ -7423,7 +7423,7 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events),
-    f AS (SELECT user_id, ts,
+    f AS (SELECT user_id, ts, event_id,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                            > 30 * 60 * 1000000
                       THEN 1 ELSE 0 END AS new_session
@@ -7431,7 +7431,8 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
                  sum(new_session) OVER (PARTITION BY user_id
-                      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
                       AND CURRENT ROW) AS session_seq
           FROM f)
     SELECT user_id,
