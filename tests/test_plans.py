@@ -126,24 +126,62 @@ def test_supplier_scorecard_has_no_expand(spark, sf_dir):
     assert "Expand" not in plan
 
 
+def _window_exec_groups(plan: str):
+    """Parse each WindowExec line's top-level bracket groups.
+
+    Spark prints ``Window [functions], [partitionSpec], [orderSpec]``
+    for a partitioned window and ``Window [functions], [orderSpec]``
+    (just TWO groups) for an unpartitioned one — so the group COUNT,
+    not the first windowspecdefinition argument, is the reliable
+    partitioned/global discriminator."""
+    out = []
+    for ln in plan.splitlines():
+        stripped = ln.strip().lstrip(":+- ")
+        if not stripped.startswith("Window "):
+            continue
+        groups, depth, cur = [], 0, []
+        for ch in stripped:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        out.append(groups)
+    return out
+
+
 def test_peak_concurrency_has_no_global_window(spark, sf_dir):
     """Round-5 rewrite contract: the running concurrency sum is a
     two-phase prefix (per-day windows + a bounded day-offset rollup).
     The only unpartitioned window allowed is the |days|-row offset
-    prefix; the delta stream itself must never funnel through a
-    single-partition WindowExec.  Detect by counting: exactly ONE
-    window spec without a partition clause."""
+    prefix ordered by day_n; the delta stream itself must never funnel
+    through a single-partition WindowExec.  Asserted on the WindowExec
+    partition-spec bracket group (round-6 ADVICE fix — the previous
+    windowspecdefinition-arg heuristic could miss a global window
+    ordered by (day_n, t)).  NOTE: this plan shape depends on the
+    query's lazy localCheckpoint truncating the upstream per-user
+    session windows out of the optimized plan — if that checkpoint is
+    removed, extra (partitioned) WindowExecs reappear here and the
+    per-exec assertions below still apply to each of them."""
     plan = plan_of(spark, sf_dir, "evt_peak_concurrency")
-    import re
-
-    # Spark prints window specs as windowspecdefinition(partCols...,
-    # orderCols...); an unpartitioned spec starts with the order column
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    unpartitioned = [s for s in specs if "day_n" not in s.split(",")[0]]
-    # day_n-partitioned within-day prefix must exist; the only
-    # day_n-free spec is the bounded offset rollup ordered by day_n
-    assert any("day_n" in s.split(",")[0] for s in specs), specs
-    assert all("day_n" in s for s in unpartitioned), specs
+    windows = _window_exec_groups(plan)
+    assert windows, plan
+    globals_ = [g for g in windows if len(g) == 2]
+    partitioned = [g for g in windows if len(g) == 3]
+    # the within-day prefix must be partitioned BY day_n
+    assert any("day_n" in g[1] for g in partitioned), windows
+    # exactly one global window: the bounded |days|-row offset prefix,
+    # ordered by day_n alone (never by the event-level timestamp t)
+    assert len(globals_) == 1, windows
+    order_cols = globals_[0][1]
+    assert "day_n" in order_cols and "t#" not in order_cols, windows
 
 
 def test_winnowing_fuses_maxpos_into_one_window(spark, sf_dir):
