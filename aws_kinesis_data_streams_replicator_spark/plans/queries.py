@@ -8484,16 +8484,31 @@ def tpch_repeat_purchase_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Self-evaluation of the approximate ANN paths: embed the exact, LSH,
 # and IVF oracles (already proven individually) as subqueries, measure
-# micro-averaged recall@10 per method, and ASSERT a floor.  The floors
-# are calibrated to the synthetic corpus: random high-dim embeddings
-# have near-uniform pairwise similarity, so the achievable recall
-# ceiling is low (measured: LSH-4-plane ≈ 1000-1100 bp vs its 625 bp
-# 16-bucket random-chance baseline; IVF nprobe=4/16 ≈ 5000-5700 bp vs
-# its 2500 bp scan-fraction baseline).  A floor between chance and
-# measured (800 / 4000) turns a silent index regression — bucketing
-# bug, probe-order bug, quantizer drift — into a hash-mismatched
-# boolean, while staying robust to SF choice.
-_RECALL_FLOORS = {"lsh_p4": 800, "ivf_np4": 4000}
+# micro-averaged recall@10 per method, and ASSERT a floor.  Floors are
+# DERIVED from each method's own chance baseline rather than
+# hand-calibrated to one fixture, so they stay meaningful at any scale
+# factor or after a fixture-generator change (the r5 ADVICE item):
+#
+# * sign-LSH with p planes hashes into 2^p buckets, so a BROKEN index
+#   (random bucketing) recalls ~10000/2^p bp of true neighbors;
+# * IVF probing n_probe of n_cells scans that fraction of the corpus,
+#   so broken cell assignment recalls ~10000·n_probe/n_cells bp.
+#
+# The floor is chance × a margin chosen below every measured working
+# value (LSH-4p measured 1000-1100 bp vs 625 chance; IVF-4/16 measured
+# 5000-5700 bp vs 2500 chance on random synthetic embeddings, whose
+# near-uniform pairwise similarity makes these ceilings low).  A real
+# regression — bucketing bug, probe-order bug, quantizer drift —
+# collapses recall TO chance, far below chance × margin, flipping the
+# boolean and hash-failing the driver row.
+def _ann_recall_floor_bp(chance_bp: float, margin: float) -> int:
+    return int(chance_bp * margin)
+
+
+_RECALL_FLOORS = {
+    "lsh_p4": _ann_recall_floor_bp(10000 / 2**4, margin=1.28),  # 800
+    "ivf_np4": _ann_recall_floor_bp(10000 * 4 / 16, margin=1.6),  # 4000
+}
 
 ORACLE_SQL["emb_ann_recall_eval"] = f"""
     WITH exact AS ({{exact}}),
@@ -8800,7 +8815,14 @@ def doc_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     5000 bp (measured: 8600-8750 bp at sf0.001/sf0.01; a broken
     banding emits near-random candidates at ~0 precision), computed
     by each engine from its OWN candidate set so a blocking
-    regression hash-fails the driver row."""
+    regression hash-fails the driver row.  Unlike the ANN recall
+    floors there is no closed-form chance baseline here (precision
+    depends on the corpus dup-rate, not just banding parameters), so
+    the floor is empirical BY DESIGN and its recalibration protocol is
+    the per-SF parity artifacts: every new scale factor added to the
+    parity ladder re-measures this query, and a floor that no longer
+    clears by ≥1.5x at a new SF gets recalibrated in the same commit
+    that adds the artifact."""
     from ..functions.hashing import shingles_of_tokens, word_tokens
     from ..operators.util import spread
 
@@ -12683,3 +12705,18 @@ def _risk_ordered(d: dict) -> dict:
 
 QUERIES = _risk_ordered(QUERIES)
 ORACLE_SQL = _risk_ordered(ORACLE_SQL)
+
+
+# Queries whose CONSTRUCTION runs Spark jobs (iterative connected
+# components, eager localCheckpoints): building their final frame is
+# expensive and the resulting plan text covers only the last iteration,
+# so plan lint / fingerprint tooling skips them — their plan discipline
+# is asserted by their own dedicated tests.
+PLAN_BUILD_RUNS_JOBS = frozenset(
+    {
+        "doc_neardup_clusters",
+        "pipeline_corpus_curation_v2",
+        "pipeline_corpus_curation_v4",
+        "graph_pagerank",
+    }
+)

@@ -260,7 +260,14 @@ CUSUM_OUT_SCHEMA = (
     "event_type string, n_seen long, mean_cents long, cusum_cents long, "
     "alarm boolean"
 )
-CUSUM_STATE_SCHEMA = "n long, sum_c long, cusum_c long"
+# v2: cents are floor(value*100) — v1 state accumulated toward-zero
+# truncated cents, so restoring a v1 checkpoint into the floor-based
+# update would silently mix conventions on negative-value streams.
+# The schema change (added cents_conv field) makes the state store's
+# schema-compatibility gate REJECT a v1 checkpoint at restore instead;
+# v1 checkpoints must be discarded, not migrated.
+CUSUM_STATE_SCHEMA = "n long, sum_c long, cusum_c long, cents_conv int"
+_CENTS_CONV = 2
 
 
 def _cusum_update(
@@ -268,7 +275,15 @@ def _cusum_update(
 ) -> Iterator[pd.DataFrame]:
     slack_c = 500  # ignore drifts smaller than 5.00 in value units
     threshold_c = 20000  # alarm when accumulated drift passes 200.00
-    n, sum_c, cusum_c = state.get if state.exists else (0, 0, 0)
+    n, sum_c, cusum_c, conv = (
+        state.get if state.exists else (0, 0, 0, _CENTS_CONV)
+    )
+    if conv != _CENTS_CONV:
+        raise ValueError(
+            f"CUSUM state written under cents convention v{conv}; "
+            f"this build computes v{_CENTS_CONV} (floor) — discard the "
+            "checkpoint and re-run from the source"
+        )
     for pdf in pdfs:
         if not len(pdf):
             continue
@@ -285,7 +300,7 @@ def _cusum_update(
                 cusum_c = max(0, cusum_c + dev)
             n += 1
             sum_c += cents
-    state.update((int(n), int(sum_c), int(cusum_c)))
+    state.update((int(n), int(sum_c), int(cusum_c), _CENTS_CONV))
     yield pd.DataFrame(
         {
             "event_type": [key[0]],

@@ -14,19 +14,31 @@ production is a cluster on fire.
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+
 import pytest
 
-from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+    PLAN_BUILD_RUNS_JOBS,
+    QUERIES,
+)
 
-# queries whose CONSTRUCTION runs jobs (iterative connected components)
-# — plan text of the final frame is meaningless for lint and building it
-# is expensive; their plans are audited by their own tests
-_SKIP = {
-    "doc_neardup_clusters",
-    "pipeline_corpus_curation_v2",
-    "pipeline_corpus_curation_v4",  # CC iterations run jobs at construction
-    "graph_pagerank",  # eager localCheckpoint runs jobs at construction
-}
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+from tools.plan_fingerprints import DEFAULT_OUT, fingerprint  # noqa: E402
+
+# queries whose CONSTRUCTION runs jobs (iterative connected components,
+# eager localCheckpoints) — plan text of the final frame is meaningless
+# for lint and building it is expensive; their plans are audited by
+# their own tests
+_SKIP = PLAN_BUILD_RUNS_JOBS
+
+with open(DEFAULT_OUT) as _fh:
+    _COMMITTED_FPS = json.load(_fh)["fingerprints"]
 
 # deliberate scalar-broadcast (1-row build side) nested-loop joins
 _BNLJ_OK = {
@@ -97,6 +109,28 @@ def test_no_pathological_joins(spark, sf_dir, name):
             "either fix the join key or allowlist a deliberate scalar "
             "broadcast"
         )
+    # Plan-fingerprint regression gate (round-6): the structural
+    # counters of every query's statically-planned shape are pinned in
+    # PLAN_FINGERPRINTS.json.  A strategy flip, a new Expand, a lost
+    # pushdown, or an extra shuffle fails HERE with the query named.
+    # An INTENTIONAL plan change is a two-step edit: make it, then
+    # `python tools/plan_fingerprints.py` and review the JSON diff.
+    committed = _COMMITTED_FPS.get(name)
+    assert committed is not None, (
+        f"{name} has no committed plan fingerprint — regenerate with "
+        "`python tools/plan_fingerprints.py`"
+    )
+    current = fingerprint(plan)
+    diff = {
+        k: (committed.get(k), v)
+        for k, v in current.items()
+        if committed.get(k) != v
+    }
+    assert not diff, (
+        f"{name}: plan shape changed vs PLAN_FINGERPRINTS.json "
+        f"(committed, current): {diff} — if intentional, regenerate "
+        "with `python tools/plan_fingerprints.py` and review the diff"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Registry-wide physical-plan fingerprints: the structural counters
+(joins by strategy, shuffles, scans with/without pushdown, Expand /
+Window / Generate nodes) of EVERY registered query's plan, committed as
+PLAN_FINGERPRINTS.json and diffed in CI.
+
+This pins the plan-shape wins permanently: a regression that flips a
+join strategy, introduces an Expand rewrite, or loses a pushed filter
+fails `tests/test_plan_fingerprints.py` with the query named — before
+it costs a bench round to notice.
+
+Plans are BUILT, never executed (fingerprinting all 266 queries stays
+cheap), so under AQE the counters describe the statically-planned shape
+— exactly the shape that must be right for a cost model to start from
+at 100 TB.  Generated at the tests' smoke fixture (sf0.001) so CI can
+recompute byte-identical counters.
+
+Usage:  python tools/plan_fingerprints.py [sf_dir] [out.json]
+
+Regenerate (and review the diff!) after any INTENTIONAL plan change:
+
+    python tools/plan_fingerprints.py            # writes PLAN_FINGERPRINTS.json
+    git diff PLAN_FINGERPRINTS.json              # every changed counter is a
+                                                 # plan-shape change you made
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+    PLAN_BUILD_RUNS_JOBS,
+    QUERIES,
+)
+from aws_kinesis_data_streams_replicator_spark.session import get_spark
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_OUT = os.path.join(_REPO, "PLAN_FINGERPRINTS.json")
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def fingerprint(plan: str) -> dict:
+    """Structural counters of one physical plan string.  Counts only —
+    no node ids, no expression ids — so the fingerprint is stable
+    across sessions while still catching any strategy flip."""
+    return {
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "shuffles": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "expands": plan.count("Expand"),
+        "windows": len(re.findall(r"\bWindow\b", plan)),
+        "generates": plan.count("Generate "),
+        "scans": plan.count("Scan parquet") + plan.count("Scan ExistingRDD"),
+        "scans_with_pushed_filters": len(
+            re.findall(r"PushedFilters: \[(?!\])", plan)
+        ),
+        "scans_without_pushed_filters": plan.count("PushedFilters: []"),
+        "python_eval": plan.count("BatchEvalPython")
+        + plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("PythonUDTF"),
+    }
+
+
+def build_plan(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def compute_all(spark, sf_dir: str) -> dict:
+    out = {}
+    for name in sorted(QUERIES):
+        if name in PLAN_BUILD_RUNS_JOBS:
+            continue
+        out[name] = fingerprint(build_plan(spark, name, sf_dir))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    out_path = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
+    spark = get_spark("akr-plan-fingerprints")
+    spark.sparkContext.setLogLevel("ERROR")
+    fps = compute_all(spark, sf_dir)
+    payload = {"sf_dir": sf_dir, "fingerprints": fps}
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"{len(fps)} fingerprints -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
