@@ -5,17 +5,25 @@ opaque ``binary`` column plus typed metadata; run decode / feature
 extraction as Arrow-batched pandas functions via ``mapInPandas`` so the
 Python boundary is crossed once per batch, not once per row.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked STUB (``decode_image_stub`` raises NotImplementedError;
-``fake_decode_meta`` is the deterministic stand-in used by tests).  The
-Spark-side plumbing — schema, batch iteration, partition sizing — is
-real and is what the judge should read.
+The container has no imaging libraries (PIL/libvips), so the decoders
+here are pure numpy implementations of the two simplest real formats —
+uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows padded to
+4 bytes) and binary PPM (P6) — with matching encoders for synthetic
+corpora.  That is enough to make the decode stage REAL: header parsing,
+row-padding/row-order/channel-order normalization, and per-channel
+statistics over actual pixel buffers, all inside one Arrow crossing per
+batch.  A production deployment swaps ``decode_image`` for a
+PIL/libvips call with the identical (w, h, HxWx3 RGB) contract; the
+resize and frame-sample transforms remain documented byte-level
+stand-ins (their Spark-side shape is the deliverable there).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -63,18 +71,204 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Real decode would use PIL/libvips — not available in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_decode_meta for deterministic tests"
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Byte-stream pseudo-dimensions for NON-image payloads (audio/raw
+    rows in a mixed media table): a deterministic function of length
+    only, never parsed as pixels."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+# --------------------------------------------------------------------------
+# Real image codecs (pure numpy — no imaging library in the container).
+# BMP: 24bpp uncompressed BI_RGB, bottom-up BGR rows padded to 4 bytes.
+# PPM: binary P6, top-down RGB, maxval 255.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (the format every decoder must get row order, channel order,
+    and row padding right for)."""
+    h, w, _ = rgb.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    # bottom-up rows, BGR channel order, each row padded to 4 bytes
+    bgr = rgb[::-1, :, ::-1]
+    rows = bgr.reshape(h, row_bytes)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    pixel_data = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+    )
+    return header + info + pixel_data
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a BMP or PPM payload to (width, height, (h, w, 3) uint8
+    RGB top-down).  Validates headers and supports exactly the profile
+    the encoders write (24bpp BI_RGB BMP incl. top-down negative-height
+    files; P6 maxval-255 PPM) — anything else raises ValueError, the
+    dead-letter path for a corrupt-media row."""
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("BMP truncated before headers")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP profile (hdr={hdr_size}, bpp={bpp}, "
+                f"compression={compression})"
+            )
+        h = abs(h_raw)
+        row_bytes = w * 3
+        stride = row_bytes + (4 - row_bytes % 4) % 4
+        if len(payload) < data_off + stride * h:
+            raise ValueError("BMP truncated before end of pixel data")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, :row_bytes]
+        bgr = rows.reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage -> flip to top-down
+            bgr = bgr[::-1]
+        return w, h, bgr[:, :, ::-1].copy()
+    if payload[:2] == b"P6":
+        # header: magic, whitespace, w, whitespace, h, whitespace,
+        # maxval, ONE whitespace byte, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("PPM truncated in header")
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        n = w * h * 3
+        if len(payload) < pos + n:
+            raise ValueError("PPM truncated before end of pixel data")
+        rgb = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        return w, h, rgb.reshape(h, w, 3).copy()
+    raise ValueError("not a BMP or P6 PPM payload")
+
+
+def synthetic_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) pixel pattern, closed-form per byte:
+    byte(pix, ch) = (doc_id*73 + pix*7 + ch*151) mod 256 over top-down
+    row-major pixels — chosen so a SQL oracle can reproduce per-channel
+    sums and a position-weighted checksum without decoding anything."""
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    b = (doc_id * 73 + (idx // 3) * 7 + (idx % 3) * 151) % 256
+    return b.astype(np.uint8).reshape(h, w, 3)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("weighted_checksum", LongType()),
+    ]
+)
+
+
+def media_with_images(documents: DataFrame) -> DataFrame:
+    """Synthetic image corpus: one real encoded image per document —
+    BMP for even doc_ids, PPM for odd — with dimensions and pixel bytes
+    deterministic functions of doc_id (see synthetic_pixels).  Encoding
+    runs inside one Arrow crossing per batch; at scale this stage is
+    the ingest boundary where raw media bytes land in the binary
+    column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + did % 13
+                h = 4 + (did * 7) % 11
+                rgb = synthetic_pixels(did, w, h)
+                if did % 2 == 0:
+                    payloads.append(encode_bmp(rgb))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(rgb))
+                    types.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": types,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [""] * len(payloads),
+                }
+            )
+
+    from .util import spread
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
     )
 
 
-def fake_decode_meta(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for decode: 'dimensions' from byte length."""
-    n = len(payload)
-    return (n % 640) + 1, (n % 480) + 1
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction over binary image payloads:
+    parse each BMP/PPM, normalize to top-down RGB, and reduce to
+    per-channel sums plus a position-weighted checksum
+    sum(byte_j * (j+1)) that catches row-order / channel-order /
+    padding bugs a plain sum would miss.  One Arrow crossing per
+    batch; the numpy work is vectorized per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, rs, gs, bs, cks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, rgb = decode_image(bytes(payload))
+                flat = rgb.reshape(-1).astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(rgb[:, :, 0].sum()))
+                gs.append(int(rgb[:, :, 1].sum()))
+                bs.append(int(rgb[:, :, 2].sum()))
+                cks.append(
+                    int((flat * np.arange(1, flat.size + 1)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": rs,
+                    "sum_g": gs,
+                    "sum_b": bs,
+                    "weighted_checksum": cks,
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_hint_rows: int = 10_000) -> DataFrame:

@@ -2980,25 +2980,48 @@ def files_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "mm_feature_extract",
     """
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-                ELSE 'audio/wav' END AS media_type,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
-           CAST(strlen(text) % 480 + 1 AS BIGINT) AS fake_height
-    FROM documents
+    WITH m AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS BIGINT) AS width,
+             CAST(4 + (doc_id * 7) % 11 AS BIGINT) AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                  ELSE 'image/x-portable-pixmap' END AS media_type
+      FROM documents
+    )
+    SELECT m.doc_id, m.media_type, m.width, m.height,
+           CAST(sum(CASE WHEN g.j % 3 = 0
+                    THEN (m.doc_id*73 + (g.j//3)*7) % 256 END)
+                AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN g.j % 3 = 1
+                    THEN (m.doc_id*73 + (g.j//3)*7 + 151) % 256 END)
+                AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN g.j % 3 = 2
+                    THEN (m.doc_id*73 + (g.j//3)*7 + 302) % 256 END)
+                AS BIGINT) AS sum_b,
+           CAST(sum(((m.doc_id*73 + (g.j//3)*7 + (g.j%3)*151) % 256)
+                    * (g.j+1)) AS BIGINT) AS weighted_checksum
+    FROM m JOIN generate_series(0, 16*14*3 - 1) AS g(j)
+      ON g.j < m.width * m.height * 3
+    GROUP BY m.doc_id, m.media_type, m.width, m.height
     """,
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary
-    payloads.  The decode is the documented deterministic stub
-    (dimensions = pure byte-length arithmetic, multimodal.py
-    fake_decode_meta), which is exactly what makes the whole
-    mapInPandas crossing oracle-checkable: DuckDB reproduces the
-    features with strlen arithmetic, proving schema, batch shape, and
-    per-row values of the Python stage."""
-    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    """REAL image decode inside the engine (round-6: the former
+    byte-length stub is retired).  media_with_images encodes one
+    actual image per document — uncompressed 24-bit BMP for even
+    doc_ids, binary P6 PPM for odd — then extract_image_features
+    parses the headers, normalizes bottom-up BGR padded BMP rows and
+    top-down PPM rows to one (h, w, 3) RGB contract, and reduces the
+    true pixel buffers to per-channel sums plus a position-weighted
+    checksum sum(byte_j*(j+1)) that a row-order, channel-order, or
+    padding bug cannot fake.  The pixel pattern is closed-form per
+    byte, so DuckDB reproduces every feature WITHOUT any decoder: a
+    Spark-side codec regression hash-fails this row.  The whole
+    encode+decode pipeline is two Arrow crossings per batch
+    (mapInPandas), vectorized numpy inside — the plumbing a PIL/vips
+    decode drops into unchanged."""
+    media = multimodal.media_with_images(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(media)
 
 
 @_q(
@@ -12546,6 +12569,9 @@ _CHECK_FIRST = [
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
+    # mm_feature_extract changed in r6 (stub decode replaced by real
+    # BMP/PPM codecs + new feature schema): same r7-head staging
+    "mm_feature_extract",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",
@@ -12628,7 +12654,6 @@ _CHECK_FIRST = [
     "emb_ann_lsh_topk",
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
-    "mm_feature_extract",
     "gen_replicate_pipeline",
     "agg_approx_distinct",
     "evt_user_activity_stats",
