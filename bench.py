@@ -153,6 +153,15 @@ def main() -> None:
         timings["streaming_replication_eos"] = sec
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming eos failed: {e}", file=sys.stderr)
+    # The 12 streaming runs above leave state-store/WAL/BlockManager
+    # residue in the shared JVM; drop it before the batch section so
+    # batch numbers don't inherit streaming session pressure (the same
+    # contamination direction NOTES_streaming_throughput.md documents
+    # for the reverse order).
+    for q in spark.streams.active:
+        q.stop()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     for i, name in enumerate(sorted(QUERIES)):
         try:
             timings[name] = round(run_query(QUERIES[name], spark, sf_dir), 3)
