@@ -134,6 +134,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
                 f"compression={compression})"
             )
         h = abs(h_raw)
+        if w <= 0 or h == 0:
+            raise ValueError(f"invalid BMP dimensions {w}x{h_raw}")
         row_bytes = w * 3
         stride = row_bytes + (4 - row_bytes % 4) % 4
         if len(payload) < data_off + stride * h:
@@ -160,6 +162,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
+        if w <= 0 or h <= 0:
+            raise ValueError(f"invalid PPM dimensions {w}x{h}")
         if maxval != 255:
             raise ValueError(f"unsupported PPM maxval {maxval}")
         n = w * h * 3

@@ -58,6 +58,18 @@ def test_invalid_payloads_raise(payload):
         mm.decode_image(payload)
 
 
+def test_negative_dimensions_rejected():
+    import struct
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = bytearray(mm.encode_bmp(rgb))
+    struct.pack_into("<i", b, 18, -5)  # negative width
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm.decode_image(bytes(b))
+    with pytest.raises(ValueError, match="invalid PPM dimensions"):
+        mm.decode_image(b"P6\n-3 2\n255\n" + b"\0" * 18)
+
+
 def test_bmp_unsupported_profile_rejected():
     import struct
 
@@ -91,3 +103,41 @@ def test_extract_image_features_end_to_end(spark, sf_dir):
         assert r.weighted_checksum == int(
             (flat * np.arange(1, flat.size + 1)).sum()
         )
+
+
+# ---- property-based: any image round-trips through both codecs ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_property_roundtrip_any_dims(w, h, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for enc in (mm.encode_bmp, mm.encode_ppm):
+            w2, h2, out = mm.decode_image(enc(rgb))
+            assert (w2, h2) == (w, h)
+            assert (out == rgb).all()
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        prefix=st.sampled_from([b"", b"BM", b"P6", b"P6\n"]),
+        payload=st.binary(max_size=200),
+    )
+    def test_property_arbitrary_bytes_never_crash_undetected(prefix, payload):
+        """Arbitrary bytes — including ones that pass the magic-number
+        sniff — either decode to a consistent image or raise ValueError,
+        never an unhandled numpy/struct error (the dead-letter contract
+        for corrupt media rows)."""
+        try:
+            w, h, rgb = mm.decode_image(prefix + payload)
+        except ValueError:
+            return
+        assert rgb.shape == (h, w, 3)
+except ImportError:  # hypothesis not installed
+    pass
