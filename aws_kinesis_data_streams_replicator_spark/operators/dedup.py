@@ -829,3 +829,102 @@ def shingle_containment_pairs(
             ),
         )
     )
+
+
+def chargram_dup_coverage(
+    documents: DataFrame,
+    k_chars: int = 20,
+    stride: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Character-level exact-duplication coverage: what fraction of each
+    document's CHARACTERS sits inside a k-char substring that also
+    appears verbatim in another document?  The character-granularity
+    companion to :func:`duplicate_spans` (token spans): licenses, code
+    headers, and templated markup repeat at the byte level even when
+    tokenization differs, and span-removal pipelines (Lee et al. 2022)
+    operate on character offsets.
+
+    Every ``stride``-th k-char window is hashed (md5, oracle-portable) —
+    the stride bounds the explode at ``len/stride`` rows per doc while
+    still over-covering any duplicated span ≥ k+stride chars.  Corpus-
+    wide document frequency per gram hash marks duplicated positions;
+    per-document interval union (windowed lag: each position adds
+    ``min(k, pos - prev_pos)`` covered chars) turns overlapping
+    duplicated windows into EXACT covered-character counts, not a
+    double-counted sum.
+
+    Output: (doc_id, n_chars, n_grams, n_dup_grams, covered_chars,
+    dup_cover_bp) — one row per doc with ≥1 full window.
+
+    Scale notes (100 TB): gram hashing runs inside a JVM ``transform``
+    over the position sequence, so document text never rides the
+    exploded rows — each gram row is (doc_id, pos, 32-byte hex).  Cost
+    is one hash-keyed aggregation (map-side combinable; a boilerplate
+    gram shared by millions of docs is ONE group, never a pair
+    explosion), one equi-join back on the same key (AQE reuses the
+    shuffle), and one per-doc window — partitioned by doc_id, no global
+    ordering anywhere.
+    """
+    grams = (
+        spread(documents)
+        .where(F.length("text") >= k_chars)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {k_chars} + 1, "
+                    f"{stride}), i -> struct(CAST(i AS BIGINT) AS pos, "
+                    f"md5(substring(text, i, {k_chars})) AS h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_chars", "g.pos", "g.h")
+    )
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("gram_df"))
+        .where(F.col("gram_df") >= F.lit(min_docs))
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        grams.join(dup_hashes, "h")
+        .select("doc_id", "pos", F.lag("pos").over(w).alias("prev_pos"))
+        .select(
+            "doc_id",
+            F.when(F.col("prev_pos").isNull(), F.lit(k_chars))
+            .otherwise(F.least(F.lit(k_chars), F.col("pos") - F.col("prev_pos")))
+            .alias("add_c"),
+        )
+    )
+    per_doc_dup = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup"),
+        F.sum("add_c").alias("covered"),
+    )
+    # Per-doc totals are CLOSED-FORM in the text length — no second
+    # pass over the exploded grams (at 100 TB that explode is the
+    # dominant cost; pay it once, for the hash side only).
+    totals = documents.where(F.length("text") >= k_chars).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(
+            f"CAST((length(text) - {k_chars}) DIV {stride} + 1 AS BIGINT)"
+        ).alias("n_grams"),
+    )
+    return (
+        totals.join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("long")
+            .alias("covered_chars"),
+            F.expr(
+                "CAST(coalesce(covered, 0) * 10000 DIV n_chars AS BIGINT)"
+            ).alias("dup_cover_bp"),
+        )
+    )

@@ -12491,6 +12491,52 @@ def evt_training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-6 additions (staged r7 candidates from NOTES_r7_staging.md)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "doc_chargram_dup_coverage",
+    """
+    WITH pos AS (
+        SELECT doc_id, length(text) AS n_chars, CAST(t.i AS BIGINT) AS pos,
+               md5(substr(text, CAST(t.i AS INTEGER), 20)) AS h
+        FROM documents, unnest(range(1, length(text) - 20 + 2, 4)) AS t(i)
+        WHERE length(text) >= 20),
+    dfc AS (SELECT h FROM pos GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dfc USING (h)),
+    cov AS (SELECT doc_id,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) IS NULL THEN 20
+                        ELSE least(20, pos - lag(pos)
+                                       OVER (PARTITION BY doc_id
+                                             ORDER BY pos)) END AS add_c
+            FROM dup),
+    pd AS (SELECT doc_id, count(*) AS n_dup, sum(add_c) AS covered
+           FROM cov GROUP BY doc_id),
+    tot AS (SELECT doc_id, max(n_chars) AS n_chars, count(*) AS n_grams
+            FROM pos GROUP BY doc_id)
+    SELECT tot.doc_id, CAST(tot.n_chars AS BIGINT) AS n_chars,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(covered, 0) AS BIGINT) AS covered_chars,
+           CAST(coalesce(covered, 0) * 10000 // tot.n_chars AS BIGINT)
+               AS dup_cover_bp
+    FROM tot LEFT JOIN pd USING (doc_id)
+    """,
+)
+def doc_chargram_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact-duplication coverage
+    (operators/dedup.py:chargram_dup_coverage): strided 20-char window
+    hashes, corpus-wide gram document frequency, per-doc interval union
+    → exact covered-character counts.  The char-granularity companion
+    to doc_dup_spans (token spans) — the span-removal signal of Lee et
+    al. 2022 at byte offsets."""
+    return dedup.chargram_dup_coverage(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
 # no CORRECTNESS_r01 row (the driver stopped at 50), queries changed this
@@ -12572,6 +12618,11 @@ _CHECK_FIRST = [
     # mm_feature_extract changed in r6 (stub decode replaced by real
     # BMP/PPM codecs + new feature schema): same r7-head staging
     "mm_feature_extract",
+    # ---- NEW in round 6 (late window: registered after the r6 check
+    # window locked; parity-green at sf0.001/sf0.01/sf0.1 — see
+    # PARITY artifacts): the staged r7 candidates from
+    # NOTES_r7_staging.md ----
+    "doc_chargram_dup_coverage",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

@@ -1,0 +1,52 @@
+"""Round-6 late-window operators (the staged r7 candidates from
+NOTES_r7_staging.md): character-gram duplication coverage, URL
+canonicalization, BPE apply — hand-computed small cases (fixture-scale
+equivalence is covered by the oracle parity suite)."""
+
+from __future__ import annotations
+
+from aws_kinesis_data_streams_replicator_spark.operators.dedup import (
+    chargram_dup_coverage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chargram_coverage_exact_interval_union(spark):
+    # k=4, stride=2.  Docs 1 and 2 share the 10-char prefix
+    # "abcdefghij"; doc 3 is disjoint.
+    shared = "abcdefghij"
+    rows = [
+        (1, shared + "111111"),  # 16 chars
+        (2, shared + "222222"),  # 16 chars
+        (3, "zzzzzzzzzzzzzzzz"),  # 16 chars, all-equal grams WITHIN doc
+    ]
+    got = {
+        r.doc_id: r
+        for r in chargram_dup_coverage(
+            _docs(spark, rows), k_chars=4, stride=2
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # positions 1,3,5,7,9,11,13 (len 16 → last pos 13); duplicated grams
+    # between docs 1/2 are the windows fully inside the 10-char prefix:
+    # pos 1,3,5,7 (pos 7 covers chars 7-10).  Interval union:
+    # 4 + 2 + 2 + 2 = 10 chars — exactly the shared prefix.
+    for d in (1, 2):
+        r = got[d]
+        assert r.n_grams == 7
+        assert r.n_dup_grams == 4
+        assert r.covered_chars == 10
+        assert r.dup_cover_bp == 10 * 10000 // 16
+    # doc 3's grams repeat WITHIN the doc but exist in no other doc —
+    # document frequency is distinct-doc based, so nothing is flagged
+    r3 = got[3]
+    assert (r3.n_dup_grams, r3.covered_chars, r3.dup_cover_bp) == (0, 0, 0)
+
+
+def test_chargram_coverage_skips_short_docs(spark):
+    rows = [(1, "abc"), (2, "abcdefghijklmnopqrstuvwxyz")]
+    got = chargram_dup_coverage(_docs(spark, rows), k_chars=20, stride=4)
+    assert [r.doc_id for r in got.collect()] == [2]
