@@ -12536,6 +12536,64 @@ def doc_chargram_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chargram_dup_coverage(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic messy-URL fixture: each doc_id yields ONE crawl-style
+# URL exercising every canonicalization rule — scheme/host case, an
+# explicit :80 (default for http, REAL for https), trailing slash,
+# utm_* tracking params, param order, fragment.  Portable SQL (runs
+# verbatim in Spark AND DuckDB), mirroring the _ENV_CTE pattern.
+_URL_RAW_SQL = """
+CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END
+|| '://'
+|| CASE doc_id % 2 WHEN 0 THEN 'CDN' ELSE 'cdn' END
+|| CAST(doc_id % 4 AS STRING) || '.Example.COM'
+|| CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+|| '/p/' || CAST(doc_id % 3 AS STRING)
+|| CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0
+        THEN '?id=' || CAST(doc_id % 2 AS STRING)
+             || '&utm_source=feed&ref=' || CAST(doc_id % 3 AS STRING)
+        ELSE '?ref=' || CAST(doc_id % 3 AS STRING) || '&id='
+             || CAST(doc_id % 2 AS STRING) || '&utm_campaign=x' END
+|| CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+""".strip()
+
+
+@_q(
+    "doc_url_canonical_dedup",
+    f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_RAW_SQL} AS raw_url,
+               CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+               || '://cdn' || CAST(doc_id % 4 AS STRING) || '.example.com'
+               || CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 1
+                       THEN ':80' ELSE '' END
+               || '/p/' || CAST(doc_id % 3 AS STRING)
+               || '?id=' || CAST(doc_id % 2 AS STRING)
+               || '&ref=' || CAST(doc_id % 3 AS STRING) AS canonical_url
+        FROM documents)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS first_id
+    FROM u GROUP BY canonical_url
+    """,
+)
+def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (functions/url.py:canonical_url):
+    crawl-style URL variants collapse to one canonical key — lowercased
+    scheme/host, default port stripped (https://…:80 KEPT — a real
+    non-default port), trailing slash off, utm_* params dropped,
+    remaining params sorted, fragment gone.  The Spark side PARSES with
+    try_parse_url; the oracle derives the canonical form independently
+    from the generative model — the two agreeing checks the parser
+    path, not just the group-by."""
+    from ..functions.url import url_dedup_groups
+
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_RAW_SQL).alias("raw_url")
+    )
+    return url_dedup_groups(raw)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -12623,6 +12681,7 @@ _CHECK_FIRST = [
     # PARITY artifacts): the staged r7 candidates from
     # NOTES_r7_staging.md ----
     "doc_chargram_dup_coverage",
+    "doc_url_canonical_dedup",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

@@ -50,3 +50,43 @@ def test_chargram_coverage_skips_short_docs(spark):
     rows = [(1, "abc"), (2, "abcdefghijklmnopqrstuvwxyz")]
     got = chargram_dup_coverage(_docs(spark, rows), k_chars=20, stride=4)
     assert [r.doc_id for r in got.collect()] == [2]
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_streams_replicator_spark.functions.url import (
+        canonical_url,
+    )
+
+    cases = [
+        # scheme/host case, default port, trailing slash, utm, order, frag
+        (
+            "HTTP://CDN0.Example.COM:80/p/0/?id=0&utm_source=feed&ref=0#frag",
+            "http://cdn0.example.com/p/0?id=0&ref=0",
+        ),
+        # :80 on https is a REAL port — kept; params re-sorted
+        (
+            "https://cdn1.example.com:80/p/1?ref=1&id=1&utm_campaign=x",
+            "https://cdn1.example.com:80/p/1?id=1&ref=1",
+        ),
+        # :443 on https is default — stripped
+        (
+            "https://cdn1.example.com:443/p/1?id=1&ref=1",
+            "https://cdn1.example.com/p/1?id=1&ref=1",
+        ),
+        # empty path → '/', query emptied by utm filter → dropped
+        ("http://a.com", "http://a.com/"),
+        ("http://a.com/?utm_source=x", "http://a.com/"),
+        ("not a url", None),
+    ]
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{u}')" for u, _ in cases)
+        + " AS t(u)"
+    )
+    got = [
+        r.c
+        for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
