@@ -668,3 +668,103 @@ def bpe_merge_step(documents: DataFrame, top_k: int = 20) -> DataFrame:
             F.col("rnk").cast("long").alias("pair_rank"),
         )
     )
+
+
+def bpe_apply(
+    documents: DataFrame, n_merges: int = 4, top_k: int = 30
+) -> DataFrame:
+    """BPE TRAINING + APPLICATION end-to-end: iterate
+    :func:`bpe_merge_step`'s loop body ``n_merges`` times to freeze a
+    merge table, apply it to the vocabulary, and emit the resulting
+    token inventory — the missing third of the BPE family
+    (pair counts → one merge step → full apply).
+
+    Each round: count adjacent symbol pairs over the (word, count)
+    vocabulary, pick the winner (count desc, then pair lexicographic —
+    deterministic), and greedily apply it via left-to-right
+    non-overlapping ``replace`` into a single-char sentinel
+    ``chr(round)``.  Later merges may consume earlier sentinels (merged
+    symbols merging again — real BPE), so the final map-back expands
+    sentinels in REVERSE round order.  Output: the top-``top_k`` tokens
+    of the merged vocabulary by corpus occurrence count.
+
+    Scale notes (100 TB): every iteration runs on the bounded
+    vocabulary rollup (~10⁵-10⁶ rows at any corpus size), each winning
+    pair travels as a 1-row broadcast (never a driver round-trip), and
+    the loop count is a CONSTANT of the tokenizer spec, not of the
+    data.  Lazy ``localCheckpoint`` after each application keeps the
+    lineage flat; nothing executes at plan-build time.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        spread(documents)
+        .select(F.explode(word_tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+        .localCheckpoint(eager=False)
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> struct(substring(word, i, 1) AS sym_a, "
+            "substring(word, i + 1, 1) AS sym_b))"
+        )
+    ).alias("p")
+    merges: DataFrame | None = None
+    for j in range(1, n_merges + 1):
+        pairs = (
+            vocab.where(F.length("word") >= 2)
+            .select("n_word", pair_expr)
+            .groupBy("p.sym_a", "p.sym_b")
+            .agg(F.sum("n_word").alias("n_pairs"))
+        )
+        w = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+        winner = (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(F.concat("sym_a", "sym_b").alias(f"m{j}"))
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(winner))
+            .select(
+                F.expr(f"replace(word, m{j}, chr({j}))").alias("word"),
+                "n_word",
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges = winner if merges is None else merges.crossJoin(
+            F.broadcast(winner)
+        )
+    syms = vocab.select(
+        "n_word",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            )
+        ).alias("sym"),
+    )
+    tok_expr = "sym"
+    for j in range(n_merges, 0, -1):
+        tok_expr = f"replace({tok_expr}, chr({j}), m{j})"
+    tokens = (
+        syms.crossJoin(F.broadcast(merges))
+        .select(F.expr(tok_expr).alias("token"), "n_word")
+        .groupBy("token")
+        .agg(F.sum("n_word").alias("n_tokens"))
+    )
+    wr = Window.orderBy(F.col("n_tokens").desc(), "token")
+    return (
+        tokens.withColumn("token_rank", F.row_number().over(wr))
+        .where(F.col("token_rank") <= top_k)
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("token_rank").cast("long").alias("token_rank"),
+        )
+    )

@@ -12594,6 +12594,62 @@ def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_groups(raw)
 
 
+def _bpe_apply_oracle(n_merges: int = 4, top_k: int = 30) -> str:
+    """DuckDB mirror of operators/text.py:bpe_apply — the same chained
+    merge rounds the Spark loop builds, one CTE trio per round."""
+    ctes = [
+        "w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents)",
+        "v0 AS (SELECT word, count(*) AS n_word FROM w "
+        "WHERE word <> '' GROUP BY word)",
+    ]
+    for j in range(1, n_merges + 1):
+        ctes += [
+            f"p{j} AS (SELECT n_word, "
+            f"substr(word, CAST(t.i AS INTEGER), 1) AS a, "
+            f"substr(word, CAST(t.i AS INTEGER) + 1, 1) AS b "
+            f"FROM v{j - 1}, unnest(range(1, length(word))) AS t(i) "
+            f"WHERE length(word) >= 2)",
+            f"c{j} AS (SELECT a, b, sum(n_word) AS n FROM p{j} "
+            f"GROUP BY a, b)",
+            f"w{j} AS (SELECT a || b AS m{j} FROM c{j} "
+            f"ORDER BY n DESC, a, b LIMIT 1)",
+            f"v{j} AS (SELECT replace(word, m{j}, chr({j})) AS word, "
+            f"n_word FROM v{j - 1}, w{j})",
+        ]
+    unmap = "sym"
+    for j in range(n_merges, 0, -1):
+        unmap = f"replace({unmap}, chr({j}), m{j})"
+    ctes += [
+        f"sy AS (SELECT n_word, substr(word, CAST(t.i AS INTEGER), 1) "
+        f"AS sym FROM v{n_merges}, "
+        f"unnest(range(1, length(word) + 1)) AS t(i))",
+        "m AS (SELECT * FROM "
+        + ", ".join(f"w{j}" for j in range(1, n_merges + 1))
+        + ")",
+        f"tok AS (SELECT {unmap} AS token, sum(n_word) AS n_tokens "
+        f"FROM sy, m GROUP BY token)",
+        "r AS (SELECT token, n_tokens, row_number() OVER "
+        "(ORDER BY n_tokens DESC, token) AS rnk FROM tok)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT token, "
+        "CAST(length(token) AS BIGINT) AS token_len, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(rnk AS BIGINT) AS token_rank FROM r WHERE rnk <= {top_k}"
+    )
+
+
+@_q("text_bpe_apply", _bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE train + apply (operators/text.py:bpe_apply): 4 merge
+    rounds frozen into a merge table on the bounded vocabulary rollup,
+    greedily applied via sentinel replace (later merges may consume
+    earlier ones), final token inventory top-30.  Completes the BPE
+    family: pair counts → one merge step → apply."""
+    return text.bpe_apply(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -12682,6 +12738,7 @@ _CHECK_FIRST = [
     # NOTES_r7_staging.md ----
     "doc_chargram_dup_coverage",
     "doc_url_canonical_dedup",
+    "text_bpe_apply",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

@@ -74,6 +74,9 @@ _BNLJ_OK = {
     "emb_knn_label_classify",  # brute-force stage: emb_ann_topk rationale
     "text_stopword_discovery",  # corpus doc-count 1-row scalar broadcast
     "text_bpe_merge_step",  # winning merge pair 1-row scalar broadcast
+    # per-round winning-pair 1-row broadcasts + the 1-row merge table
+    # at map-back (bpe_merge_step rationale, iterated)
+    "text_bpe_apply",
     # type-pair join over the |event_types|-row sketch rollup — bounded
     # build side (≤ dozens of types), deliberate inequality pair join
     "agg_hll_overlap_estimate",

@@ -52,6 +52,32 @@ def test_chargram_coverage_skips_short_docs(spark):
     assert [r.doc_id for r in got.collect()] == [2]
 
 
+def test_bpe_apply_matches_hand_computed_merges(spark):
+    from aws_kinesis_data_streams_replicator_spark.operators.text import (
+        bpe_apply,
+    )
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES (1, 'low low low lower lowest'), "
+        "(2, 'new newer newest low') AS t(doc_id, text)"
+    )
+    got = [
+        (r.token, r.n_tokens, r.token_rank)
+        for r in bpe_apply(docs, n_merges=3, top_k=10).collect()
+    ]
+    # merges: (l,o) → (lo,w) [a SECOND-ORDER merge consuming the first
+    # sentinel] → (e,w); remaining symbol inventory hand-computed
+    assert got == [
+        ("low", 6, 1),
+        ("e", 4, 2),
+        ("ew", 3, 3),
+        ("n", 3, 4),
+        ("r", 2, 5),
+        ("s", 2, 6),
+        ("t", 2, 7),
+    ]
+
+
 def test_canonical_url_rules(spark):
     from pyspark.sql import functions as F
 
