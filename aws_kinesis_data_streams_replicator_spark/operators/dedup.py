@@ -928,3 +928,38 @@ def chargram_dup_coverage(
             ).alias("dup_cover_bp"),
         )
     )
+
+
+def embedding_band_buckets(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    band_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded sign-LSH bucket index for a corpus of embeddings: one row
+    per (vector, band) with its bucket id — the static index the
+    streaming semantic near-dup gate joins against
+    (streaming/job.py:streaming_semantic_neardup_filter), and the same
+    band family :func:`embedding_neardup_pairs_lsh` buckets with.
+
+    Scale notes (100 TB): one Arrow-batched numpy matmul per batch for
+    all bands (operators/udfs.py:sign_lsh_all_bands_udf), then a
+    posexplode to n_bands skinny rows per vector — no shuffle at all;
+    write it partitioned by band_id for pruned per-band reads.
+    """
+    from ..functions.vectors import quantize_embedding
+    from .udfs import sign_lsh_all_bands_udf
+
+    all_buckets = sign_lsh_all_bands_udf(n_bands, band_planes, dim)
+    return (
+        spread(embeddings)
+        .select(
+            F.col(id_col),
+            quantize_embedding(F.col("embedding")).alias("qe"),
+        )
+        .select(
+            id_col,
+            F.posexplode(all_buckets(F.col("qe"))).alias("band_id", "bucket"),
+        )
+    )

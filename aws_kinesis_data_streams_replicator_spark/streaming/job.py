@@ -546,3 +546,65 @@ def streaming_retrieval_index_maintenance(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_semantic_neardup_filter(
+    vec_stream: DataFrame,
+    corpus_bands: DataFrame,
+    n_bands: int = 8,
+    band_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: drop streaming embedding rows whose
+    banded sign-LSH bucket matches the existing corpus in ANY band —
+    the embedding twin of :func:`streaming_neardup_filter` (minhash),
+    sharing its stream-static join shape and the batch band family of
+    ``operators.dedup.embedding_neardup_pairs_lsh``.
+
+    ``corpus_bands`` is the static (vec_id, band_id, bucket) index from
+    ``operators.dedup.embedding_band_buckets`` — built once per corpus
+    snapshot, re-resolved per micro-batch so a refreshed index parquet
+    is picked up automatically.  Incoming vectors get all band buckets
+    from ONE Arrow-batched numpy matmul (the measured fast path —
+    operators/udfs.py), then each band does a stream-static LEFT join
+    against that band's DISTINCT bucket set (distinct ⇒ at most one
+    match ⇒ no row duplication); a vector survives only if every band
+    missed.  No stateful operator anywhere — the only state is source
+    offsets, so the gate restarts from the WAL with zero rebuild.
+
+    This is a candidate-level gate: a band hit means "collides with
+    SOME corpus vector under an 8-plane projection", which at the
+    near-dup regime (cos ≥ 0.95, r=8 b=8 ⇒ per-pair miss ≈1.2%) is the
+    drop-tonight's-near-copies semantics.  For verified-exact dedup,
+    route the dropped rows to a dead-letter sink and re-verify offline
+    with the exact dot product (dedup.embedding_neardup_pairs_lsh's
+    verify stage).
+
+    Scale notes: n_bands stream-static equi-joins, each shuffling the
+    micro-batch on a distinct bucket key (broadcast the per-band set
+    when the corpus index fits); the corpus side is a bucket-DISTINCT
+    rollup, so a mega-cluster of near-identical corpus vectors is ONE
+    row per band, never a fan-out.
+    """
+    from ..functions.vectors import quantize_embedding
+    from ..operators.udfs import sign_lsh_all_bands_udf
+
+    cols = vec_stream.columns
+    all_buckets = sign_lsh_all_bands_udf(n_bands, band_planes, dim)
+    out = vec_stream.withColumn(
+        "_bk", all_buckets(quantize_embedding(F.col("embedding")))
+    )
+    for b in range(n_bands):
+        out = out.withColumn(f"_b{b}", F.element_at(F.col("_bk"), b + 1))
+        idx_b = (
+            corpus_bands.where(F.col("band_id") == b)
+            .select(F.col("bucket").alias(f"_b{b}"))
+            .distinct()
+            .withColumn(f"_m{b}", F.lit(1))
+        )
+        out = out.join(idx_b, f"_b{b}", "left")
+    keep = None
+    for b in range(n_bands):
+        c = F.col(f"_m{b}").isNull()
+        keep = c if keep is None else (keep & c)
+    return out.where(keep).select(*cols)
