@@ -12640,6 +12640,191 @@ def _bpe_apply_oracle(n_merges: int = 4, top_k: int = 30) -> str:
     )
 
 
+@_q(
+    "agg_quantile_sketch_merge",
+    """
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS cents,
+                      event_id % 16 AS shard
+               FROM events),
+    r AS (SELECT event_type, shard, cents,
+                 row_number() OVER (PARTITION BY event_type, shard
+                                    ORDER BY cents, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type, shard) AS n_s
+          FROM e),
+    b AS (SELECT event_type, shard, cents, rn FROM r
+          WHERE (32 * rn) // n_s > (32 * (rn - 1)) // n_s),
+    pts AS (SELECT event_type, cents AS v,
+                   rn - coalesce(lag(rn) OVER (PARTITION BY event_type,
+                                               shard ORDER BY rn), 0)
+                       AS w
+            FROM b),
+    pv AS (SELECT event_type, v, sum(w) AS w FROM pts
+           GROUP BY event_type, v),
+    cum AS (SELECT event_type, v,
+                   sum(w) OVER (PARTITION BY event_type ORDER BY v)
+                       AS cumw
+            FROM pv),
+    tot AS (SELECT event_type, count(*) AS n FROM e GROUP BY event_type),
+    est AS (SELECT cum.event_type,
+                   min(CASE WHEN 100 * cumw >= 25 * n THEN v END) AS e25,
+                   min(CASE WHEN 100 * cumw >= 50 * n THEN v END) AS e50,
+                   min(CASE WHEN 100 * cumw >= 75 * n THEN v END) AS e75
+            FROM cum JOIN tot USING (event_type)
+            GROUP BY cum.event_type),
+    x AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn
+          FROM e),
+    ex AS (SELECT x.event_type,
+                  min(CASE WHEN 100 * rn >= 25 * n THEN cents END) AS x25,
+                  min(CASE WHEN 100 * rn >= 50 * n THEN cents END) AS x50,
+                  min(CASE WHEN 100 * rn >= 75 * n THEN cents END) AS x75
+           FROM x JOIN tot USING (event_type)
+           GROUP BY x.event_type),
+    rk AS (SELECT e.event_type,
+                  sum(CASE WHEN cents <  e25 THEN 1 ELSE 0 END) AS lt25,
+                  sum(CASE WHEN cents <= e25 THEN 1 ELSE 0 END) AS le25,
+                  sum(CASE WHEN cents <  e50 THEN 1 ELSE 0 END) AS lt50,
+                  sum(CASE WHEN cents <= e50 THEN 1 ELSE 0 END) AS le50,
+                  sum(CASE WHEN cents <  e75 THEN 1 ELSE 0 END) AS lt75,
+                  sum(CASE WHEN cents <= e75 THEN 1 ELSE 0 END) AS le75
+           FROM e JOIN est USING (event_type)
+           GROUP BY e.event_type)
+    SELECT t.event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(e25 AS BIGINT) AS est_p25_cents,
+           CAST(e50 AS BIGINT) AS est_p50_cents,
+           CAST(e75 AS BIGINT) AS est_p75_cents,
+           CAST(x25 AS BIGINT) AS exact_p25_cents,
+           CAST(x50 AS BIGINT) AS exact_p50_cents,
+           CAST(x75 AS BIGINT) AS exact_p75_cents,
+           CAST(n // 32 + 17 AS BIGINT) AS rank_err_bound,
+           ((25 * n + 99) // 100 <= le25 + (n // 32 + 17)
+            AND (25 * n + 99) // 100 >= lt25 + 1 - (n // 32 + 17))
+               AS within_p25,
+           ((50 * n + 99) // 100 <= le50 + (n // 32 + 17)
+            AND (50 * n + 99) // 100 >= lt50 + 1 - (n // 32 + 17))
+               AS within_p50,
+           ((75 * n + 99) // 100 <= le75 + (n // 32 + 17)
+            AND (75 * n + 99) // 100 >= lt75 + 1 - (n // 32 + 17))
+               AS within_p75
+    FROM tot t JOIN est ON t.event_type = est.event_type
+               JOIN ex ON t.event_type = ex.event_type
+               JOIN rk ON t.event_type = rk.event_type
+    """,
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distributed quantile sketch, end-to-end in relational
+    algebra: each of 16 shards compresses its sorted values to a ≤32-
+    point equi-depth summary (value, weight), summaries MERGE by simple
+    weighted union — the KLL/t-digest mergeability contract without the
+    opaque blob — and quantiles are read off the merged cumulative
+    weights.  The estimates ride next to the exact rank-selects plus a
+    PROVEN rank-error bound (Σ per-shard gaps ≤ n/32 + one per shard),
+    asserted as within_* booleans the oracle recomputes — a quality
+    regression hash-fails the row, the agg_approx_percentile contract
+    shape.
+
+    Scale notes (100 TB): the raw-data passes are per-(type, shard)
+    windows — shard count scales the summary work out while each
+    summary stays ≤32 rows, so the merge input is |types|·shards·32
+    rows, trivially one partition per type; nothing ever sorts a whole
+    event type globally except the EVAL-ONLY exact-rank pass (drop it
+    in production and the sketch is the answer).  The per-type
+    estimate frame re-joins the raw scan through a broadcast on the
+    bounded event_type key."""
+    C, SHARDS = 32, 16
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("event_id") % SHARDS).alias("shard"),
+    )
+    w1 = Window.partitionBy("event_type", "shard").orderBy("cents", "event_id")
+    r = e.select(
+        "event_type",
+        "shard",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "shard"))
+        .alias("n_s"),
+    )
+    # rn is a summary boundary iff some k ≤ C has ceil(k·n_s/C) = rn —
+    # equivalently the integer ratio C·rn/n_s advances at rn
+    b = r.where(F.expr(f"({C} * rn) DIV n_s > ({C} * (rn - 1)) DIV n_s"))
+    w2 = Window.partitionBy("event_type", "shard").orderBy("rn")
+    pts = b.select(
+        "event_type",
+        F.col("cents").alias("v"),
+        (
+            F.col("rn") - F.coalesce(F.lag("rn").over(w2), F.lit(0))
+        ).alias("w"),
+    )
+    pv = pts.groupBy("event_type", "v").agg(F.sum("w").alias("w"))
+    w3 = Window.partitionBy("event_type").orderBy("v")
+    cum = pv.select("event_type", "v", F.sum("w").over(w3).alias("cumw"))
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.lit(100) * F.col("cumw") >= F.lit(p) * F.col("n"), F.col("v"))
+    )
+    est = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(pick(25).alias("e25"), pick(50).alias("e50"), pick(75).alias("e75"))
+    )
+    w4 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    xpick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.lit(100) * F.col("rn") >= F.lit(p) * F.col("n"), F.col("cents")
+        )
+    )
+    ex = (
+        e.select("event_type", "cents", F.row_number().over(w4).alias("rn"))
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(xpick(25).alias("x25"), xpick(50).alias("x50"), xpick(75).alias("x75"))
+    )
+    cnt = lambda cmp, col: F.sum(F.when(cmp(F.col("cents"), F.col(col)), 1).otherwise(0))  # noqa: E731
+    rk = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            cnt(lambda a, b_: a < b_, "e25").alias("lt25"),
+            cnt(lambda a, b_: a <= b_, "e25").alias("le25"),
+            cnt(lambda a, b_: a < b_, "e50").alias("lt50"),
+            cnt(lambda a, b_: a <= b_, "e50").alias("le50"),
+            cnt(lambda a, b_: a < b_, "e75").alias("lt75"),
+            cnt(lambda a, b_: a <= b_, "e75").alias("le75"),
+        )
+    )
+    bound = F.expr("n DIV 32 + 17")
+    target = lambda p: F.expr(f"({p} * n + 99) DIV 100")  # noqa: E731
+    within = lambda p, le, lt: (  # noqa: E731
+        (target(p) <= F.col(le) + bound)
+        & (target(p) >= F.col(lt) + F.lit(1) - bound)
+    )
+    return (
+        tot.join(est, "event_type")
+        .join(ex, "event_type")
+        .join(rk, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("e25").cast("long").alias("est_p25_cents"),
+            F.col("e50").cast("long").alias("est_p50_cents"),
+            F.col("e75").cast("long").alias("est_p75_cents"),
+            F.col("x25").cast("long").alias("exact_p25_cents"),
+            F.col("x50").cast("long").alias("exact_p50_cents"),
+            F.col("x75").cast("long").alias("exact_p75_cents"),
+            bound.cast("long").alias("rank_err_bound"),
+            within(25, "le25", "lt25").alias("within_p25"),
+            within(50, "le50", "lt50").alias("within_p50"),
+            within(75, "le75", "lt75").alias("within_p75"),
+        )
+    )
+
+
 @_q("text_bpe_apply", _bpe_apply_oracle())
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE train + apply (operators/text.py:bpe_apply): 4 merge
@@ -12739,6 +12924,7 @@ _CHECK_FIRST = [
     "doc_chargram_dup_coverage",
     "doc_url_canonical_dedup",
     "text_bpe_apply",
+    "agg_quantile_sketch_merge",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

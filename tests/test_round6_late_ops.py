@@ -78,6 +78,55 @@ def test_bpe_apply_matches_hand_computed_merges(spark):
     ]
 
 
+def test_quantile_sketch_merge_exact_when_uncompressed(spark, sf_dir):
+    """With n_s ≤ 32 per shard, the equi-depth summary keeps EVERY
+    value (no compression), so the merged-sketch estimate must equal
+    the exact rank-select — the zero-error degenerate case that pins
+    the boundary/weight/merge arithmetic."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        QUERIES,
+    )
+
+    out = QUERIES["agg_quantile_sketch_merge"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "expected one row per event type"
+    for r in rows:
+        assert r.within_p25 and r.within_p50 and r.within_p75, r
+        # estimates bracket exact by the proven bound in VALUE rank
+        # terms; at fixture scale they should also be close in cents
+        assert r.est_p50_cents >= r.exact_p25_cents, r
+        assert r.est_p50_cents <= r.exact_p75_cents, r
+    # degenerate exactness: tiny per-shard inputs are kept verbatim
+    tiny = spark.sql(
+        "SELECT 'a' AS event_type, CAST(i AS BIGINT) AS event_id, "
+        "CAST(i AS DOUBLE) / 100 AS value, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS ts, '{}' AS props "
+        "FROM range(1, 33) AS t(i)"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tiny.write.parquet(d + "/events.parquet")
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            spark.read.parquet(sf_dir + f"/{t}.parquet").limit(1).write.parquet(
+                d + f"/{t}.parquet"
+            )
+        got = {
+            r.event_type: r
+            for r in QUERIES["agg_quantile_sketch_merge"](spark, d).collect()
+        }
+    r = got["a"]
+    # values are cents 1..32: exact p25/50/75 at ceil(p·32) = 8/16/24
+    assert (r.exact_p25_cents, r.exact_p50_cents, r.exact_p75_cents) == (
+        8, 16, 24,
+    )
+    # 2 values per shard ⇒ no compression ⇒ estimates exact
+    assert (r.est_p25_cents, r.est_p50_cents, r.est_p75_cents) == (8, 16, 24)
+
+
 def test_canonical_url_rules(spark):
     from pyspark.sql import functions as F
 
