@@ -670,31 +670,18 @@ def bpe_merge_step(documents: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
-def bpe_apply(
-    documents: DataFrame, n_merges: int = 4, top_k: int = 30
-) -> DataFrame:
-    """BPE TRAINING + APPLICATION end-to-end: iterate
-    :func:`bpe_merge_step`'s loop body ``n_merges`` times to freeze a
-    merge table, apply it to the vocabulary, and emit the resulting
-    token inventory — the missing third of the BPE family
-    (pair counts → one merge step → full apply).
-
-    Each round: count adjacent symbol pairs over the (word, count)
-    vocabulary, pick the winner (count desc, then pair lexicographic —
-    deterministic), and greedily apply it via left-to-right
-    non-overlapping ``replace`` into a single-char sentinel
-    ``chr(round)``.  Later merges may consume earlier sentinels (merged
-    symbols merging again — real BPE), so the final map-back expands
-    sentinels in REVERSE round order.  Output: the top-``top_k`` tokens
-    of the merged vocabulary by corpus occurrence count.
-
-    Scale notes (100 TB): every iteration runs on the bounded
-    vocabulary rollup (~10⁵-10⁶ rows at any corpus size), each winning
-    pair travels as a 1-row broadcast (never a driver round-trip), and
-    the loop count is a CONSTANT of the tokenizer spec, not of the
-    data.  Lazy ``localCheckpoint`` after each application keeps the
-    lineage flat; nothing executes at plan-build time.
-    """
+def _bpe_vocab_chain(documents: DataFrame, n_merges: int):
+    """Shared BPE merge chain: freeze ``n_merges`` winning pairs over
+    the (word, count) vocabulary and greedily apply each via sentinel
+    ``chr(round)`` replace.  Returns ``(vocab, merges)`` where vocab is
+    (orig, word, n_word) — ``orig`` the untouched surface form (the
+    encode join key), ``word`` the merged symbol string — and merges is
+    the 1-row frozen merge table (m1..mN).  Winner rule: pair count
+    desc, then pair lexicographic (deterministic; sentinels sort below
+    ASCII letters in both engines).  Every round runs on the bounded
+    vocabulary rollup with the winner as a 1-row broadcast; lazy
+    ``localCheckpoint`` per round keeps the lineage flat and nothing
+    executes at plan-build time."""
     from pyspark.sql import Window
 
     words = (
@@ -705,6 +692,7 @@ def bpe_apply(
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
+        .select(F.col("word").alias("orig"), "word", "n_word")
         .localCheckpoint(eager=False)
     )
     pair_expr = F.explode(
@@ -731,6 +719,7 @@ def bpe_apply(
         vocab = (
             vocab.crossJoin(F.broadcast(winner))
             .select(
+                "orig",
                 F.expr(f"replace(word, m{j}, chr({j}))").alias("word"),
                 "n_word",
             )
@@ -739,6 +728,29 @@ def bpe_apply(
         merges = winner if merges is None else merges.crossJoin(
             F.broadcast(winner)
         )
+    return vocab, merges
+
+
+def bpe_apply(
+    documents: DataFrame, n_merges: int = 4, top_k: int = 30
+) -> DataFrame:
+    """BPE TRAINING + APPLICATION end-to-end: iterate
+    :func:`bpe_merge_step`'s loop body ``n_merges`` times to freeze a
+    merge table (:func:`_bpe_vocab_chain`), apply it to the vocabulary,
+    and emit the resulting token inventory — pair counts → one merge
+    step → full apply.
+
+    Later merges may consume earlier sentinels (merged symbols merging
+    again — real BPE), so the final map-back expands sentinels in
+    REVERSE round order.  Output: the top-``top_k`` tokens of the
+    merged vocabulary by corpus occurrence count.
+
+    Scale notes (100 TB): see :func:`_bpe_vocab_chain` — bounded
+    vocabulary rollups, 1-row winner broadcasts, constant loop count.
+    """
+    from pyspark.sql import Window
+
+    vocab, merges = _bpe_vocab_chain(documents, n_merges)
     syms = vocab.select(
         "n_word",
         F.explode(
@@ -766,5 +778,55 @@ def bpe_apply(
             F.length("token").cast("long").alias("token_len"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("token_rank").cast("long").alias("token_rank"),
+        )
+    )
+
+
+def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Encode the CORPUS with the frozen BPE merge table: per document,
+    the token count after ``n_merges`` merges — the number that prices
+    a training run (tokens-per-doc drives batch packing, epoch budgets,
+    and per-source mixture weights), computed without materializing a
+    single token string.
+
+    The merged vocabulary maps each surface form to its symbol string;
+    a word's token count is just ``length(word_merged)`` (every symbol
+    — plain char or sentinel — is one token).  Documents re-join their
+    words to that per-word count and aggregate.  Output: (doc_id,
+    n_words, n_word_chars, n_bpe_tokens, tokens_per_100_chars).
+
+    Scale notes (100 TB): the corpus-side cost is ONE explode + ONE
+    equi-join keyed on the word (the vocabulary side is the bounded
+    rollup — AQE broadcasts it when small) + one per-doc aggregation.
+    The merge chain itself never touches corpus-sized data.
+    """
+    vocab, _ = _bpe_vocab_chain(documents, n_merges)
+    enc = vocab.select(
+        F.col("orig").alias("word"),
+        F.length("word").alias("n_toks"),
+    )
+    words_by_doc = (
+        spread(documents)
+        .select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        words_by_doc.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_word_chars",
+            "n_bpe_tokens",
+            F.expr(
+                "CAST(n_bpe_tokens * 100 DIV n_word_chars AS BIGINT)"
+            ).alias("tokens_per_100_chars"),
         )
     )

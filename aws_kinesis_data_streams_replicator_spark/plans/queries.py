@@ -12825,6 +12825,57 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
+    merge chain as _bpe_apply_oracle but carrying the surface form
+    through, then re-joining the corpus words to per-word token
+    counts."""
+    ctes = [
+        "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents)",
+        "v0 AS (SELECT word AS orig, word, count(*) AS n_word FROM w "
+        "WHERE word <> '' GROUP BY word)",
+    ]
+    for j in range(1, n_merges + 1):
+        ctes += [
+            f"p{j} AS (SELECT n_word, "
+            f"substr(word, CAST(t.i AS INTEGER), 1) AS a, "
+            f"substr(word, CAST(t.i AS INTEGER) + 1, 1) AS b "
+            f"FROM v{j - 1}, unnest(range(1, length(word))) AS t(i) "
+            f"WHERE length(word) >= 2)",
+            f"c{j} AS (SELECT a, b, sum(n_word) AS n FROM p{j} "
+            f"GROUP BY a, b)",
+            f"w{j} AS (SELECT a || b AS m{j} FROM c{j} "
+            f"ORDER BY n DESC, a, b LIMIT 1)",
+            f"v{j} AS (SELECT orig, replace(word, m{j}, chr({j})) AS word, "
+            f"n_word FROM v{j - 1}, w{j})",
+        ]
+    ctes += [
+        f"enc AS (SELECT orig, length(word) AS n_toks FROM v{n_merges})",
+        "g AS (SELECT doc_id, count(*) AS n_words, "
+        "sum(length(word)) AS n_word_chars, sum(n_toks) AS n_bpe "
+        "FROM w JOIN enc ON w.word = enc.orig GROUP BY doc_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT doc_id, "
+        "CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_word_chars AS BIGINT) AS n_word_chars, "
+        "CAST(n_bpe AS BIGINT) AS n_bpe_tokens, "
+        "CAST(n_bpe * 100 // n_word_chars AS BIGINT) "
+        "AS tokens_per_100_chars FROM g"
+    )
+
+
+@_q("text_bpe_encode_stats", _bpe_encode_oracle())
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE encode statistics (operators/text.py:bpe_encode_stats):
+    per-document token counts under the frozen 4-merge table — the
+    tokens-per-doc number that prices training runs — via one
+    corpus-side explode + one word-keyed equi-join against the merged
+    vocabulary, no token strings materialized."""
+    return text.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
 @_q("text_bpe_apply", _bpe_apply_oracle())
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE train + apply (operators/text.py:bpe_apply): 4 merge
@@ -12925,6 +12976,7 @@ _CHECK_FIRST = [
     "doc_url_canonical_dedup",
     "text_bpe_apply",
     "agg_quantile_sketch_merge",
+    "text_bpe_encode_stats",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

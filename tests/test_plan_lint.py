@@ -77,6 +77,7 @@ _BNLJ_OK = {
     # per-round winning-pair 1-row broadcasts + the 1-row merge table
     # at map-back (bpe_merge_step rationale, iterated)
     "text_bpe_apply",
+    "text_bpe_encode_stats",
     # type-pair join over the |event_types|-row sketch rollup — bounded
     # build side (≤ dozens of types), deliberate inequality pair join
     "agg_hll_overlap_estimate",

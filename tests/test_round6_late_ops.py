@@ -78,6 +78,28 @@ def test_bpe_apply_matches_hand_computed_merges(spark):
     ]
 
 
+def test_bpe_encode_stats_hand_computed(spark):
+    from aws_kinesis_data_streams_replicator_spark.operators.text import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES (1, 'low low low lower lowest'), "
+        "(2, 'new newer newest low') AS t(doc_id, text)"
+    )
+    got = {
+        r.doc_id: r for r in bpe_encode_stats(docs, n_merges=3).collect()
+    }
+    # merges (l,o)(lo,w)(e,w): low=1 tok, lower=3, lowest=4, new=2,
+    # newer=4, newest=5
+    r1 = got[1]
+    assert (r1.n_words, r1.n_word_chars, r1.n_bpe_tokens) == (5, 20, 10)
+    assert r1.tokens_per_100_chars == 50
+    r2 = got[2]
+    assert (r2.n_words, r2.n_word_chars, r2.n_bpe_tokens) == (4, 17, 12)
+    assert r2.tokens_per_100_chars == 70
+
+
 def test_quantile_sketch_merge_exact_when_uncompressed(spark, sf_dir):
     """With n_s ≤ 32 per shard, the equi-depth summary keeps EVERY
     value (no compression), so the merged-sketch estimate must equal
