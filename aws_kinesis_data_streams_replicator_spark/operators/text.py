@@ -830,3 +830,87 @@ def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
             ).alias("tokens_per_100_chars"),
         )
     )
+
+
+def heavy_hitters_bounds(
+    documents: DataFrame,
+    n_shards: int = 8,
+    capacity: int = 64,
+    top_n: int = 10,
+) -> DataFrame:
+    """Distributed frequent-items summary with deterministic error
+    bounds — the SpaceSaving/Misra-Gries MERGE contract in relational
+    algebra.  Each data shard (doc_id % n_shards) keeps only its
+    top-``capacity`` (word, count) rows; the largest count a shard
+    DROPPED is its rank-(capacity+1) count ``eps_s``, so after merging,
+    a word's true corpus count is bracketed by::
+
+        lower = Σ kept counts  ≤  true  ≤  lower + Σ eps_s over shards
+                                            where the word was truncated
+
+    The exact top-``top_n`` rides along as the EVAL side with a
+    ``bounds_hold`` boolean — mathematically always TRUE, so any
+    arithmetic slip in the summary/merge hash-fails a driver row.
+
+    Scale notes (100 TB): the (shard, word) rollup is one map-side-
+    combinable aggregation; the per-shard truncation is a bounded
+    window (capacity+1 rows survive per shard) and everything merged
+    afterward is ≤ n_shards·capacity rows + a 1-row total-eps
+    broadcast.  Production drops the exact-count leg; the summary is
+    the answer.
+    """
+    from pyspark.sql import Window
+
+    ww = (
+        spread(documents)
+        .select(
+            (F.col("doc_id") % n_shards).alias("shard"),
+            F.explode(word_tokens(F.col("text"))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    swc = ww.groupBy("shard", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), "word")
+    rkd = swc.select(
+        "shard", "word", "cnt", F.row_number().over(wr).alias("rn")
+    )
+    kept = rkd.where(F.col("rn") <= capacity).select("shard", "word", "cnt")
+    eps = rkd.where(F.col("rn") == capacity + 1).select(
+        "shard", F.col("cnt").alias("eps_s")
+    )
+    teps = eps.agg(F.coalesce(F.sum("eps_s"), F.lit(0)).alias("total_eps"))
+    m = (
+        kept.join(eps, "shard", "left")
+        .groupBy("word")
+        .agg(
+            F.sum("cnt").alias("lower_b"),
+            F.coalesce(F.sum("eps_s"), F.lit(0)).alias("eps_covered"),
+        )
+    )
+    ex = ww.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    wt = Window.orderBy(F.col("exact_n").desc(), "word")
+    top = ex.select(
+        "word", "exact_n", F.row_number().over(wt).alias("hh_rank")
+    ).where(F.col("hh_rank") <= top_n)
+    return (
+        top.join(m, "word")
+        .crossJoin(F.broadcast(teps))
+        .select(
+            "word",
+            F.col("hh_rank").cast("long").alias("hh_rank"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("lower_b").cast("long").alias("lower_bound"),
+            (F.col("lower_b") + F.col("total_eps") - F.col("eps_covered"))
+            .cast("long")
+            .alias("upper_bound"),
+            (
+                (F.col("lower_b") <= F.col("exact_n"))
+                & (
+                    F.col("exact_n")
+                    <= F.col("lower_b")
+                    + F.col("total_eps")
+                    - F.col("eps_covered")
+                )
+            ).alias("bounds_hold"),
+        )
+    )

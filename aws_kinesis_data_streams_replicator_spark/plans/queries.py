@@ -12825,6 +12825,66 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_heavy_hitters_bounds",
+    """
+    WITH w AS (SELECT doc_id % 8 AS shard,
+                      unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    ww AS (SELECT shard, word FROM w WHERE word <> ''),
+    swc AS (SELECT shard, word, count(*) AS cnt FROM ww
+            GROUP BY shard, word),
+    rkd AS (SELECT shard, word, cnt,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY cnt DESC, word) AS rn
+            FROM swc),
+    kept AS (SELECT shard, word, cnt FROM rkd WHERE rn <= 64),
+    eps AS (SELECT shard, cnt AS eps_s FROM rkd WHERE rn = 65),
+    teps AS (SELECT coalesce(sum(eps_s), 0) AS total_eps FROM eps),
+    m AS (SELECT word, sum(cnt) AS lower_b,
+                 coalesce(sum(eps_s), 0) AS eps_covered
+          FROM kept LEFT JOIN eps USING (shard)
+          GROUP BY word),
+    ex AS (SELECT word, count(*) AS exact_n FROM ww GROUP BY word),
+    top AS (SELECT word, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, word)
+                       AS hh_rank
+            FROM ex)
+    SELECT t.word, CAST(hh_rank AS BIGINT) AS hh_rank,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(lower_b AS BIGINT) AS lower_bound,
+           CAST(lower_b + total_eps - eps_covered AS BIGINT)
+               AS upper_bound,
+           (lower_b <= exact_n
+            AND exact_n <= lower_b + total_eps - eps_covered)
+               AS bounds_hold
+    FROM top t JOIN m USING (word), teps
+    WHERE hh_rank <= 10
+    """,
+)
+def text_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed frequent-items (heavy hitters) with DETERMINISTIC
+    error bounds — the SpaceSaving/Misra-Gries merge contract in
+    relational algebra: each of 8 data shards keeps only its top-64
+    (word, count) rows; a dropped word's count is bounded by the
+    shard's rank-65 count (eps_s), so the merged summary brackets every
+    word's true count in [Σ kept counts, that + Σ eps_s over shards
+    where the word was truncated].  The exact top-10 (the EVAL side)
+    rides along with a bounds_hold boolean the oracle recomputes — a
+    mathematically guaranteed TRUE, so any arithmetic slip hash-fails.
+    Summary plumbing: operators/text.py:heavy_hitters_bounds.
+
+    Scale notes (100 TB): the full (shard, word) rollup is one
+    map-side-combinable aggregation; everything after the per-shard
+    rank truncation is ≤ shards·64 rows + one 1-row total-eps
+    broadcast.  In production the exact-count leg is dropped and the
+    summary IS the answer — that leg exists to assert the bound, the
+    emb_ann_recall_eval contract shape."""
+    return text.heavy_hitters_bounds(
+        _t(spark, sf_dir, "documents"), n_shards=8, capacity=64, top_n=10
+    )
+
+
 def _bpe_encode_oracle(n_merges: int = 4) -> str:
     """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
     merge chain as _bpe_apply_oracle but carrying the surface form
@@ -12977,6 +13037,7 @@ _CHECK_FIRST = [
     "text_bpe_apply",
     "agg_quantile_sketch_merge",
     "text_bpe_encode_stats",
+    "text_heavy_hitters_bounds",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

@@ -78,6 +78,8 @@ _BNLJ_OK = {
     # at map-back (bpe_merge_step rationale, iterated)
     "text_bpe_apply",
     "text_bpe_encode_stats",
+    # 1-row total-eps scalar broadcast (summary-merge error bound)
+    "text_heavy_hitters_bounds",
     # type-pair join over the |event_types|-row sketch rollup — bounded
     # build side (≤ dozens of types), deliberate inequality pair join
     "agg_hll_overlap_estimate",

@@ -149,6 +149,34 @@ def test_quantile_sketch_merge_exact_when_uncompressed(spark, sf_dir):
     assert (r.est_p25_cents, r.est_p50_cents, r.est_p75_cents) == (8, 16, 24)
 
 
+def test_heavy_hitters_bounds_with_truncation(spark):
+    """capacity=2 forces real truncation: bounds must bracket exact
+    counts, be TIGHT for words kept in every shard, and words absent
+    from every shard summary fall out of the candidate set."""
+    from aws_kinesis_data_streams_replicator_spark.operators.text import (
+        heavy_hitters_bounds,
+    )
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES (0, 'a a a b b c'), (1, 'a a c c c d') "
+        "AS t(doc_id, text)"
+    )
+    got = {
+        r.word: r
+        for r in heavy_hitters_bounds(
+            docs, n_shards=2, capacity=2, top_n=4
+        ).collect()
+    }
+    # shard0 keeps a(3) b(2), eps=1 (c); shard1 keeps c(3) a(2), eps=1
+    # (d); total_eps=2.  Exact: a5 c4 b2 d1.
+    assert set(got) == {"a", "c", "b"}  # d truncated everywhere → absent
+    a, c, b = got["a"], got["c"], got["b"]
+    assert (a.lower_bound, a.upper_bound, a.exact_n) == (5, 5, 5)  # tight
+    assert (c.lower_bound, c.upper_bound, c.exact_n) == (3, 4, 4)
+    assert (b.lower_bound, b.upper_bound, b.exact_n) == (2, 3, 2)
+    assert all(r.bounds_hold for r in got.values())
+
+
 def test_canonical_url_rules(spark):
     from pyspark.sql import functions as F
 
