@@ -332,3 +332,105 @@ def streaming_cusum_alerts(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+QSKETCH_OUT_SCHEMA = (
+    "event_type string, n_seen long, est_p50_cents long, "
+    "rank_err_bound long, summary_size long"
+)
+QSKETCH_STATE_SCHEMA = (
+    "vals array<long>, ws array<long>, n long, err long"
+)
+_QSKETCH_CAP = 32
+
+
+def _qsketch_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    C = _QSKETCH_CAP
+    if state.exists:
+        vals, ws, n, err = state.get
+        pts = dict(zip(vals, ws))
+    else:
+        pts, n, err = {}, 0, 0
+    batch = 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        cents = np.floor(pdf["value"] * 100).astype("int64")
+        batch += len(cents)
+        for v, w in cents.value_counts().items():
+            pts[int(v)] = pts.get(int(v), 0) + int(w)
+    n += batch
+    srt = sorted(pts.items())
+    W = sum(w for _, w in srt)
+    if len(srt) > C:
+        # deterministic equi-depth recompression: keep the first point
+        # reaching each cumulative-weight target ceil(k*W/C); the kept
+        # point absorbs the weight since the previous kept point.  One
+        # compaction moves any rank estimate by at most the largest
+        # absorbed gap <= ceil(W/C) + max single-point weight, bounded
+        # here by the conservative ceil(W/C) + 1 accounting per pass.
+        kept: list[tuple[int, int]] = []
+        cum = prev_cum = 0
+        k = 1
+        for v, w in srt:
+            cum += w
+            target = -(-k * W // C)  # ceil
+            if cum >= target:
+                kept.append((v, cum - prev_cum))
+                prev_cum = cum
+                while k <= C and cum >= -(-k * W // C):
+                    k += 1
+        err += -(-W // C) + 1
+        srt = kept
+    cum = 0
+    est = None
+    half = -(-50 * W // 100)
+    for v, w in srt:
+        cum += w
+        if est is None and cum >= half:
+            est = v
+    state.update((
+        [v for v, _ in srt],
+        [w for _, w in srt],
+        int(n),
+        int(err),
+    ))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "est_p50_cents": [est],
+            "rank_err_bound": [err],
+            "summary_size": [len(srt)],
+        }
+    )
+
+
+def streaming_quantile_sketch(events_stream: DataFrame) -> DataFrame:
+    """Running per-type median estimate with BOUNDED state: the keyed
+    state is the same ≤32-point equi-depth (value, weight) summary the
+    batch ``agg_quantile_sketch_merge`` query merges, maintained across
+    micro-batches — each batch's exact counts merge into the summary,
+    which recompresses only when it exceeds capacity, accumulating an
+    explicit rank-error budget (``rank_err_bound``) as it does.  The
+    derandomized-KLL tradeoff: reproducible state for a per-compaction
+    additive bound instead of the randomized worst-case guarantee.
+
+    Scale notes: state is O(capacity) longs per event type regardless
+    of stream length — the mergeable-summary property is exactly what
+    makes a quantile maintainable in a state store at all; emitting the
+    bound alongside the estimate keeps the consumer honest about
+    drift.  NoTimeout because event types are finite; add a TTL for
+    unbounded keys.
+    """
+    return events_stream.select("event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _qsketch_update,
+        outputStructType=QSKETCH_OUT_SCHEMA,
+        stateStructType=QSKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
