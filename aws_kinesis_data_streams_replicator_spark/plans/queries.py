@@ -12885,6 +12885,63 @@ def text_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_url_host_profile",
+    f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_RAW_SQL} AS raw_url,
+               'cdn' || CAST(doc_id % 4 AS STRING) || '.example.com'
+                   AS host,
+               (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+               || '://cdn' || CAST(doc_id % 4 AS STRING) || '.example.com'
+               || CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 1
+                       THEN ':80' ELSE '' END
+               || '/p/' || CAST(doc_id % 3 AS STRING)
+               || '?id=' || CAST(doc_id % 2 AS STRING)
+               || '&ref=' || CAST(doc_id % 3 AS STRING) AS canon
+        FROM documents),
+    g AS (SELECT host, canon, count(*) AS n FROM u
+          GROUP BY host, canon)
+    SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_canonical_urls,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_docs_in_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 10000
+                // sum(n) AS BIGINT) AS dup_rate_bp
+    FROM g GROUP BY host
+    """,
+)
+def doc_url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl profile: canonical-URL dedup pressure aggregated
+    to the host — the per-domain dashboard a crawl scheduler
+    prioritizes by (hosts serving mostly duplicate canonical URLs get
+    throttled).  Host comes from the PARSED lowercased authority
+    (functions/url.py rules); dup pressure is canonical-group sizes
+    rolled up twice (host+canon, then host) — two map-side-combinable
+    aggregations, no joins, no skew (hosts are the output rows)."""
+    from ..functions.url import canonical_url
+
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_RAW_SQL).alias("raw_url")
+    )
+    auth = F.try_parse_url(F.col("raw_url"), F.lit("AUTHORITY"))
+    c = u.select(
+        F.lower(F.substring_index(auth, ":", 1)).alias("host"),
+        canonical_url(F.col("raw_url")).alias("canon"),
+    )
+    g = c.groupBy("host", "canon").agg(F.count(F.lit(1)).alias("n"))
+    dup_n = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+    return g.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical_urls"),
+        dup_n.cast("long").alias("n_docs_in_dup_groups"),
+        F.expr(
+            "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 10000 "
+            "DIV sum(n) AS BIGINT)"
+        ).alias("dup_rate_bp"),
+    )
+
+
 def _bpe_encode_oracle(n_merges: int = 4) -> str:
     """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
     merge chain as _bpe_apply_oracle but carrying the surface form
@@ -13038,6 +13095,7 @@ _CHECK_FIRST = [
     "agg_quantile_sketch_merge",
     "text_bpe_encode_stats",
     "text_heavy_hitters_bounds",
+    "doc_url_host_profile",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",
