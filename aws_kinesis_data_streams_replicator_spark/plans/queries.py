@@ -12942,6 +12942,255 @@ def doc_url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_bucket_sql(row: int, col_sql: str, width: int) -> str:
+    """DuckDB bucket id for count-min row ``row``: 5 md5 hex digits of
+    the seeded word → BIGINT % width (the _hex5_sql arithmetic over the
+    md5_seeded family)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', md5('{row}|' || {col_sql})"
+        f"[{1 + i}]) - 1) * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"(CAST({terms} AS BIGINT) % {width})"
+
+
+@_q(
+    "text_count_min_estimate",
+    f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    ww AS (SELECT word FROM w WHERE word <> ''),
+    cells AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'word', 1024)} "
+                f"AS bucket FROM ww" for r in range(4)
+            )}
+        ) GROUP BY r, bucket),
+    ex AS (SELECT word, count(*) AS exact_n FROM ww GROUP BY word),
+    top AS (SELECT word, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, word)
+                       AS hh_rank
+            FROM ex),
+    probes AS (SELECT word, exact_n, hh_rank FROM top
+               WHERE hh_rank <= 10),
+    pb AS (
+        {" UNION ALL ".join(
+            f"SELECT word, exact_n, hh_rank, {r} AS r, "
+            f"{_cms_bucket_sql(r, 'word', 1024)} AS bucket FROM probes"
+            for r in range(4)
+        )}),
+    est AS (SELECT word, min(exact_n) AS exact_n, min(hh_rank) AS hh_rank,
+                   min(cnt) AS cms_est
+            FROM pb JOIN cells USING (r, bucket)
+            GROUP BY word)
+    SELECT word, CAST(hh_rank AS BIGINT) AS hh_rank,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount,
+           cms_est >= exact_n AS never_underestimates
+    FROM est
+    """,
+)
+def text_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates audited against exact counts:
+    a 4×1024 counter grid (seeded md5 buckets — the repo's portable
+    hash family), point estimate = min over the 4 rows — with the CMS
+    one-sided guarantee (never an underestimate) emitted as an
+    oracle-asserted boolean and the actual overcount quantified
+    exactly.  Completes the mergeable-summary family (HLL, equi-depth
+    quantiles, heavy hitters, CMS): counter grids merge by cell-wise
+    ADDITION, so per-partition grids combine associatively — exactly
+    what groupBy(r, bucket) computes distributed.
+
+    Scale notes (100 TB): the grid build is one map-side-combinable
+    aggregation over 4·|tokens| rows into ≤4096 cells; probes join the
+    bounded cell table.  The exact-count leg is the EVAL side, dropped
+    in production."""
+    D, W = 4, 1024
+    ww = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    bucket = lambda r: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{r}|', word)), 1, 5), 16, 10) "
+        f"AS BIGINT) % {W}"
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), bucket(r).alias("bucket")
+                )
+                for r in range(D)
+            ]
+        )
+    ).alias("rb")
+    cells = (
+        ww.select(rows)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex = ww.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    wt = Window.orderBy(F.col("exact_n").desc(), "word")
+    probes = ex.select(
+        "word", "exact_n", F.row_number().over(wt).alias("hh_rank")
+    ).where(F.col("hh_rank") <= 10)
+    pb = probes.select("word", "exact_n", "hh_rank", rows).select(
+        "word", "exact_n", "hh_rank", "rb.r", "rb.bucket"
+    )
+    est = (
+        pb.join(cells, ["r", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("hh_rank").alias("hh_rank"),
+            F.min("cnt").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "word",
+        F.col("hh_rank").cast("long").alias("hh_rank"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+    )
+
+
+@_q(
+    "text_bloom_membership",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    corp AS (SELECT DISTINCT word FROM ww WHERE doc_id % 2 = 0),
+    probe AS (SELECT DISTINCT word FROM ww WHERE doc_id % 2 = 1
+              UNION
+              SELECT DISTINCT 'zz' || CAST(doc_id AS STRING)
+              FROM documents),
+    bits AS (
+        SELECT DISTINCT bit FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_cms_bucket_sql(r, 'word', 256)} AS bit "
+                f"FROM corp" for r in range(3)
+            )})),
+    pb AS (
+        {" UNION ALL ".join(
+            f"SELECT word, {_cms_bucket_sql(r, 'word', 256)} AS bit "
+            f"FROM probe" for r in range(3)
+        )}),
+    hits AS (SELECT pb.word, count(b.bit) AS n_set
+             FROM pb LEFT JOIN bits b USING (bit)
+             GROUP BY pb.word),
+    lab AS (SELECT h.word, n_set = 3 AS predicted,
+                   c.word IS NOT NULL AS is_member
+            FROM hits h LEFT JOIN corp c ON h.word = c.word)
+    SELECT CAST(count(*) AS BIGINT) AS n_probe_words,
+           CAST(sum(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_predicted,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_members,
+           CAST(sum(CASE WHEN predicted AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positives,
+           CAST(sum(CASE WHEN predicted AND NOT is_member
+                         THEN 1 ELSE 0 END) * 10000
+                // greatest(sum(CASE WHEN NOT is_member THEN 1 ELSE 0
+                                END), 1) AS BIGINT) AS fp_rate_bp,
+           bool_and(NOT is_member OR predicted) AS no_false_negatives
+    FROM lab
+    """,
+)
+def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom-filter membership: the even-doc vocabulary sets
+    3 seeded md5 bits in a 256-bit space (deliberately small relative
+    to the fixture vocabulary so the measured false-positive half is
+    NONZERO, not vacuous) (the DISTINCT bit table IS
+    the filter — mergeable by union, exactly how per-partition filters
+    combine); the odd-doc vocabulary probes it.  The Bloom contract is
+    split into its two halves: no_false_negatives is the guaranteed
+    side (oracle-asserted TRUE), and the false-positive rate is
+    measured exactly against ground-truth membership — the
+    cross-corpus "have we seen this token/URL/hash before" primitive
+    at the heart of incremental dedup.
+
+    Scale notes (100 TB): filter build = one distinct over ≤ m rows;
+    probes join the ≤ m-row bit table (broadcastable at any corpus
+    size since m is a constant); ground truth rides a word-keyed
+    equi-join — the EVAL side, dropped in production."""
+    M, K = 256, 3
+    ww = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    corp = (
+        ww.where(F.col("doc_id") % 2 == 0).select("word").distinct()
+    )
+    # odd-doc vocabulary + guaranteed NON-members ('zz<doc_id>' never
+    # tokenizes out of the corpus) so the false-positive half of the
+    # contract is actually measured, not vacuously zero
+    probe = (
+        ww.where(F.col("doc_id") % 2 == 1)
+        .select("word")
+        .union(
+            _t(spark, sf_dir, "documents").select(
+                F.concat(
+                    F.lit("zz"), F.col("doc_id").cast("string")
+                ).alias("word")
+            )
+        )
+        .distinct()
+    )
+    bit = lambda r: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{r}|', word)), 1, 5), 16, 10) "
+        f"AS BIGINT) % {M}"
+    )
+    kbits = lambda df: df.select(  # noqa: E731
+        "word",
+        F.explode(F.array(*[bit(r) for r in range(K)])).alias("bit"),
+    )
+    bits = kbits(corp).select("bit").distinct()
+    hits = (
+        kbits(probe)
+        .join(bits.withColumn("_set", F.lit(1)), "bit", "left")
+        .groupBy("word")
+        .agg(F.count("_set").alias("n_set"))
+    )
+    lab = hits.join(
+        corp.withColumn("_m", F.lit(1)), "word", "left"
+    ).select(
+        (F.col("n_set") == K).alias("predicted"),
+        F.col("_m").isNotNull().alias("is_member"),
+    )
+    pred_np = F.sum(
+        F.when(F.col("predicted") & ~F.col("is_member"), 1).otherwise(0)
+    )
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_words"),
+        F.sum(F.when(F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_predicted"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        pred_np.cast("long").alias("n_false_positives"),
+        F.expr(
+            "CAST(sum(CASE WHEN predicted AND NOT is_member THEN 1 "
+            "ELSE 0 END) * 10000 DIV greatest(sum(CASE WHEN NOT "
+            "is_member THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("fp_rate_bp"),
+        F.bool_and(~F.col("is_member") | F.col("predicted")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
 def _bpe_encode_oracle(n_merges: int = 4) -> str:
     """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
     merge chain as _bpe_apply_oracle but carrying the surface form
@@ -13096,6 +13345,8 @@ _CHECK_FIRST = [
     "text_bpe_encode_stats",
     "text_heavy_hitters_bounds",
     "doc_url_host_profile",
+    "text_count_min_estimate",
+    "text_bloom_membership",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",
