@@ -434,3 +434,129 @@ def streaming_quantile_sketch(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MDRIFT_OUT_SCHEMA = (
+    "event_type string, n_seen long, batch_median_cents long, "
+    "run_median_cents long, shift_cents long, n_shifted_batches long, "
+    "alarm boolean"
+)
+MDRIFT_STATE_SCHEMA = (
+    "vals array<long>, ws array<long>, n long, err long, shifted long"
+)
+
+
+def _eqd_merge_and_median(pts: dict, C: int):
+    """Shared equi-depth helper: (sorted points, added rank error,
+    median estimate) after capacity-bounded recompression — the exact
+    compaction rule of ``_qsketch_update``, factored for reuse."""
+    srt = sorted(pts.items())
+    W = sum(w for _, w in srt)
+    err_inc = 0
+    if len(srt) > C:
+        kept: list[tuple[int, int]] = []
+        cum = prev_cum = 0
+        k = 1
+        for v, w in srt:
+            cum += w
+            target = -(-k * W // C)  # ceil
+            if cum >= target:
+                kept.append((v, cum - prev_cum))
+                prev_cum = cum
+                while k <= C and cum >= -(-k * W // C):
+                    k += 1
+        err_inc = -(-W // C) + 1
+        srt = kept
+    est = None
+    half = -(-50 * W // 100)
+    cum = 0
+    for v, w in srt:
+        cum += w
+        if est is None and cum >= half:
+            est = v
+    return srt, err_inc, est
+
+
+def _median_drift_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    C = _QSKETCH_CAP
+    shift_threshold_c = 5000  # median moved by > 50.00 value units
+    consecutive_needed = 2  # sustained, not a one-batch blip
+    if state.exists:
+        vals, ws, n, err, shifted = state.get
+        pts = dict(zip(vals, ws))
+    else:
+        pts, n, err, shifted = {}, 0, 0, 0
+    batch_cents: list[int] = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        batch_cents.extend(
+            np.floor(pdf["value"] * 100).astype("int64").tolist()
+        )
+    batch_cents.sort()
+    batch_med = (
+        batch_cents[(len(batch_cents) - 1) // 2] if batch_cents else None
+    )
+    # run median BEFORE merging this batch: the reference the new batch
+    # is judged against (first batch seeds the state and cannot alarm)
+    _, _, run_med = _eqd_merge_and_median(pts, C)
+    shift = (
+        abs(batch_med - run_med)
+        if (batch_med is not None and run_med is not None)
+        else 0
+    )
+    if run_med is not None and shift > shift_threshold_c:
+        shifted += 1
+    else:
+        shifted = 0
+    alarm = shifted >= consecutive_needed
+    for v in batch_cents:
+        pts[v] = pts.get(v, 0) + 1
+    n += len(batch_cents)
+    srt, err_inc, new_run = _eqd_merge_and_median(pts, C)
+    err += err_inc
+    state.update((
+        [v for v, _ in srt],
+        [w for _, w in srt],
+        int(n),
+        int(err),
+        int(shifted),
+    ))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "batch_median_cents": [batch_med],
+            "run_median_cents": [new_run],
+            "shift_cents": [shift],
+            "n_shifted_batches": [shifted],
+            "alarm": [alarm],
+        }
+    )
+
+
+def streaming_median_drift(events_stream: DataFrame) -> DataFrame:
+    """Robust drift detection on the RUNNING MEDIAN: each micro-batch's
+    median is compared against the pre-merge equi-depth summary median;
+    a sustained shift (2 consecutive batches beyond 50.00 units) alarms
+    — the robust companion to ``streaming_cusum_alerts``, which keys on
+    the mean and therefore fires on a handful of extreme outliers that
+    leave the median untouched.  Composition of the two stateful
+    summaries this module already maintains: the state is the bounded
+    quantile summary plus a shift counter.
+
+    Scale notes: same O(capacity) keyed state as
+    ``streaming_quantile_sketch``; the batch median is exact within the
+    micro-batch (bounded by trigger size), the reference median is the
+    summary estimate whose rank-error budget the sketch tracks."""
+    return events_stream.select("event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _median_drift_update,
+        outputStructType=MDRIFT_OUT_SCHEMA,
+        stateStructType=MDRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
