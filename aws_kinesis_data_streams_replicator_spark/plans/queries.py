@@ -13191,11 +13191,10 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(n_merges: int = 4) -> str:
-    """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
-    merge chain as _bpe_apply_oracle but carrying the surface form
-    through, then re-joining the corpus words to per-word token
-    counts."""
+def _bpe_encode_ctes(n_merges: int = 4) -> list[str]:
+    """CTE list shared by _bpe_encode_oracle and the curation-v5
+    composition: the orig-carrying merge chain ending in per-doc token
+    counts at CTE ``g``."""
     ctes = [
         "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
         "FROM documents)",
@@ -13222,6 +13221,15 @@ def _bpe_encode_oracle(n_merges: int = 4) -> str:
         "sum(length(word)) AS n_word_chars, sum(n_toks) AS n_bpe "
         "FROM w JOIN enc ON w.word = enc.orig GROUP BY doc_id)",
     ]
+    return ctes
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    """DuckDB mirror of operators/text.py:bpe_encode_stats — the same
+    merge chain as _bpe_apply_oracle but carrying the surface form
+    through, then re-joining the corpus words to per-word token
+    counts."""
+    ctes = _bpe_encode_ctes(n_merges)
     return (
         "WITH " + ", ".join(ctes) + " SELECT doc_id, "
         "CAST(n_words AS BIGINT) AS n_words, "
@@ -13240,6 +13248,116 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side explode + one word-keyed equi-join against the merged
     vocabulary, no token strings materialized."""
     return text.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
+def _curation_v5_oracle() -> str:
+    """Composition oracle: the chargram-coverage, canonical-URL, and
+    BPE-encode CTE families joined into the v5 curation labeling."""
+    ctes = _bpe_encode_ctes(4)
+    ctes += [
+        """pos AS (
+        SELECT doc_id, length(text) AS n_chars, CAST(t.i AS BIGINT) AS pos,
+               md5(substr(text, CAST(t.i AS INTEGER), 20)) AS h
+        FROM documents, unnest(range(1, length(text) - 20 + 2, 4)) AS t(i)
+        WHERE length(text) >= 20)""",
+        """dfc AS (SELECT h FROM pos GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2)""",
+        """dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dfc USING (h))""",
+        """cov AS (SELECT doc_id,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) IS NULL THEN 20
+                        ELSE least(20, pos - lag(pos)
+                                       OVER (PARTITION BY doc_id
+                                             ORDER BY pos)) END AS add_c
+            FROM dup)""",
+        """pd AS (SELECT doc_id, sum(add_c) AS covered
+           FROM cov GROUP BY doc_id)""",
+        """tot AS (SELECT doc_id, max(n_chars) AS n_chars
+            FROM pos GROUP BY doc_id)""",
+        """spanbp AS (SELECT tot.doc_id,
+                   coalesce(covered, 0) * 10000 // tot.n_chars AS bp
+            FROM tot LEFT JOIN pd USING (doc_id))""",
+        f"""u AS (SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+               || '://cdn' || CAST(doc_id % 4 AS STRING) || '.example.com'
+               || CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 1
+                       THEN ':80' ELSE '' END
+               || '/p/' || CAST(doc_id % 3 AS STRING)
+               || '?id=' || CAST(doc_id % 2 AS STRING)
+               || '&ref=' || CAST(doc_id % 3 AS STRING) AS canon
+        FROM documents)""",
+        """k AS (SELECT canon, min(doc_id) AS keep_id FROM u
+           GROUP BY canon)""",
+        """lab AS (SELECT d.source,
+                  CASE WHEN d.doc_id <> k.keep_id THEN 'dup_url'
+                       WHEN coalesce(sb.bp, 0) >= 5000 THEN 'dup_span'
+                       ELSE 'kept' END AS status,
+                  coalesce(g.n_bpe, 0) AS toks
+           FROM documents d
+           JOIN u ON d.doc_id = u.doc_id
+           JOIN k ON u.canon = k.canon
+           LEFT JOIN spanbp sb ON d.doc_id = sb.doc_id
+           LEFT JOIN g ON d.doc_id = g.doc_id)""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT source, status, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(toks) AS BIGINT) AS sum_bpe_tokens "
+        "FROM lab GROUP BY source, status"
+    )
+
+
+@_q("pipeline_corpus_curation_v5", _curation_v5_oracle())
+def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v5 — the late-round-6 operator set composed into ONE
+    labeling plan: canonical-URL dedup (crawl-variant collapse, min-id
+    keeper) → character-level duplicated-span gate (≥50% exactly-
+    duplicated chars ⇒ boilerplate, dropped) → BPE token pricing of
+    whatever survives.  Every doc gets a status (dup_url beats
+    dup_span beats kept — a doc failing both is billed to the earlier
+    stage, the production dashboard convention) and the per-source
+    rollup prices each source's KEPT token contribution — the number a
+    mixture-weight planner consumes.
+
+    Scale notes (100 TB): three independent per-doc signal pipelines
+    (canon key, span coverage, token counts) each already scale-audited
+    in their standalone queries, joined back on doc_id (co-partitioned
+    equi-joins) and rolled up to |sources|×3 rows.  The merge-chain
+    subtree is the bounded-vocabulary loop; nothing here adds a new
+    shuffle class."""
+    from ..functions.url import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        canonical_url(F.expr(_URL_RAW_SQL)).alias("canon"),
+    )
+    keeper = canon.groupBy("canon").agg(F.min("doc_id").alias("keep_id"))
+    url_lab = canon.join(keeper, "canon").select("doc_id", "keep_id")
+    span = dedup.chargram_dup_coverage(docs).select(
+        "doc_id", F.col("dup_cover_bp").alias("bp")
+    )
+    enc = text.bpe_encode_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("toks")
+    )
+    lab = (
+        docs.select("doc_id", "source")
+        .join(url_lab, "doc_id")
+        .join(span, "doc_id", "left")
+        .join(enc, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("doc_id") != F.col("keep_id"), "dup_url")
+            .when(F.coalesce(F.col("bp"), F.lit(0)) >= 5000, "dup_span")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce(F.col("toks"), F.lit(0)).alias("toks"),
+        )
+    )
+    return lab.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sum_bpe_tokens"),
+    )
 
 
 @_q("text_bpe_apply", _bpe_apply_oracle())
@@ -13347,6 +13465,7 @@ _CHECK_FIRST = [
     "doc_url_host_profile",
     "text_count_min_estimate",
     "text_bloom_membership",
+    "pipeline_corpus_curation_v5",
     # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",

@@ -78,6 +78,9 @@ _BNLJ_OK = {
     # at map-back (bpe_merge_step rationale, iterated)
     "text_bpe_apply",
     "text_bpe_encode_stats",
+    # embeds the bpe_encode_stats merge chain (same 1-row winner
+    # broadcasts) inside the composed curation plan
+    "pipeline_corpus_curation_v5",
     # 1-row total-eps scalar broadcast (summary-merge error bound)
     "text_heavy_hitters_bounds",
     # type-pair join over the |event_types|-row sketch rollup — bounded
