@@ -21,6 +21,12 @@ conventions):
 Everything is built-in expressions around ``try_parse_url`` (Spark's
 Hive-compatible URL splitter) — whole-stage codegen, no Python
 boundary, safe to run per-record over a 100 TB crawl table.
+
+Scope: host:port is split on the LAST colon of the authority, which is
+correct for DNS names and IPv4 but would mis-split a bracketed IPv6
+literal (``[::1]:8080``) or a userinfo-bearing authority — both are
+vanishingly rare in crawl corpora and should be routed to a quarantine
+bucket upstream rather than silently canonicalized.
 """
 
 from __future__ import annotations

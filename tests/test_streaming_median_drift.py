@@ -105,3 +105,46 @@ def test_sustained_shift_alarms_outliers_do_not(spark, tmp_path):
     spike = by["spike"]
     assert all(not r.alarm for r in spike)
     assert all(r.shift_cents <= 5000 for r in spike)
+
+
+def test_drift_state_survives_restart(spark, tmp_path):
+    """A shift straddling a restart must still alarm: batch 1 (stable)
+    and batch 2 (first shifted batch) run in query 1; query 2 restores
+    the summary AND the consecutive-shift counter from the WAL, so
+    batch 3 (second shifted batch) alarms immediately."""
+    stage = str(tmp_path / "stage")
+    wal = str(tmp_path / "wal")
+    out = str(tmp_path / "out")
+    base = [100] * 20
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_median_drift(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", wal)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    _write_file(spark, _rows("m", 0, base), stage, "b1.parquet")
+    _write_file(spark, _rows("m", 100, [400] * 20), stage, "b2.parquet")
+    run_once()
+    _write_file(spark, _rows("m", 200, [400] * 20), stage, "b3.parquet")
+    run_once()
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.n_seen
+    )
+    assert [r.alarm for r in rows] == [False, False, True]
+    assert rows[-1].n_shifted_batches == 2
