@@ -175,3 +175,49 @@ def test_heavy_hitters_bounds_bracket_on_random_corpus(spark):
     # capacity 8 over ~120-word vocab: truncation must actually occur,
     # so at least one bound is slack (upper > lower)
     assert any(r.upper_bound > r.lower_bound for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence over randomized messy URLs
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form must
+    be a fixed point, else two passes over the same crawl produce
+    different dedup keys."""
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_streams_replicator_spark.functions.url import (
+        canonical_url,
+    )
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "Http"])
+        host = rng.choice(["A.b.C", "www.Example.COM", "cdn9.site.org"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/x", "/x/y", "/x/y/"])
+        qs = rng.choice(
+            [
+                "",
+                "?b=2&a=1",
+                "?utm_source=x",
+                "?a=1&utm_campaign=c&b=2",
+                "?z=9&utm_medium=m",
+            ]
+        )
+        frag = rng.choice(["", "#f"])
+        urls.append(f"{scheme}://{host}{port}{path}{qs}{frag}")
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{u}')" for u in urls)
+        + " AS t(u)"
+    )
+    rows = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    assert all(r.c1 == r.c2 for r in rows)
+    assert all(r.c1 is not None for r in rows)
