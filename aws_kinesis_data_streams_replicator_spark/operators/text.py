@@ -681,7 +681,19 @@ def _bpe_vocab_chain(documents: DataFrame, n_merges: int):
     ASCII letters in both engines).  Every round runs on the bounded
     vocabulary rollup with the winner as a 1-row broadcast; lazy
     ``localCheckpoint`` per round keeps the lineage flat and nothing
-    executes at plan-build time."""
+    executes at plan-build time.
+
+    PRECONDITION — no control characters in input words: round ``j``
+    marks its merged pair with sentinel ``chr(j)``, so a word that
+    already contains chr(1)..chr(n_merges) would collide with a
+    sentinel, corrupting the merge table and the reverse expansion.
+    The tokenizer is a whitespace split, so the precondition is on the
+    CORPUS: the documents fixture (and any sane text corpus after
+    normalization) contains no U+0001..U+001F.  Callers feeding raw
+    binary-ish text must strip control characters first — the
+    registered oracle mirrors the same sentinel scheme, so a violation
+    corrupts both sides identically rather than failing parity; this
+    docstring is the guard."""
     from pyspark.sql import Window
 
     words = (

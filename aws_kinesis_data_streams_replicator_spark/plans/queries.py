@@ -13378,16 +13378,68 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-6 window (50): first the 2 queries changed in round 5
-    # that sat just outside the r5 window (check-window discipline:
-    # changed queries head the next rotation), then the 37
-    # never-driver-checked backlog names — this burns the verification
-    # ledger to ZERO: after this window every registered query has a
-    # driver-green CORRECTNESS row in repo history. ----
+    # ---- round-7 window (50): first the 15 names staged at the r7 head
+    # (NOTES_r7_staging.md) — 4 r6 hint-removal TPC-H queries + the
+    # re-codec'd mm_feature_extract + the 10 late-round-6 registrations
+    # that never saw a driver window.  Green here burns the
+    # never-driver-checked ledger for the CURRENT form of every query
+    # back to zero. ----
+    "tpch_q3_top_orders",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "mm_feature_extract",
+    "doc_chargram_dup_coverage",
+    "doc_url_canonical_dedup",
+    "text_bpe_apply",
+    "agg_quantile_sketch_merge",
+    "text_bpe_encode_stats",
+    "text_heavy_hitters_bounds",
+    "doc_url_host_profile",
+    "text_count_min_estimate",
+    "text_bloom_membership",
+    "pipeline_corpus_curation_v5",
+    # -- the remaining 35 slots: staleness refresh — the queries whose
+    # most recent driver-green row is OLDEST (33 last checked in r1,
+    # 2 in r2), so the oldest evidence gets re-verified first --
+    "agg_collect_sorted",
+    "agg_pivot_event_types",
+    "agg_rollup_nation_acctbal",
+    "agg_unpivot_lineitem",
+    "agg_value_histogram",
+    "doc_dedup_exact",
+    "doc_fingerprint",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "emb_ann_topk",
+    "evt_dedup_exact",
+    "evt_session_windows",
+    "evt_sliding_1h_30m",
+    "evt_tumbling_hourly",
+    "evt_user_lag_deltas",
+    "fn_collection_suite",
+    "fn_explode_outer",
+    "fn_null_semantics",
+    "fn_posexplode",
+    "join_anti_semi",
+    "mm_binary_meta",
+    "set_ops_customer_cohorts",
+    "sql_interface_region_revenue",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_stats",
+    "tpch_q13_custdist",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_delta",
+    "udf_cogrouped_counts",
+    "win_rank_suite",
+    "win_running_totals",
+    "win_top_customers_per_nation",
+    "agg_cube_orders",
+    "agg_percentiles_disc",
+    # ---- the round-6 window and prior rotations, demoted in order ----
     "doc_neardup_rate_by_source",
     "text_bpe_pair_counts",
-    # -- the 37-name backlog (parity-green at sf0.01 AND sf0.1 per
-    # committed artifacts; staged order preserved) --
     "graph_degree_histogram",
     "fn_interval_arithmetic",
     "text_zipf_curve",
@@ -13425,11 +13477,6 @@ _CHECK_FIRST = [
     "dq_unreferenced_dims",
     "emb_ivf_probe_sweep",
     "evt_training_set_assembly",
-    # -- changed THIS round: SF-scaling broadcast-hint removal (the
-    # r5 verdict's ask #2 — customer/supplier/part build sides go
-    # unhinted; AQE still broadcasts them at bench scale, and at a
-    # genuine 100 TB they degrade gracefully to shuffle joins instead
-    # of a forced-broadcast OOM).  11 of the 15 changed fit here. ----
     "tpch_supplier_scorecard",
     "tpch_q5_revenue_by_nation",
     "tpch_q2_min_cost_supplier",
@@ -13441,32 +13488,6 @@ _CHECK_FIRST = [
     "tpch_q20_excess_shippers",
     "tpch_q21_waiting_supplier",
     "tpch_q11_important_stock",
-    # ---- the 4 hint-removal queries that didn't fit the 50-window:
-    # HEAD OF THE r7 ROTATION (change is plan-only — values provably
-    # unchanged; parity-green at sf0.001/sf0.01 this round and covered
-    # by the sf0.1 registry-wide hash artifact) ----
-    "tpch_q3_top_orders",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    # mm_feature_extract changed in r6 (stub decode replaced by real
-    # BMP/PPM codecs + new feature schema): same r7-head staging
-    "mm_feature_extract",
-    # ---- NEW in round 6 (late window: registered after the r6 check
-    # window locked; parity-green at sf0.001/sf0.01/sf0.1 — see
-    # PARITY artifacts): the staged r7 candidates from
-    # NOTES_r7_staging.md ----
-    "doc_chargram_dup_coverage",
-    "doc_url_canonical_dedup",
-    "text_bpe_apply",
-    "agg_quantile_sketch_merge",
-    "text_bpe_encode_stats",
-    "text_heavy_hitters_bounds",
-    "doc_url_host_profile",
-    "text_count_min_estimate",
-    "text_bloom_membership",
-    "pipeline_corpus_curation_v5",
-    # ---- driver-green in round 5 (the r5 window, demoted) ----
     "emb_ann_recall_eval",
     "doc_lsh_precision_eval",
     "doc_lsh_band_sweep",
@@ -13516,7 +13537,6 @@ _CHECK_FIRST = [
     "evt_activity_streaks",
     "tpch_revenue_mom_growth",
     "agg_hll_overlap_estimate",
-    # ---- long-green tail (driver-checked r1-r5, unchanged) ----
     "files_layout_lineitem",
     "fn_bitwise_suite",
     "doc_dup_span_fraction",

@@ -362,35 +362,12 @@ def _qsketch_update(
         for v, w in cents.value_counts().items():
             pts[int(v)] = pts.get(int(v), 0) + int(w)
     n += batch
-    srt = sorted(pts.items())
-    W = sum(w for _, w in srt)
-    if len(srt) > C:
-        # deterministic equi-depth recompression: keep the first point
-        # reaching each cumulative-weight target ceil(k*W/C); the kept
-        # point absorbs the weight since the previous kept point.  One
-        # compaction moves any rank estimate by at most the largest
-        # absorbed gap <= ceil(W/C) + max single-point weight, bounded
-        # here by the conservative ceil(W/C) + 1 accounting per pass.
-        kept: list[tuple[int, int]] = []
-        cum = prev_cum = 0
-        k = 1
-        for v, w in srt:
-            cum += w
-            target = -(-k * W // C)  # ceil
-            if cum >= target:
-                kept.append((v, cum - prev_cum))
-                prev_cum = cum
-                while k <= C and cum >= -(-k * W // C):
-                    k += 1
-        err += -(-W // C) + 1
-        srt = kept
-    cum = 0
-    est = None
-    half = -(-50 * W // 100)
-    for v, w in srt:
-        cum += w
-        if est is None and cum >= half:
-            est = v
+    # shared equi-depth recompression + median (one compaction moves any
+    # rank estimate by at most ceil(W/C) + 1 — the same rule and budget
+    # _median_drift_update uses, kept in ONE place so the compaction
+    # cannot drift between the two stateful operators)
+    srt, err_inc, est = _eqd_merge_and_median(pts, C)
+    err += err_inc
     state.update((
         [v for v, _ in srt],
         [w for _, w in srt],
@@ -417,6 +394,17 @@ def streaming_quantile_sketch(events_stream: DataFrame) -> DataFrame:
     explicit rank-error budget (``rank_err_bound``) as it does.  The
     derandomized-KLL tradeoff: reproducible state for a per-compaction
     additive bound instead of the randomized worst-case guarantee.
+
+    Bound caveat (long-running streams): each compaction adds
+    ceil(W/C) + 1 with W = TOTAL weight so far, so over an unbounded
+    stream the accumulated ``rank_err_bound`` grows roughly linearly in
+    n per compaction epoch and eventually exceeds n/2 — still sound
+    (never understates the error) but vacuous for consumers.  For a
+    non-vacuous guarantee on unbounded streams, switch to level-based
+    KLL-style compaction (error per LEVEL, O(log n) levels); this
+    single-level summary is the right shape for bounded replay windows
+    and for merging with the batch ``agg_quantile_sketch_merge`` legs,
+    which share the identical compaction rule.
 
     Scale notes: state is O(capacity) longs per event type regardless
     of stream length — the mergeable-summary property is exactly what

@@ -149,9 +149,46 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
 PINNED_SF = {"files_layout_lineitem": "/root/testdata/sf0.01"}
 
 
+def write_artifact(json_path: str, sf_dir: str, results: dict, merge: bool) -> dict:
+    """Write a parity artifact whose ``n_pass``/``n_total`` are ALWAYS
+    derived from the entries actually present in the file.
+
+    ``merge=True`` folds ``results`` into an existing artifact at
+    ``json_path`` (multi-session sf1 gates are built incrementally);
+    the counts are recomputed from the MERGED ``queries`` dict, so a
+    partial append can never ship stale summary counts again
+    (round-6 post-mortem: PARITY_SF1_r06.json said 37/37 but held 49
+    entries).  A mismatched ``sf_dir`` on merge is an error."""
+    import json
+
+    merged = dict(results)
+    if merge and os.path.exists(json_path):
+        with open(json_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf_dir") != sf_dir:
+            raise SystemExit(
+                f"--merge sf_dir mismatch: artifact={prev.get('sf_dir')} run={sf_dir}"
+            )
+        merged = {**prev.get("queries", {}), **results}
+    payload = {
+        "sf_dir": sf_dir,
+        "n_pass": sum(1 for v in merged.values() if v["ok"]),
+        "n_total": len(merged),
+        "queries": merged,
+    }
+    assert payload["n_total"] == len(payload["queries"])
+    with open(json_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    return payload
+
+
 def main():
     argv = list(sys.argv[1:])
     json_path = None
+    merge = False
+    if "--merge" in argv:
+        merge = True
+        argv.remove("--merge")
     if "--json" in argv:
         i = argv.index("--json")
         json_path = argv[i + 1]
@@ -183,14 +220,8 @@ def main():
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if json_path:
-        import json
-
-        with open(json_path, "w") as fh:
-            json.dump(
-                {"sf_dir": sf_dir, "n_pass": len(names) - len(failed),
-                 "n_total": len(names), "queries": results},
-                fh, indent=1, sort_keys=True,
-            )
+        payload = write_artifact(json_path, sf_dir, results, merge)
+        print(f"artifact: {payload['n_pass']}/{payload['n_total']} in {json_path}")
     if failed:
         print("failed:", ", ".join(failed))
         sys.exit(1)
