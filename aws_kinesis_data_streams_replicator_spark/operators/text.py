@@ -900,10 +900,23 @@ def heavy_hitters_bounds(
         )
     )
     ex = ww.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
-    wt = Window.orderBy(F.col("exact_n").desc(), "word")
-    top = ex.select(
-        "word", "exact_n", F.row_number().over(wt).alias("hh_rank")
-    ).where(F.col("hh_rank") <= top_n)
+    # two-phase top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition partial top-k, merge of top_n rows) instead of a
+    # single-partition sort of the WHOLE vocabulary; the rank window
+    # then runs over a provably bounded ≤ top_n-row input.  The rank
+    # partition key pmod(exact_n, 1) is constant (≡ 0) but NOT foldable
+    # — a bare lit(1) is stripped by FoldablePropagation, reverting the
+    # spec to empty and re-triggering WindowExec's global-window
+    # warning; this keeps the single-partition choice explicit and
+    # warning-free over the bounded input.
+    wt = Window.partitionBy(F.pmod(F.col("exact_n"), F.lit(1))).orderBy(
+        F.col("exact_n").desc(), "word"
+    )
+    top = (
+        ex.orderBy(F.col("exact_n").desc(), "word")
+        .limit(top_n)
+        .select("word", "exact_n", F.row_number().over(wt).alias("hh_rank"))
+    )
     return (
         top.join(m, "word")
         .crossJoin(F.broadcast(teps))
