@@ -13540,6 +13540,159 @@ def dq_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(allr)
 
 
+@_q(
+    "cdc_join_view_maintenance",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance by delta rule: for the
+    materialized view V = γ_nation(orders ⋈ customer), an insert batch
+    Δorders maintains V as ``merge(V_old, γ(Δorders ⋈ customer))`` —
+    the classic ΔV = γ(ΔF ⋈ D) rule for insert-only facts with an
+    additive aggregate.  The query SPLITS orders deterministically
+    (every 5th key is the delta batch), computes the old view and the
+    delta view separately, and MERGES them with a second bounded
+    rollup; the oracle is the naive full recompute, so the driver's
+    hash equality IS the maintenance-correctness proof.
+
+    Complements ``cdc_incremental_agg_maintenance`` (no join in its
+    delta) and the streaming rollup maintenance: this is the batch
+    delta rule a warehouse applies nightly without re-touching the
+    base fact.
+
+    Scale notes (100 TB): the delta leg scans ONLY Δ rows and
+    broadcast-joins the dim; the merge is a rollup keyed by nation
+    (bounded, 25 rows) — at production scale V_old is read from its
+    materialized store rather than recomputed, and the merge cost is
+    O(|ΔV| + |V|), independent of the base fact.  Insert-only here;
+    deletes generalize via count-negation (Z-relation) rows through
+    the same merge."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view(part: DataFrame) -> DataFrame:
+        return (
+            part.join(c, part["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_price_cents"),
+            )
+        )
+
+    v_old = view(o.where(F.col("o_orderkey") % 5 != 0))
+    dv = view(o.where(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        v_old.unionByName(dv)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price_cents").alias("sum_price_cents"),
+        )
+    )
+    return merged.join(
+        F.broadcast(n), merged["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
+@_q(
+    "evt_selfjoin_size_estimate",
+    f"""
+    WITH k AS (SELECT CAST(user_id AS STRING) AS k FROM events),
+    cells AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+                f"FROM k" for r in range(4)
+            )})
+        GROUP BY r, bucket),
+    est AS (SELECT min(s) AS cms_est
+            FROM (SELECT r, sum(cnt * cnt) AS s FROM cells GROUP BY r)),
+    ex AS (SELECT sum(n * n) AS f2
+           FROM (SELECT count(*) AS n FROM k GROUP BY k))
+    SELECT CAST(f2 AS BIGINT) AS exact_f2,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= f2 AS never_underestimates,
+           CAST((cms_est - f2) * 10000 // f2 AS BIGINT) AS overcount_bp
+    FROM ex, est
+    """,
+)
+def evt_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment F2) estimation from the
+    count-min grid: est = min over rows of Σ_b cnt[r,b]² — the CMS
+    inner-product estimator, whose one-sided guarantee (never an
+    underestimate of Σ_u n_u²) ships as an oracle-asserted boolean with
+    the actual overcount quantified.  THE cardinality primitive a cost
+    model needs before committing to a join order at 100 TB: join size
+    |A ⋈ B| is the same inner product between two grids, and grids
+    merge by cell-wise addition, so per-partition sketches of a 100 TB
+    fact combine without a second scan.  Evaluated on the honest hard
+    case — a self-join over the skewed user_id frequency vector, where
+    F2 is dominated by the heavy hitters.
+
+    Same 4×1024 seeded-md5 grid as ``text_count_min_estimate`` (the
+    repo's portable hash family), so the two sketches are one physical
+    structure serving point counts AND join sizes."""
+    D, W = 4, 1024
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    bucket = lambda r: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{r}|', k)), 1, 5), 16, 10) "
+        f"AS BIGINT) % {W}"
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                for r in range(D)
+            ]
+        )
+    ).alias("rb")
+    cells = (
+        e.select(rows)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+        .agg(F.min("s").alias("cms_est"))
+    )
+    exact = (
+        e.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("f2")).alias("never_underestimates"),
+        F.expr("CAST((cms_est - f2) * 10000 DIV f2 AS BIGINT)").alias(
+            "overcount_bp"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
