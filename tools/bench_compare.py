@@ -66,6 +66,14 @@ def main() -> None:
     else:
         print(f"no queries beyond ±{args.flag}x after normalization")
 
+    ov = old.get("streaming_metric_version", 1)
+    nv = new.get("streaming_metric_version", 1)
+    if ov != nv:
+        print(
+            f"\nWARNING: streaming metric version changed v{ov} -> v{nv}; "
+            "rec/s numbers below are NOT comparable across versions "
+            "(see STREAM_METRIC_DEFINITION in bench.py)"
+        )
     for field in ("streaming_records_per_sec", "streaming_eos_records_per_sec"):
         if field in old and field in new:
             o, n = old[field], new[field]
