@@ -13693,6 +13693,175 @@ def evt_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cdc_join_view_zset_deletes",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey % 7 <> 0
+    GROUP BY n.n_name
+    """,
+)
+def cdc_join_view_zset_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set (weighted-relation) view maintenance with DELETES: the
+    insert-only delta rule of ``cdc_join_view_maintenance`` generalizes
+    to deletions by carrying a weight column — inserts are +1 rows,
+    deletes are -1 rows, and the SAME merge (sum the weighted counts
+    and weighted measures) maintains the view through both.  Here the
+    view is built from the full orders fact, then every 7th order
+    arrives as a -1 retraction batch; the maintained result must equal
+    the view over the never-deleted subset, which is exactly what the
+    oracle computes from scratch.  The DBSP/differential-dataflow
+    formulation in five DataFrame operators — no special delete path,
+    no tombstone table, one shared merge.
+
+    Scale notes (100 TB): identical shape to the insert-only rule —
+    the retraction leg scans only the delete batch and broadcast-joins
+    the dim; the merge stays a bounded nation-keyed rollup.  Weighted
+    counts also make the view RE-DELETABLE: a group whose weight sum
+    reaches zero drops out (filtered here, asserting no phantom
+    groups)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view(part: DataFrame, weight: int) -> DataFrame:
+        return (
+            part.join(c, part["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                (F.count(F.lit(1)) * weight).alias("w_orders"),
+                (F.sum("cents") * weight).alias("w_cents"),
+            )
+        )
+
+    base = view(o, +1)  # the full fact, as initially materialized
+    retract = view(o.where(F.col("o_orderkey") % 7 == 0), -1)
+    merged = (
+        base.unionByName(retract)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("w_orders").alias("n_orders"),
+            F.sum("w_cents").alias("sum_price_cents"),
+        )
+        .where(F.col("n_orders") > 0)  # zero-weight groups drop out
+    )
+    return merged.join(
+        F.broadcast(n), merged["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
+@_q(
+    "agg_join_size_estimate",
+    f"""
+    WITH ko AS (SELECT CAST(o_custkey AS STRING) AS k FROM orders),
+    kc AS (SELECT CAST(c_custkey AS STRING) AS k
+           FROM customer WHERE c_acctbal > 0),
+    co AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+                f"FROM ko" for r in range(4)
+            )})
+        GROUP BY r, bucket),
+    cc AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+                f"FROM kc" for r in range(4)
+            )})
+        GROUP BY r, bucket),
+    est AS (SELECT min(s) AS cms_est FROM (
+        SELECT co.r, sum(co.cnt * cc.cnt) AS s
+        FROM co JOIN cc ON co.r = cc.r AND co.bucket = cc.bucket
+        GROUP BY co.r)),
+    ex AS (SELECT count(*) AS true_size
+           FROM ko JOIN kc USING (k))
+    SELECT CAST(true_size AS BIGINT) AS true_join_size,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= true_size AS never_underestimates,
+           CAST((cms_est - true_size) * 10000 // true_size AS BIGINT)
+               AS overcount_bp
+    FROM ex, est
+    """,
+)
+def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation between TWO relations from their count-min
+    grids: |A ⋈_k B| is bounded above by min over rows of the
+    inner product Σ_b cntA[r,b]·cntB[r,b] — the estimate a cost model
+    reads BEFORE choosing a join strategy, computed from two
+    independently-buildable, cell-wise-addable sketches without
+    touching either fact again.  Evaluated against the exact join size
+    (orders ⋈ positive-balance customers on custkey), with the
+    one-sided guarantee asserted and the overcount quantified.
+
+    Generalizes ``evt_selfjoin_size_estimate`` (A = B) and shares its
+    4×1024 seeded-md5 grid; the two sketches join on (row, bucket) —
+    ≤ 4096 cells a side, a broadcast-scale join however big the
+    facts."""
+    D, W = 4, 1024
+
+    def grid(df: DataFrame) -> DataFrame:
+        bucket = lambda r: F.expr(  # noqa: B023, E731
+            f"CAST(conv(substring(md5(concat('{r}|', k)), 1, 5), 16, 10) "
+            f"AS BIGINT) % {W}"
+        )
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                    for r in range(D)
+                ]
+            )
+        ).alias("rb")
+        return (
+            df.select(rows)
+            .select("rb.r", "rb.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ko = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    kc = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").cast("string").alias("k"))
+    )
+    co, cc = grid(ko), grid(kc)
+    est = (
+        co.join(
+            cc.withColumnsRenamed({"cnt": "cnt_b"}), ["r", "bucket"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+        .agg(F.min("s").alias("cms_est"))
+    )
+    exact = ko.join(kc, "k").agg(F.count(F.lit(1)).alias("true_size"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("true_size").cast("long").alias("true_join_size"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("true_size")).alias("never_underestimates"),
+        F.expr(
+            "CAST((cms_est - true_size) * 10000 DIV true_size AS BIGINT)"
+        ).alias("overcount_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -608,3 +608,70 @@ def streaming_semantic_neardup_filter(
         c = F.col(f"_m{b}").isNull()
         keep = c if keep is None else (keep & c)
     return out.where(keep).select(*cols)
+
+
+def streaming_linkage_gate(
+    records_stream: DataFrame,
+    entity_index: DataFrame,
+    agreements: list,
+    match_threshold: int,
+    block_col: str = "block",
+) -> DataFrame:
+    """Streaming record-linkage gate: classify each incoming record
+    against a STATIC entity index via the batch linkage operators
+    (operators/linkage.py) — blocked stream-static equi-join, integer
+    agreement scoring, threshold decision — and emit every record with
+    its best match (entity id + score) or as an unmatched passthrough.
+
+    The streaming shape of a production MDM ingest: new records arrive
+    continuously, the golden-entity index is a slowly-refreshed batch
+    snapshot (re-resolved per micro-batch, like the semantic near-dup
+    gate's corpus index), and downstream routing keys on the decision
+    — matched records enrich an existing entity, unmatched ones open a
+    new-entity case.
+
+    ``agreements`` is the same [(name, predicate, weight)] list
+    ``linkage.score_pairs`` takes, with predicates over the ``_a``
+    (stream) / ``_b`` (index) suffixed columns.  One best match per
+    record (max score, min entity_b tiebreak) keeps the gate's output
+    cardinality equal to its input: no stateful operator, no row
+    fan-out — the only streaming state is source offsets, so the gate
+    restarts from the WAL with zero rebuild.
+
+    Scale notes: one stream-static equi-join on the block key per
+    micro-batch (broadcast the index when it fits); the per-record
+    best-match rollup is keyed on the stream's record id, bounded by
+    the micro-batch; the per-side block cap belongs in the INDEX build
+    (``linkage.blocked_candidate_pairs``'s cap rationale) — apply it
+    when materializing the index snapshot."""
+    from ..operators import linkage
+
+    rec_cols = [c for c in records_stream.columns if c != block_col]
+    a = records_stream.select(
+        block_col,
+        *[F.col(c).alias(c + "_a") for c in rec_cols],
+    )
+    b = entity_index.select(
+        block_col,
+        *[
+            F.col(c).alias(c + "_b")
+            for c in entity_index.columns
+            if c != block_col
+        ],
+    )
+    scored = linkage.score_pairs(a.join(b, block_col, "left"), agreements)
+    # best match per record: aggregation keyed on the record id — on a
+    # foreachBatch micro-batch DF this is a plain bounded batch rollup
+    best = scored.groupBy("entity_a").agg(
+        F.max(F.struct("score", F.col("entity_b").alias("matched_entity"))).alias(
+            "m"
+        )
+    )
+    return best.select(
+        F.col("entity_a").alias("entity"),
+        F.col("m.score").alias("score"),
+        F.when(F.col("m.score") >= match_threshold, F.col("m.matched_entity"))
+        .otherwise(F.lit(None))
+        .alias("matched_entity"),
+        (F.col("m.score") >= match_threshold).alias("matched"),
+    )
