@@ -13390,11 +13390,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_CENTS_SQL = "CAST(floor(c_acctbal * 100) AS BIGINT)"
 _LINK_CENTS_B_SQL = f"({_LINK_CENTS_SQL} - {_LINK_CENTS_SQL} % 100)"
 
-
-@_q(
-    "dq_record_linkage",
-    f"""
-    WITH a AS (
+# Shared CTE prefix for every linkage-family oracle: the two record
+# systems plus the per-side block caps (kept in ONE string so the
+# derivations cannot drift between the linkage queries).
+_LINK_SIDES_CTE = f"""
+    a AS (
         SELECT c_custkey AS entity,
                lower(c_name) AS name_norm,
                {_LINK_CENTS_SQL} AS acct_cents,
@@ -13412,7 +13412,44 @@ _LINK_CENTS_B_SQL = f"({_LINK_CENTS_SQL} - {_LINK_CENTS_SQL} % 100)"
                    + ({_LINK_CENTS_B_SQL} + 100000) // 100000 AS block
         FROM customer),
     ka AS (SELECT block FROM a GROUP BY block HAVING count(*) <= 64),
-    kb AS (SELECT block FROM b GROUP BY block HAVING count(*) <= 64),
+    kb AS (SELECT block FROM b GROUP BY block HAVING count(*) <= 64)
+""".strip()
+
+
+def _linkage_sides(spark: SparkSession, sf_dir: str):
+    """The two derived record systems of the linkage family — the
+    Python twin of ``_LINK_SIDES_CTE`` (same expressions, kept
+    adjacent so the two representations cannot drift)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("entity"),
+        F.lower("c_name").alias("name_norm"),
+        F.expr(_LINK_CENTS_SQL).alias("acct_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.col("c_nationkey").cast("long") * 1000
+            + F.expr(f"({_LINK_CENTS_SQL} + 100000) DIV 100000")
+        ).alias("block"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("entity"),
+        F.lower(F.upper("c_name")).alias("name_norm"),
+        F.expr(_LINK_CENTS_B_SQL).alias("acct_cents"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (
+            F.col("c_nationkey").cast("long") * 1000
+            + F.expr(f"({_LINK_CENTS_B_SQL} + 100000) DIV 100000")
+        ).alias("block"),
+    )
+    return c, a, b
+
+
+@_q(
+    "dq_record_linkage",
+    f"""
+    WITH {_LINK_SIDES_CTE},
     p AS (
         SELECT a.entity AS ea, b.entity AS eb,
                (CASE WHEN a.name_norm = b.name_norm THEN 50 ELSE 0 END
@@ -13468,31 +13505,7 @@ def dq_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import linkage
 
-    c = _t(spark, sf_dir, "customer")
-    cents = F.expr(_LINK_CENTS_SQL)
-    cents_b = F.expr(_LINK_CENTS_B_SQL)
-    a = c.select(
-        F.col("c_custkey").alias("entity"),
-        F.lower("c_name").alias("name_norm"),
-        cents.alias("acct_cents"),
-        F.col("c_mktsegment").alias("seg"),
-        (
-            F.col("c_nationkey").cast("long") * 1000
-            + F.expr(f"({_LINK_CENTS_SQL} + 100000) DIV 100000")
-        ).alias("block"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("entity"),
-        F.lower(F.upper("c_name")).alias("name_norm"),
-        cents_b.alias("acct_cents"),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("seg"),
-        (
-            F.col("c_nationkey").cast("long") * 1000
-            + F.expr(f"({_LINK_CENTS_B_SQL} + 100000) DIV 100000")
-        ).alias("block"),
-    )
+    c, a, b = _linkage_sides(spark, sf_dir)
     pairs = linkage.blocked_candidate_pairs(a, b, "block", max_block_size=64)
     scored = linkage.score_pairs(
         pairs,
@@ -13859,6 +13872,73 @@ def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((cms_est - true_size) * 10000 DIV true_size AS BIGINT)"
         ).alias("overcount_bp"),
+    )
+
+
+@_q(
+    "dq_linkage_blocking_eval",
+    f"""
+    WITH {_LINK_SIDES_CTE},
+    p AS (
+        SELECT a.entity AS ea, b.entity AS eb
+        FROM a JOIN b USING (block)
+        WHERE block IN (SELECT block FROM ka)
+          AND block IN (SELECT block FROM kb)),
+    n AS (SELECT count(*) AS n_cust FROM customer)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_blocked,
+           CAST(n_cust AS BIGINT) AS n_entities,
+           CAST(10000 - count(*) * 10000 // (n_cust * n_cust) AS BIGINT)
+               AS reduction_ratio_bp,
+           CAST(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END) * 10000
+                // n_cust AS BIGINT) AS pair_completeness_bp
+    FROM p, n GROUP BY n_cust
+    """,
+)
+def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the linkage family — the two IR
+    metrics every blocking scheme is judged by, computed BEFORE any
+    scoring: **reduction ratio** (how much of the |A|x|B| comparison
+    space the blocks eliminate — here vs the nation+balance-bucket
+    blocks with the 64-per-side cap) and **pair completeness** (what
+    fraction of TRUE entity pairs share a block — the recall ceiling no
+    scorer can exceed, eroded by rounding pushing a B record across a
+    bucket edge or by the skew cap dropping a block).  The twin of
+    ``doc_lsh_precision_eval`` for record linkage: candidates-only set
+    arithmetic, never all-pairs — the |A|x|B| denominator is computed
+    arithmetically from the side counts, not materialized.
+
+    Scale notes (100 TB): same single blocked equi-join as
+    ``dq_record_linkage`` minus the scoring projection; both metrics
+    are one aggregation over the candidate pairs plus a 1-row entity
+    count broadcast."""
+    from ..operators import linkage
+
+    c, a, b = _linkage_sides(spark, sf_dir)
+    pairs = linkage.blocked_candidate_pairs(
+        a.select("entity", "block"),
+        b.select("entity", "block"),
+        "block",
+        max_block_size=64,
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("entity_a") == F.col("entity_b")).cast("long")).alias(
+            "n_true"
+        ),
+    )
+    n_cust = c.agg(F.count(F.lit(1)).alias("n_cust"))
+    return agg.crossJoin(F.broadcast(n_cust)).select(
+        F.col("n_pairs").cast("long").alias("n_candidate_pairs"),
+        F.col("n_true").cast("long").alias("n_true_blocked"),
+        F.col("n_cust").cast("long").alias("n_entities"),
+        F.expr(
+            "CAST(10000 - n_pairs * 10000 DIV (n_cust * n_cust) AS BIGINT)"
+        ).alias("reduction_ratio_bp"),
+        F.expr("CAST(n_true * 10000 DIV n_cust AS BIGINT)").alias(
+            "pair_completeness_bp"
+        ),
     )
 
 
