@@ -632,3 +632,106 @@ def streaming_distinct_estimate(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JOINSIZE_OUT_SCHEMA = (
+    "event_type string, n_seen long, projected_join_size long, "
+    "budget long, alarm boolean"
+)
+JOINSIZE_STATE_SCHEMA = "cnts array<long>, n long"
+_CMS_D, _CMS_W = 4, 1024
+
+
+def _cms_bucket_py(row: int, key: str) -> int:
+    """Python twin of the batch CMS bucket expression
+    (plans/queries.py:_cms_bucket_sql / the Spark ``conv(substring(
+    md5('{r}|' || k), 1, 5), 16, 10) % W`` pattern): first 5 hex digits
+    of the seeded md5 as an int, mod width.  Byte-identical buckets are
+    the point — a grid maintained in streaming state merges (cell-wise
+    add / inner product) with grids built by the batch queries."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{row}|{key}".encode()).hexdigest()[:5], 16)
+        % _CMS_W
+    )
+
+
+def make_join_size_monitor(dim_grid: list[int], budget: int):
+    """Build the applyInPandasWithState update function for
+    :func:`streaming_join_size_monitor` — the static dim grid and the
+    budget ride in the closure (plain ints, cloudpickle-safe)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cnts, n = state.get
+            cnts = list(cnts)
+        else:
+            cnts, n = [0] * (_CMS_D * _CMS_W), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            for uid in pdf["user_id"]:
+                k = str(int(uid))
+                for r in range(_CMS_D):
+                    cnts[r * _CMS_W + _cms_bucket_py(r, k)] += 1
+        # projected |stream ⋈ dim| = min over rows of the inner product
+        est = min(
+            sum(
+                cnts[r * _CMS_W + b] * dim_grid[r * _CMS_W + b]
+                for b in range(_CMS_W)
+            )
+            for r in range(_CMS_D)
+        )
+        state.update(([int(v) for v in cnts], int(n)))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "projected_join_size": [int(est)],
+                "budget": [int(budget)],
+                "alarm": [est > budget],
+            }
+        )
+
+    return update
+
+
+def streaming_join_size_monitor(
+    events_stream: DataFrame, dim_grid_df: DataFrame, budget: int
+) -> DataFrame:
+    """Continuous join-size monitoring: per event type, maintain a
+    count-min grid of the stream's join keys in bounded state and emit
+    the PROJECTED |stream ⋈ dim| after every micro-batch — the min-row
+    inner product against a static dimension grid — alarming when the
+    projection crosses ``budget``.  The streaming face of
+    ``agg_join_size_estimate``: the answer to "if tonight's batch job
+    joins today's stream against this dimension, how big is that
+    join?", available continuously and BEFORE the join runs.
+
+    ``dim_grid_df`` is the bounded (r, bucket, cnt) cell table of the
+    dimension (≤ D·W = 4096 rows whatever the dimension's size) — built
+    once per dim snapshot by the same grid rollup the batch query uses,
+    collected here into the closure (bounded, the documented
+    ``similarity.py`` k-means-sample pattern).  Buckets are
+    byte-identical to the batch convention (``_cms_bucket_py``), so the
+    stream-side state grid also merges cell-wise with any batch grid.
+    One-sided guarantee carries over: the projection never
+    underestimates, so a non-alarm is trustworthy; state is
+    O(D·W) longs per event type regardless of stream length."""
+    rows = dim_grid_df.select("r", "bucket", "cnt").collect()
+    grid = [0] * (_CMS_D * _CMS_W)
+    for row in rows:
+        grid[int(row["r"]) * _CMS_W + int(row["bucket"])] = int(row["cnt"])
+    return events_stream.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        make_join_size_monitor(grid, budget),
+        outputStructType=JOINSIZE_OUT_SCHEMA,
+        stateStructType=JOINSIZE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
