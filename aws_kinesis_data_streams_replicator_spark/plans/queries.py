@@ -13884,16 +13884,22 @@ def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a JOIN b USING (block)
         WHERE block IN (SELECT block FROM ka)
           AND block IN (SELECT block FROM kb)),
+    -- aggregate WITHOUT a group key: an empty candidate set (every
+    -- block over the cap — the sf1 regime) must still yield ONE row
+    -- with zeros, matching the Spark global agg + coalesce
+    pa AS (SELECT count(*) AS n_pairs,
+                  coalesce(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END), 0)
+                      AS n_true
+           FROM p),
     n AS (SELECT count(*) AS n_cust FROM customer)
-    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
-           CAST(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_true_blocked,
+    SELECT CAST(n_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(n_true AS BIGINT) AS n_true_blocked,
            CAST(n_cust AS BIGINT) AS n_entities,
-           CAST(10000 - count(*) * 10000 // (n_cust * n_cust) AS BIGINT)
+           CAST(10000 - n_pairs * 10000 // (n_cust * n_cust) AS BIGINT)
                AS reduction_ratio_bp,
-           CAST(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END) * 10000
-                // n_cust AS BIGINT) AS pair_completeness_bp
-    FROM p, n GROUP BY n_cust
+           CAST(n_true * 10000 // n_cust AS BIGINT)
+               AS pair_completeness_bp
+    FROM pa, n
     """,
 )
 def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13922,11 +13928,15 @@ def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block",
         max_block_size=64,
     )
+    # coalesce: with EVERY block over the cap (the sf1 regime) the
+    # candidate set is empty and sum() is null — the blocking report
+    # must still read (0 pairs, 0 true, reduction 10000 bp)
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum((F.col("entity_a") == F.col("entity_b")).cast("long")).alias(
-            "n_true"
-        ),
+        F.coalesce(
+            F.sum((F.col("entity_a") == F.col("entity_b")).cast("long")),
+            F.lit(0),
+        ).alias("n_true"),
     )
     n_cust = c.agg(F.count(F.lit(1)).alias("n_cust"))
     return agg.crossJoin(F.broadcast(n_cust)).select(
