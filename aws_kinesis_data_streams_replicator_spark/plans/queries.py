@@ -13392,7 +13392,14 @@ _LINK_CENTS_B_SQL = f"({_LINK_CENTS_SQL} - {_LINK_CENTS_SQL} % 100)"
 
 # Shared CTE prefix for every linkage-family oracle: the two record
 # systems plus the per-side block caps (kept in ONE string so the
-# derivations cannot drift between the linkage queries).
+# derivations cannot drift between the linkage queries).  TWO blocking
+# passes (multi-pass blocking, the production MDM shape): a coarse
+# $1000 balance bucket and a fine $10 bucket.  With no cap pressure
+# fine ⊆ coarse (same DIV-1000 bucket implies same DIV-100000 bucket),
+# so the union adds nothing at small SFs; when scale pushes the COARSE
+# blocks over the per-side cap (the sf1 regime: ~545 records/block),
+# the fine pass is what keeps true pairs reachable — single-pass
+# blocking collapsed to zero candidates there.
 _LINK_SIDES_CTE = f"""
     a AS (
         SELECT c_custkey AS entity,
@@ -13400,7 +13407,9 @@ _LINK_SIDES_CTE = f"""
                {_LINK_CENTS_SQL} AS acct_cents,
                c_mktsegment AS seg,
                CAST(c_nationkey AS BIGINT) * 1000
-                   + ({_LINK_CENTS_SQL} + 100000) // 100000 AS block
+                   + ({_LINK_CENTS_SQL} + 100000) // 100000 AS block,
+               CAST(c_nationkey AS BIGINT) * 100000
+                   + ({_LINK_CENTS_SQL} + 100000) // 1000 AS block_f
         FROM customer),
     b AS (
         SELECT c_custkey AS entity,
@@ -13409,10 +13418,30 @@ _LINK_SIDES_CTE = f"""
                CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
                     ELSE c_mktsegment END AS seg,
                CAST(c_nationkey AS BIGINT) * 1000
-                   + ({_LINK_CENTS_B_SQL} + 100000) // 100000 AS block
+                   + ({_LINK_CENTS_B_SQL} + 100000) // 100000 AS block,
+               CAST(c_nationkey AS BIGINT) * 100000
+                   + ({_LINK_CENTS_B_SQL} + 100000) // 1000 AS block_f
         FROM customer),
     ka AS (SELECT block FROM a GROUP BY block HAVING count(*) <= 64),
-    kb AS (SELECT block FROM b GROUP BY block HAVING count(*) <= 64)
+    kb AS (SELECT block FROM b GROUP BY block HAVING count(*) <= 64),
+    kaf AS (SELECT block_f FROM a GROUP BY block_f
+            HAVING count(*) <= 64),
+    kbf AS (SELECT block_f FROM b GROUP BY block_f
+            HAVING count(*) <= 64),
+    cand AS (
+        SELECT a.entity AS ea, b.entity AS eb,
+               a.name_norm AS name_a, b.name_norm AS name_b,
+               a.acct_cents AS cents_a, b.acct_cents AS cents_b,
+               a.seg AS seg_a, b.seg AS seg_b
+        FROM a JOIN b USING (block)
+        WHERE block IN (SELECT block FROM ka)
+          AND block IN (SELECT block FROM kb)
+        UNION
+        SELECT a.entity, b.entity, a.name_norm, b.name_norm,
+               a.acct_cents, b.acct_cents, a.seg, b.seg
+        FROM a JOIN b USING (block_f)
+        WHERE block_f IN (SELECT block_f FROM kaf)
+          AND block_f IN (SELECT block_f FROM kbf))
 """.strip()
 
 
@@ -13430,6 +13459,10 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
             F.col("c_nationkey").cast("long") * 1000
             + F.expr(f"({_LINK_CENTS_SQL} + 100000) DIV 100000")
         ).alias("block"),
+        (
+            F.col("c_nationkey").cast("long") * 100000
+            + F.expr(f"({_LINK_CENTS_SQL} + 100000) DIV 1000")
+        ).alias("block_f"),
     )
     b = c.select(
         F.col("c_custkey").alias("entity"),
@@ -13442,8 +13475,40 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
             F.col("c_nationkey").cast("long") * 1000
             + F.expr(f"({_LINK_CENTS_B_SQL} + 100000) DIV 100000")
         ).alias("block"),
+        (
+            F.col("c_nationkey").cast("long") * 100000
+            + F.expr(f"({_LINK_CENTS_B_SQL} + 100000) DIV 1000")
+        ).alias("block_f"),
     )
     return c, a, b
+
+
+def _linkage_candidates(spark: SparkSession, sf_dir: str):
+    """Multi-pass blocked candidate pairs — the Python twin of the
+    ``cand`` CTE: union of the coarse ($1000-bucket) and fine
+    ($10-bucket) passes, each with the 64-per-side cap, deduped on the
+    entity pair (payload is functionally dependent on the entities, so
+    pair-key dedup equals the oracle's full-row UNION).  Fine ⊆ coarse
+    when no cap binds, so the union is free at small SFs; at scale the
+    fine pass is what keeps true pairs reachable after the coarse
+    blocks get capped away."""
+    from ..operators import linkage
+
+    c, a, b = _linkage_sides(spark, sf_dir)
+    payload = ["entity", "name_norm", "acct_cents", "seg"]
+    passes = []
+    for blk in ("block", "block_f"):
+        p = linkage.blocked_candidate_pairs(
+            a.select(blk, *payload),
+            b.select(blk, *payload),
+            blk,
+            max_block_size=64,
+        ).drop(blk)
+        passes.append(p)
+    pairs = passes[0].unionByName(passes[1]).dropDuplicates(
+        ["entity_a", "entity_b"]
+    )
+    return c, pairs
 
 
 @_q(
@@ -13451,14 +13516,12 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
     f"""
     WITH {_LINK_SIDES_CTE},
     p AS (
-        SELECT a.entity AS ea, b.entity AS eb,
-               (CASE WHEN a.name_norm = b.name_norm THEN 50 ELSE 0 END
-                + CASE WHEN abs(a.acct_cents - b.acct_cents) < 100
+        SELECT ea, eb,
+               (CASE WHEN name_a = name_b THEN 50 ELSE 0 END
+                + CASE WHEN abs(cents_a - cents_b) < 100
                        THEN 25 ELSE 0 END
-                + CASE WHEN a.seg = b.seg THEN 10 ELSE 0 END) AS score
-        FROM a JOIN b USING (block)
-        WHERE block IN (SELECT block FROM ka)
-          AND block IN (SELECT block FROM kb)),
+                + CASE WHEN seg_a = seg_b THEN 10 ELSE 0 END) AS score
+        FROM cand),
     d AS (
         SELECT CASE WHEN score >= 75 THEN 'match'
                     WHEN score >= 35 THEN 'possible'
@@ -13489,24 +13552,28 @@ def dq_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two record systems are derived deterministically from ``customer``
     (clean CRM vs lossy billing: case-mangled names, dollar-rounded
-    balances, segment lost for every 7th entity); blocking on
-    (nation, balance-bucket-of-1000) makes pair generation quadratic
-    only within a block (capped at 64 per side — the skew cap), and
-    three codegen agreement predicates score each pair.  Ground truth
-    (same entity key) rides along, so the output is the full
-    linkage-quality report: per-decision pair counts, precision, and
-    recall against the entity universe — all integer, hash-stable.
+    balances, segment lost for every 7th entity); MULTI-PASS blocking
+    (a coarse nation+$1000-balance bucket and a fine $10 bucket, each
+    capped at 64 records per side — the skew cap) makes pair
+    generation quadratic only within a block, and three codegen
+    agreement predicates score each pair.  Ground truth (same entity
+    key) rides along, so the output is the full linkage-quality
+    report: per-decision pair counts, precision, and recall against
+    the entity universe — all integer, hash-stable.
 
-    Scale notes (100 TB): one shuffle per side on the block key; the
-    per-side block cap bounds pair fan-out at cap² per block; scoring
-    and classification are map-side expressions.  True-pair recall
-    loss at bucket boundaries (rounding moves B across a block edge)
-    is the documented blocking tradeoff the recall_bp row quantifies.
+    Scale notes (100 TB): one shuffle per side per blocking pass; the
+    per-side cap bounds pair fan-out at cap² per block; scoring and
+    classification are map-side expressions.  The passes are the scale
+    story: at 10x (sf1) every COARSE block exceeds the cap and is
+    dropped — single-pass blocking collapses to zero candidates there
+    — while the fine pass keeps true pairs reachable; with no cap
+    pressure fine ⊆ coarse and the union adds nothing.  Residual
+    recall loss at fine-bucket boundaries is the documented blocking
+    tradeoff the recall_bp row quantifies.
     """
     from ..operators import linkage
 
-    c, a, b = _linkage_sides(spark, sf_dir)
-    pairs = linkage.blocked_candidate_pairs(a, b, "block", max_block_size=64)
+    c, pairs = _linkage_candidates(spark, sf_dir)
     scored = linkage.score_pairs(
         pairs,
         [
@@ -13879,18 +13946,13 @@ def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_linkage_blocking_eval",
     f"""
     WITH {_LINK_SIDES_CTE},
-    p AS (
-        SELECT a.entity AS ea, b.entity AS eb
-        FROM a JOIN b USING (block)
-        WHERE block IN (SELECT block FROM ka)
-          AND block IN (SELECT block FROM kb)),
     -- aggregate WITHOUT a group key: an empty candidate set (every
-    -- block over the cap — the sf1 regime) must still yield ONE row
+    -- block of every pass over the cap) must still yield ONE row
     -- with zeros, matching the Spark global agg + coalesce
     pa AS (SELECT count(*) AS n_pairs,
                   coalesce(sum(CASE WHEN ea = eb THEN 1 ELSE 0 END), 0)
                       AS n_true
-           FROM p),
+           FROM cand),
     n AS (SELECT count(*) AS n_cust FROM customer)
     SELECT CAST(n_pairs AS BIGINT) AS n_candidate_pairs,
            CAST(n_true AS BIGINT) AS n_true_blocked,
@@ -13915,20 +13977,12 @@ def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, never all-pairs — the |A|x|B| denominator is computed
     arithmetically from the side counts, not materialized.
 
-    Scale notes (100 TB): same single blocked equi-join as
+    Scale notes (100 TB): the same multi-pass blocked equi-joins as
     ``dq_record_linkage`` minus the scoring projection; both metrics
     are one aggregation over the candidate pairs plus a 1-row entity
     count broadcast."""
-    from ..operators import linkage
-
-    c, a, b = _linkage_sides(spark, sf_dir)
-    pairs = linkage.blocked_candidate_pairs(
-        a.select("entity", "block"),
-        b.select("entity", "block"),
-        "block",
-        max_block_size=64,
-    )
-    # coalesce: with EVERY block over the cap (the sf1 regime) the
+    c, pairs = _linkage_candidates(spark, sf_dir)
+    # coalesce: with EVERY block of every pass over the cap the
     # candidate set is empty and sum() is null — the blocking report
     # must still read (0 pairs, 0 true, reduction 10000 bp)
     agg = pairs.agg(
