@@ -14009,9 +14009,15 @@ def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "evt_count_min_deletes",
     f"""
-    WITH k AS (SELECT event_id, CAST(user_id AS STRING) AS k,
-                      CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS w
-               FROM events),
+    WITH k AS (
+        -- insert-then-retract: EVERY event inserts with w=+1, and the
+        -- retracted subset (event_id mod 3 = 0) folds in AGAIN with
+        -- w=-1, so deletions cancel prior insertions cell-wise and the
+        -- merged grid equals grid(survivors) exactly
+        SELECT event_id, CAST(user_id AS STRING) AS k, 1 AS w FROM events
+        UNION ALL
+        SELECT event_id, CAST(user_id AS STRING) AS k, -1 AS w
+        FROM events WHERE event_id % 3 = 0),
     cells AS (
         SELECT r, bucket, sum(w) AS cnt FROM (
             {" UNION ALL ".join(
@@ -14019,7 +14025,8 @@ def dq_linkage_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" w FROM k" for r in range(4)
             )})
         GROUP BY r, bucket),
-    live AS (SELECT k FROM k WHERE event_id % 3 <> 0),
+    live AS (SELECT CAST(user_id AS STRING) AS k FROM events
+             WHERE event_id % 3 <> 0),
     ex AS (SELECT k, count(*) AS exact_n FROM live GROUP BY k),
     top AS (SELECT k, exact_n FROM ex
             ORDER BY exact_n DESC, k LIMIT 10),
@@ -14062,12 +14069,16 @@ def evt_count_min_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with w=-1, so a CDC stream folds into the grid without a special
     path."""
     D, W = 4, 1024
-    e = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("user_id").cast("string").alias("k"),
-        F.when(F.col("event_id") % 3 == 0, F.lit(-1))
-        .otherwise(F.lit(1))
-        .alias("w"),
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    # insert-then-retract: every event folds in with w=+1; the
+    # retracted subset folds in AGAIN with w=-1, cancelling its own
+    # prior insertion so cells = grid(survivors) and the one-sided
+    # guarantee holds (ADVICE r7: the old CASE form skipped the +1
+    # insertion and produced grid(survivors) - grid(retracted))
+    e = base.withColumn("w", F.lit(1)).unionAll(
+        base.where(F.col("event_id") % 3 == 0).withColumn("w", F.lit(-1))
     )
     bucket = lambda r: F.expr(  # noqa: E731
         f"CAST(conv(substring(md5(concat('{r}|', k)), 1, 5), 16, 10) "
@@ -14087,7 +14098,7 @@ def evt_count_min_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.sum("w").alias("cnt"))
     )
-    live = e.where(F.col("event_id") % 3 != 0)
+    live = base.where(F.col("event_id") % 3 != 0)
     ex = live.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
     top = ex.orderBy(F.col("exact_n").desc(), "k").limit(10)
     pb = top.select("k", "exact_n", rows).select(

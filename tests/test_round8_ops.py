@@ -1,0 +1,84 @@
+"""Round-8 regression tests.
+
+Pins the insert-then-retract fix to the deletable count-min sketch
+(ADVICE r7 high: retracted events used to enter the grid only as w=-1
+with no prior +1 insertion, so cells read grid(survivors) -
+grid(retracted) and every probe violated the one-sided guarantee —
+invisibly, because the oracle shared the construction).  These tests
+check the INVARIANT directly, not Spark-vs-oracle agreement.
+"""
+
+from __future__ import annotations
+
+from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+    evt_count_min_deletes,
+)
+
+
+def test_deletable_cms_never_underestimates(spark, sf_dir):
+    """Every probe of the deletable CMS must satisfy the one-sided
+    bound vs the exact survivor counts: cms_est >= exact_n, i.e.
+    overcount >= 0 and never_underestimates True on every row."""
+    rows = evt_count_min_deletes(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["never_underestimates"] is True, r.asDict()
+        assert r["overcount"] >= 0, r.asDict()
+        assert r["cms_est"] >= r["exact_n"], r.asDict()
+
+
+def test_deletable_cms_cells_equal_survivor_grid(spark, sf_dir):
+    """The defining property of insert-then-retract: the merged grid
+    after deletions equals the grid built from the surviving multiset
+    alone.  Rebuild the survivor-only grid independently and compare
+    cell-for-cell against the query's internal construction (exposed
+    by re-deriving it here with the same bucket expression)."""
+    import pyspark.sql.functions as F
+
+    D, W = 4, 1024
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", F.col("user_id").cast("string").alias("k"))
+    )
+    bucket = lambda r: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{r}|', k)), 1, 5), 16, 10) "
+        f"AS BIGINT) % {W}"
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                for r in range(D)
+            ]
+        )
+    ).alias("rb")
+
+    def grid(df, wcol):
+        return (
+            df.select(F.col(wcol).alias("w"), rows)
+            .select("w", "rb.r", "rb.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.sum("w").alias("cnt"))
+        )
+
+    folded = (
+        grid(
+            base.withColumn("w", F.lit(1)).unionAll(
+                base.where(F.col("event_id") % 3 == 0).withColumn(
+                    "w", F.lit(-1)
+                )
+            ),
+            "w",
+        )
+        .where(F.col("cnt") != 0)
+        .withColumnRenamed("cnt", "folded_cnt")
+    )
+    survivors = grid(
+        base.where(F.col("event_id") % 3 != 0).withColumn("w", F.lit(1)),
+        "w",
+    ).withColumnRenamed("cnt", "survivor_cnt")
+    diff = folded.join(survivors, ["r", "bucket"], "full_outer").where(
+        F.coalesce(F.col("folded_cnt"), F.lit(0))
+        != F.coalesce(F.col("survivor_cnt"), F.lit(0))
+    )
+    assert diff.count() == 0
