@@ -620,8 +620,17 @@ def streaming_linkage_gate(
     """Streaming record-linkage gate: classify each incoming record
     against a STATIC entity index via the batch linkage operators
     (operators/linkage.py) — blocked stream-static equi-join, integer
-    agreement scoring, threshold decision — and emit every record with
-    its best match (entity id + score) or as an unmatched passthrough.
+    agreement scoring, threshold decision.
+
+    INPUT CONTRACT: both ``records_stream`` and ``entity_index`` must
+    carry a NUMERIC ``entity`` id column (the record id on the stream
+    side, the golden-entity id on the index side) plus ``block_col``;
+    any other columns exist only to be referenced by the agreement
+    predicates.  OUTPUT is id + decision ONLY — one row per stream
+    record: (entity, score, matched_entity, matched).  Callers needing
+    record payload downstream re-join on ``entity`` (the id is the
+    key; carrying wide payloads through the best-match rollup would
+    just re-shuffle them).
 
     The streaming shape of a production MDM ingest: new records arrive
     continuously, the golden-entity index is a slowly-refreshed batch
@@ -633,10 +642,12 @@ def streaming_linkage_gate(
     ``agreements`` is the same [(name, predicate, weight)] list
     ``linkage.score_pairs`` takes, with predicates over the ``_a``
     (stream) / ``_b`` (index) suffixed columns.  One best match per
-    record (max score, min entity_b tiebreak) keeps the gate's output
-    cardinality equal to its input: no stateful operator, no row
-    fan-out — the only streaming state is source offsets, so the gate
-    restarts from the WAL with zero rebuild.
+    record (max score; ties broken to the SMALLEST entity_b, which is
+    why the id must be numeric — the rollup negates it inside the max
+    struct) keeps the gate's output cardinality equal to its input: no
+    stateful operator, no row fan-out — the only streaming state is
+    source offsets, so the gate restarts from the WAL with zero
+    rebuild.
 
     Scale notes: one stream-static equi-join on the block key per
     micro-batch (broadcast the index when it fits); the per-record
@@ -661,16 +672,22 @@ def streaming_linkage_gate(
     )
     scored = linkage.score_pairs(a.join(b, block_col, "left"), agreements)
     # best match per record: aggregation keyed on the record id — on a
-    # foreachBatch micro-batch DF this is a plain bounded batch rollup
+    # foreachBatch micro-batch DF this is a plain bounded batch rollup.
+    # The struct max negates entity_b so score ties break to the
+    # SMALLEST entity id (the documented contract); a join-miss row
+    # (entity_b null → neg null) sorts below any real candidate at the
+    # same score, so a null can never beat a match.
     best = scored.groupBy("entity_a").agg(
-        F.max(F.struct("score", F.col("entity_b").alias("matched_entity"))).alias(
-            "m"
-        )
+        F.max(
+            F.struct(
+                "score", (-F.col("entity_b")).alias("neg_entity")
+            )
+        ).alias("m")
     )
     return best.select(
         F.col("entity_a").alias("entity"),
         F.col("m.score").alias("score"),
-        F.when(F.col("m.score") >= match_threshold, F.col("m.matched_entity"))
+        F.when(F.col("m.score") >= match_threshold, -F.col("m.neg_entity"))
         .otherwise(F.lit(None))
         .alias("matched_entity"),
         (F.col("m.score") >= match_threshold).alias("matched"),

@@ -23,7 +23,9 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
 from aws_kinesis_data_streams_replicator_spark.session import get_spark
 
 
-def run_query(fn, spark, sf_dir: str, ref_sec: float | None = None) -> float:
+def run_query(
+    fn, spark, sf_dir: str, ref_sec: float | None = None
+) -> tuple[float, int]:
     """Steady-state timing: best of two runs — the first doubles as the
     warmup (codegen compilation + parquet footer caching), so the second
     is steady state and wins the min.  (A separate warmup run tripled the
@@ -38,10 +40,21 @@ def run_query(fn, spark, sf_dir: str, ref_sec: float | None = None) -> float:
     individual in-suite timings occasionally read 1.4-1.6x high, which
     round-over-round comparison then misreports as a regression.
 
+    The rerun rule is deliberately ONE-SIDED (extra runs only when a
+    query reads slow vs last round), which biases exactly the
+    regressed-looking timings downward (r7 ADVICE).  Rather than pay
+    4x wall clock on all 283 queries, the bias is made AUDITABLE: the
+    number of runs each query took ships in the artifact
+    (``n_runs``), so any number produced by >2 runs is visibly
+    outlier-adjudicated and a regression that "disappeared" under
+    extra runs can be re-examined instead of trusted.
+
     After each query, drop Python refs so the ContextCleaner unpersists
     that query's localCheckpoint blocks: across 100+ queries the cached
     blocks otherwise accumulate until BlockManager eviction thrash makes
-    late-registry queries look 10-30x slower than they are."""
+    late-registry queries look 10-30x slower than they are.
+
+    Returns ``(best_sec, n_runs)``."""
     import gc
 
     def one() -> float:
@@ -49,14 +62,16 @@ def run_query(fn, spark, sf_dir: str, ref_sec: float | None = None) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    best = min(one() for _ in range(2))
+    n_runs = 2
+    best = min(one() for _ in range(n_runs))
     if ref_sec is not None and ref_sec > 0.2 and best > 1.35 * ref_sec:
         for _ in range(2):
             best = min(best, one())
+            n_runs += 1
             if best <= 1.35 * ref_sec:
                 break
     gc.collect()
-    return best
+    return best, n_runs
 
 
 STREAM_METRIC_VERSION = 2
@@ -231,11 +246,14 @@ def main() -> None:
             ref = json.load(fh).get("queries", {})
     except (OSError, ValueError):
         pass
+    n_runs: dict[str, int] = {}
     for i, name in enumerate(sorted(QUERIES)):
         try:
-            timings[name] = round(
-                run_query(QUERIES[name], spark, sf_dir, ref.get(name)), 3
-            )
+            sec, runs = run_query(QUERIES[name], spark, sf_dir, ref.get(name))
+            timings[name] = round(sec, 3)
+            if runs > 2:
+                # outlier-adjudicated timing: auditable in the artifact
+                n_runs[name] = runs
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -269,6 +287,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # queries that took >2 runs under the repeat-on-outlier rule —
+        # their timings are outlier-adjudicated, not raw best-of-2
+        # (r7 ADVICE: makes the one-sided rerun bias auditable)
+        "outlier_rerun_counts": n_runs,
         "sf": sf,
         "streaming_records_per_sec": stream_rps,
         "streaming_eos_records_per_sec": eos_rps,

@@ -98,3 +98,21 @@ def test_gate_picks_best_match_deterministically(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["matched_entity"] == 100 and got[0]["score"] == 50
+
+
+def test_gate_tie_breaks_to_smallest_entity(spark):
+    # two index entities BOTH agreeing on name (equal score): the
+    # documented contract picks the SMALLEST entity id, regardless of
+    # index order (r7 ADVICE: the old struct-max picked the largest)
+    index = spark.sql(
+        "SELECT * FROM VALUES (300, 5, 'eve'), (100, 5, 'eve') "
+        "AS t(entity, block, name_norm)"
+    )
+    rec = spark.sql(
+        "SELECT * FROM VALUES (7, 5, 'eve') AS t(entity, block, name_norm)"
+    )
+    got = streaming_linkage_gate(
+        rec, index, _agreements(), match_threshold=50
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["matched_entity"] == 100 and got[0]["score"] == 50
