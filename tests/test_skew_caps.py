@@ -143,3 +143,51 @@ def test_chargram_coverage_rows_linear_in_corpus(spark, docs):
     out = dedup.chargram_dup_coverage(docs)
     n_docs = docs.count()
     assert out.count() == n_docs
+
+
+def test_customer_block_skew_present(spark, skew_dir):
+    """Round-8 fixture extension: ONE (nation, $1000-bucket) linkage
+    block holds ~50% of customers (and the $10 fine bucket is just as
+    hot), so both blocking passes face cap pressure."""
+    c = load_table(spark, skew_dir, "customer")
+    n = c.count()
+    hot = (
+        c.groupBy(
+            "c_nationkey",
+            F.expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000"),
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot >= int(n * 0.45), "customer linkage-block skew missing"
+
+
+def test_orders_hot_join_key_present(spark, skew_dir):
+    o = load_table(spark, skew_dir, "orders")
+    n = o.count()
+    hot = (
+        o.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hot >= int(n * 0.85), "orders hot join key missing"
+
+
+def test_linkage_candidates_bounded_under_block_collapse(spark, skew_dir):
+    """The multi-pass capped blocking must stay EXPLOSION-FREE when its
+    primary block holds half the records: every surviving block joins
+    ≤ 64x64 pairs per pass, so candidates ≤ 2 passes x #surviving
+    blocks x 64^2 — and since the hot block (>64 per side) is dropped
+    by the cap, the actual count must also be far below the uncapped
+    hot-block contribution (~(n/2)^2)."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        _linkage_candidates,
+    )
+
+    c, pairs = _linkage_candidates(spark, skew_dir)
+    n = c.count()
+    n_pairs = pairs.count()
+    uncapped_hot = (n // 2) ** 2
+    assert n_pairs < uncapped_hot // 10, (
+        f"{n_pairs} candidate pairs — cap not engaging under block "
+        f"collapse (uncapped hot block alone would be ~{uncapped_hot})"
+    )

@@ -24,6 +24,17 @@ Built deterministically (row-index arithmetic, no RNG) from
     of records);
   - 50% of rows collapse onto ONE user_id — a heavy-hitter entity for
     per-user rollups and salted aggregation paths.
+* ``customer`` (round 8, for the linkage family)
+  - 50% of customers collapse onto ONE linkage block: nation 7 with
+    acctbal inside a single $10 band, so BOTH the coarse ($1000) and
+    fine ($10) blocking passes see one block holding half the records
+    — far past the 64-per-side cap; the multi-pass capped blocking
+    must stay bounded AND hash-correct when its primary block
+    collapses.
+* ``orders`` (round 8, for the CMS join-size family)
+  - 90% of orders collapse onto ONE o_custkey — a hot join key whose
+    single CMS cell dominates the inner-product estimate; the
+    one-sided bound must survive extreme key concentration.
 * every other table is copied verbatim (schema-preserving, so the
   parity harness can register all views).
 
@@ -127,6 +138,56 @@ def skew_events(src: str, dst: str) -> None:
     )
 
 
+HOT_NATION = 7
+
+
+def skew_customer(src: str, dst: str) -> None:
+    """50% of customers into ONE linkage block: nation HOT_NATION with
+    acctbal in [5000.00, 5000.09] — a single $10 band, so the fine
+    blocking pass is just as hot as the coarse one and the 64-per-side
+    cap must engage on both.  Keys stay untouched (c_custkey unique)."""
+    t = pq.read_table(src)
+    n = t.num_rows
+    nat = t.column("c_nationkey").to_pylist()
+    bal = t.column("c_acctbal").to_pylist()
+    new_nat, new_bal = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            new_nat.append(HOT_NATION)
+            new_bal.append(5000.0 + (i % 10) / 100.0)
+        else:
+            new_nat.append(nat[i])
+            new_bal.append(bal[i])
+    cols = {}
+    for name in t.schema.names:
+        if name == "c_nationkey":
+            cols[name] = pa.array(new_nat, t.schema.field(name).type)
+        elif name == "c_acctbal":
+            cols[name] = pa.array(new_bal, t.schema.field(name).type)
+        else:
+            cols[name] = t.column(name)
+    pq.write_table(pa.table(cols, schema=t.schema), dst)
+
+
+def skew_orders(src: str, dst: str) -> None:
+    """90% of orders onto ONE o_custkey: the join-size CMS grids get a
+    single dominant cell and the exact join size is quadratic in the
+    hot key — the estimate's one-sided guarantee is exactly what this
+    stresses."""
+    t = pq.read_table(src)
+    n = t.num_rows
+    cust = t.column("o_custkey").to_pylist()
+    hot = cust[0]
+    new_cust = [hot if i % 10 != 9 else cust[i] for i in range(n)]
+    cols = {}
+    for name in t.schema.names:
+        if name == "o_custkey":
+            cols[name] = pa.array(new_cust, t.schema.field(name).type)
+        else:
+            cols[name] = t.column(name)
+    pq.write_table(pa.table(cols, schema=t.schema), dst)
+
+
 def main() -> None:
     src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -142,6 +203,10 @@ def main() -> None:
             skew_documents(src, dst)
         elif tbl == "events":
             skew_events(src, dst)
+        elif tbl == "customer":
+            skew_customer(src, dst)
+        elif tbl == "orders":
+            skew_orders(src, dst)
         else:
             shutil.copyfile(src, dst)
         print(f"{tbl}: {dst}")
