@@ -1,0 +1,164 @@
+"""Sketch-driven join planning: the count-min join-size estimation
+family (``agg_join_size_estimate`` / ``evt_selfjoin_size_estimate``)
+consumed as a COST MODEL — pick broadcast vs shuffle for an equi-join
+from two ≤4096-cell key sketches, without scanning either fact twice.
+
+Why this exists: AQE only sees runtime sizes AFTER a stage
+materializes; a catalog cost model needs ANSI statistics nobody
+maintains.  A CMS key grid is buildable in one map-side-combinable
+pass per relation, is cell-wise addable (partitioned/incremental
+builds fold together — the same property the streaming join-size
+monitor leans on), and yields two numbers a join planner wants:
+
+* exact side cardinality — each key contributes exactly 1 to every
+  row of its grid, so ``sum(cnt)`` over any single row r is |side|;
+* an UPPER BOUND on the equi-join output — min over rows of the
+  inner product Σ_b cntA[r,b]·cntB[r,b] (one-sided by the same
+  argument as the point-estimate CMS: collisions only ever add).
+
+The decision rule is deliberately conservative in the direction that
+matters at 100 TB: broadcast only when the BUILD side's exact
+cardinality clears the threshold — a hot-key join (the skew fixture's
+90%-one-custkey orders) inflates the output bound, which flags the
+join as shuffle-heavy but never tricks the planner into broadcasting
+a big side.
+
+Bucket convention: the seeded-md5 grid of the batch estimation
+queries and the streaming monitor (``'{r}|' + key`` prefix, first 5
+hex digits, mod W) — grids built here merge cell-wise with both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def key_cms_grid(
+    df: DataFrame,
+    key: str | Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(r, bucket, cnt) count-min grid of a relation's join key — ONE
+    map-side-combinable rollup into ≤ depth·width cells, any corpus
+    size.  Same seeded-md5 bucket convention as the batch estimation
+    queries and the streaming join-size monitor, so grids from the
+    three paths are cell-wise mergeable."""
+    k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.expr(
+                        f"CAST(conv(substring(md5(concat('{r}|', _cms_k)), "
+                        f"1, 5), 16, 10) AS BIGINT) % {width}"
+                    ).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(k.alias("_cms_k"))
+        .select(rows)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def join_plan_stats(
+    grid_a: DataFrame, grid_b: DataFrame, broadcast_threshold_rows: int
+) -> DataFrame:
+    """ONE-ROW planning statistics for A ⋈ B from the two key grids:
+    exact side cardinalities, the CMS upper bound on the join output,
+    and the strategy decision — all lazy DataFrame algebra over ≤4096
+    cells a side (broadcast-scale regardless of fact size), so the
+    stats are themselves plannable/cacheable like any other frame.
+
+    Decision rule: ``broadcast_smaller`` iff min(|A|, |B|) ≤
+    threshold; the output bound is reported for shuffle sizing but
+    deliberately does NOT gate the broadcast choice (a hot key
+    inflates the bound without growing the build side)."""
+    na = grid_a.where(F.col("r") == 0).agg(F.sum("cnt").alias("rows_a"))
+    nb = grid_b.where(F.col("r") == 0).agg(F.sum("cnt").alias("rows_b"))
+    est = (
+        grid_a.join(
+            grid_b.withColumnRenamed("cnt", "cnt_b"), ["r", "bucket"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+        .agg(F.min("s").alias("join_size_bound"))
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.coalesce(F.col("rows_a"), F.lit(0)).cast("long").alias("rows_a"),
+            F.coalesce(F.col("rows_b"), F.lit(0)).cast("long").alias("rows_b"),
+            F.coalesce(F.col("join_size_bound"), F.lit(0))
+            .cast("long")
+            .alias("join_size_bound"),
+            F.lit(int(broadcast_threshold_rows))
+            .cast("long")
+            .alias("broadcast_threshold_rows"),
+            (
+                F.least(
+                    F.coalesce(F.col("rows_a"), F.lit(0)),
+                    F.coalesce(F.col("rows_b"), F.lit(0)),
+                )
+                <= F.lit(int(broadcast_threshold_rows))
+            ).alias("broadcast_smaller"),
+            F.when(
+                F.coalesce(F.col("rows_a"), F.lit(0))
+                <= F.coalesce(F.col("rows_b"), F.lit(0)),
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("smaller_side"),
+        )
+    )
+
+
+def plan_equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    broadcast_threshold_rows: int = 1_000_000,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Sketch-planned equi-join: build the two key grids, read the
+    1-row planning stats (the ONLY eager step — a bounded single-row
+    first(), the cost-model analog of AQE's runtime stat read), and
+    construct ``left.join(right)`` with an explicit ``broadcast()``
+    hint on the smaller side when its EXACT sketch cardinality clears
+    the threshold — otherwise an unhinted join (AQE still free to
+    pick better at runtime).
+
+    Returns ``(joined_df, stats_row)`` where stats_row is the decision
+    record (rows_a/rows_b/join_size_bound/broadcast_smaller/
+    smaller_side) for audit logging.
+
+    Scale notes (100 TB): two one-pass grid builds (map-side combined
+    into ≤ depth·width cells), one broadcast-scale cell join, one
+    1-row collect.  The hint can only ever pin a side PROVEN small by
+    its exact grid cardinality — the unbounded-broadcast lint class
+    cannot re-enter through this path."""
+    ga = key_cms_grid(left, left_key, depth, width)
+    gb = key_cms_grid(right, right_key, depth, width)
+    stats = join_plan_stats(ga, gb, broadcast_threshold_rows).first()
+    cond = left[left_key] == right[right_key]
+    if stats["broadcast_smaller"]:
+        if stats["smaller_side"] == "a":
+            joined = F.broadcast(left).join(right, cond)
+        else:
+            joined = left.join(F.broadcast(right), cond)
+    else:
+        joined = left.join(right, cond)
+    return joined, stats

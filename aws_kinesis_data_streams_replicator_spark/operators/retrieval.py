@@ -130,11 +130,13 @@ def bm25_score_postings(tf: DataFrame, dl: DataFrame, k: int = 20) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k FIRST via orderBy().limit (TakeOrderedAndProject: partial
+    # per-partition top-k, no single-partition sort of every matched
+    # doc), then rank only the k bounded survivors
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 
@@ -182,11 +184,14 @@ def hybrid_rrf_topk(
         .cast("long")
         .alias("rrf_micro"),
     )
+    # the fused list is ≤ 2·k_each rows, but keep the scale-safe shape
+    # anyway: limit first, then rank the bounded survivors
+    top = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("doc_id", "rrf_micro", F.col("rnk").cast("long").alias("rnk"))
+    return top.select(
+        "doc_id",
+        "rrf_micro",
+        F.row_number().over(w).cast("long").alias("rnk"),
     )
 
 

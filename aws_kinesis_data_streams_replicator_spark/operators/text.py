@@ -635,10 +635,11 @@ def bpe_merge_step(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .groupBy("p.sym_a", "p.sym_b")
         .agg(F.sum("n_word").alias("n_pairs"))
     )
-    w1 = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+    # winner = TakeOrdered(1) over the pair table — never a global
+    # row_number window over every pair
     winner = (
-        pairs1.withColumn("rnk", F.row_number().over(w1))
-        .where(F.col("rnk") == 1)
+        pairs1.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+        .limit(1)
         .select(F.concat("sym_a", "sym_b").alias("merged"))
     )
     merged_vocab = vocab.crossJoin(F.broadcast(winner)).select(
@@ -652,10 +653,13 @@ def bpe_merge_step(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .groupBy("merged", "p.sym_a", "p.sym_b")
         .agg(F.sum("n_word").alias("n_pairs"))
     )
+    # top-k first (TakeOrderedAndProject), then rank the bounded
+    # survivors — no single-partition window over the full pair table
     w2 = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
     return (
-        pairs2.withColumn("rnk", F.row_number().over(w2))
-        .where(F.col("rnk") <= top_k)
+        pairs2.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+        .limit(top_k)
+        .withColumn("rnk", F.row_number().over(w2))
         .select(
             F.col("merged").alias("merged_pair"),
             F.expr(
@@ -694,8 +698,6 @@ def _bpe_vocab_chain(documents: DataFrame, n_merges: int):
     registered oracle mirrors the same sentinel scheme, so a violation
     corrupts both sides identically rather than failing parity; this
     docstring is the guard."""
-    from pyspark.sql import Window
-
     words = (
         spread(documents)
         .select(F.explode(word_tokens(F.col("text"))).alias("word"))
@@ -722,10 +724,11 @@ def _bpe_vocab_chain(documents: DataFrame, n_merges: int):
             .groupBy("p.sym_a", "p.sym_b")
             .agg(F.sum("n_word").alias("n_pairs"))
         )
-        w = Window.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+        # winner = TakeOrdered(1), not a rank-1 filter over a global
+        # row_number window of every pair
         winner = (
-            pairs.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
+            pairs.orderBy(F.col("n_pairs").desc(), "sym_a", "sym_b")
+            .limit(1)
             .select(F.concat("sym_a", "sym_b").alias(f"m{j}"))
         )
         vocab = (
@@ -781,10 +784,13 @@ def bpe_apply(
         .groupBy("token")
         .agg(F.sum("n_word").alias("n_tokens"))
     )
+    # top-k first (TakeOrderedAndProject over the token inventory),
+    # then rank only the bounded survivors
     wr = Window.orderBy(F.col("n_tokens").desc(), "token")
     return (
-        tokens.withColumn("token_rank", F.row_number().over(wr))
-        .where(F.col("token_rank") <= top_k)
+        tokens.orderBy(F.col("n_tokens").desc(), "token")
+        .limit(top_k)
+        .withColumn("token_rank", F.row_number().over(wr))
         .select(
             "token",
             F.length("token").cast("long").alias("token_len"),

@@ -33,6 +33,7 @@ from ..operators import (
     text,
     windows,
 )
+from ..operators.prefix import with_global_ntile, with_global_prefix
 from ..operators.util import spread
 
 # --------------------------------------------------------------------------
@@ -3666,13 +3667,12 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer over one
-    quarter, top 20.  The ranking window runs over the already-aggregated
-    per-customer rows (|customers|, not |lineitem|), and the tie-break on
-    c_custkey + exact DECIMAL revenue makes the top-20 cut deterministic
-    in both engines.  At scale the single-partition window is a top-k
-    over the agg output — cheap next to the fact scan."""
-    from pyspark.sql import Window
-
+    quarter, top 20.  The top-20 cut is ``orderBy().limit(20)`` —
+    Catalyst plans it as TakeOrderedAndProject (per-partition partial
+    top-20, merge at the driver), so no single-partition sort of the
+    full per-customer agg ever materializes; the tie-break on
+    c_custkey + exact DECIMAL revenue keeps the cut deterministic in
+    both engines."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
@@ -3686,12 +3686,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(ep * (F.lit(1) - disc)).alias("rev_dec"))
     )
-    w = Window.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
     return (
         rev.join(c, rev.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
@@ -8240,23 +8239,28 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary truncation analysis: corpus token coverage of the
     top-k most frequent words, at several k — the curve that sizes a
     tokenizer vocabulary (how much of the stream the top-N symbols
-    absorb).  One vocab aggregation, one rank window over |vocab| rows,
-    and a lookup of the cumulative sum at each k; basis-point shares in
-    exact integer division."""
+    absorb).  The curve only evaluates k ≤ 40, so the vocabulary is
+    cut to its top 40 rows FIRST (TakeOrderedAndProject — partial
+    per-partition top-k) and the rank/cumulative window runs over just
+    those 40; the corpus total rides in as a broadcast scalar agg, not
+    a partition-less sum window.  Basis-point shares in exact integer
+    division."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("word")
     ).where(F.col("word") != "")
     v = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = v.localCheckpoint(eager=False)
+    tot = v.agg(F.sum("n").alias("total"))
+    top = v.orderBy(F.col("n").desc(), "word").limit(40)
     w_rank = Window.orderBy(F.col("n").desc(), "word")
-    r = v.select(
+    r = top.select(
         "n",
         F.row_number().over(w_rank).alias("rnk"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
         F.sum("n")
         .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-    )
+    ).crossJoin(F.broadcast(tot))
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in (5, 10, 20, 30, 40)])).alias("k")
     )
@@ -8441,7 +8445,10 @@ def evt_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r, f, m) cell — the marketing-analytics workhorse.  All three
     ntiles ride ONE |users|-row aggregate (the raw table is scanned
     once); quintile ties break on user_id so assignment is total-order
-    deterministic in both engines."""
+    deterministic in both engines.  Each quintile is
+    ``with_global_ntile`` — ntile-identical values from a range
+    shuffle + partition offsets, never a single-partition window over
+    the unbounded user rollup."""
     e = _t(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -8455,14 +8462,17 @@ def evt_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.col("corpus_max").cast("date"), F.col("last_ts").cast("date")),
     )
-    q = u.select(
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), "user_id"))
-        .alias("m"),
+    u = u.select(
+        "user_id", "recency_days", "frequency", "monetary_cents"
+    ).localCheckpoint(eager=False)
+    q = with_global_ntile(
+        u, [F.col("recency_days"), F.col("user_id")], 5, "r"
+    )
+    q = with_global_ntile(
+        q, [F.col("frequency").desc(), F.col("user_id")], 5, "f"
+    )
+    q = with_global_ntile(
+        q, [F.col("monetary_cents").desc(), F.col("user_id")], 5, "m"
     )
     return q.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
@@ -9050,23 +9060,29 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto analysis: parts classified by cumulative revenue
     share (A ≤ 80%, B ≤ 95%, C the tail) — the inventory-concentration
     query.  Runs on the |parts|-row rollup, not the fact table: one
-    fact aggregation, one ranked prefix sum, integer cross-multiplied
-    thresholds (cum·10000 ≤ tot·8000 avoids division entirely)."""
+    fact aggregation, one RANGE-PARTITIONED prefix sum
+    (``with_global_prefix``: per-partition running sums + broadcast
+    partition offsets — no single-partition window), one broadcast
+    scalar total; integer cross-multiplied thresholds (cum·10000 ≤
+    tot·8000 avoids division entirely)."""
     li = _t(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias(
             "rev_c"
         )
     )
-    w_cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = pr.select(
+    pr = pr.localCheckpoint(eager=False)
+    tot = pr.agg(F.sum("rev_c").alias("tot_c"))
+    r = with_global_prefix(
+        pr,
+        [F.col("rev_c").desc(), F.col("l_partkey")],
+        rn_col="_rn",
+        cum_cols=["rev_c"],
+    ).select(
         "l_partkey",
         "rev_c",
-        F.sum("rev_c").over(w_cum).alias("cum_c"),
-        F.sum("rev_c").over(Window.partitionBy()).alias("tot_c"),
-    )
+        F.col("rev_c_cum").alias("cum_c"),
+    ).crossJoin(F.broadcast(tot))
     cl = r.select(
         "rev_c",
         F.when(F.col("cum_c") * 10000 <= F.col("tot_c") * 8000, "A")
@@ -9710,9 +9726,10 @@ def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per frequency-rank octave — the corpus-statistics plot that decides
     vocabulary size and stopword cut-offs (a healthy natural corpus is
     near-linear in log-log; synthetic or boilerplate-heavy corpora bend).
-    The global rank window runs on the |vocab|-row rollup (bounded
-    regardless of corpus size); deterministic ties via (count desc,
-    word)."""
+    The global rank is ``with_global_prefix`` over the vocabulary
+    rollup — range shuffle + partition offsets, identical values to
+    the partition-less row_number window without its single-partition
+    sort; deterministic ties via (count desc, word)."""
     d = _t(spark, sf_dir, "documents")
     from ..functions.hashing import word_tokens as _wt
     from ..operators.util import spread as _spread
@@ -9724,12 +9741,9 @@ def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    r = c.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), "word"))
-        .alias("rnk"),
-    )
+    r = with_global_prefix(
+        c, [F.col("cnt").desc(), F.col("word")], rn_col="rnk"
+    ).select("cnt", "rnk")
     return r.groupBy(
         F.floor(F.log2("rnk")).cast("int").alias("rank_bucket")
     ).agg(
@@ -10637,17 +10651,17 @@ def evt_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist2"),
         )
     )
-    r = d.select(
-        "user_id",
-        "dist2",
-        F.row_number()
-        .over(Window.orderBy("dist2", "user_id"))
-        .alias("rank"),
-    )
-    return r.where(F.col("rank") <= 10).select(
+    # top-k FIRST (TakeOrderedAndProject — per-partition partial top-10,
+    # no single-partition sort of the |users|-row distance rollup), then
+    # rank only the 10 bounded survivors
+    top = d.orderBy("dist2", "user_id").limit(10)
+    return top.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("dist2").cast("long").alias("dist2"),
-        F.col("rank").cast("long").alias("rank"),
+        F.row_number()
+        .over(Window.orderBy("dist2", "user_id"))
+        .cast("long")
+        .alias("rank"),
     )
 
 
@@ -12004,20 +12018,20 @@ def evt_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross-multiplied to exact milli: (conv_d/n_d)/(conv/n) =
     conv_d·n·1000 // (n_d·conv)).  If the top decile's lift ≈ 1000 the
     score is useless — the one-table answer to "is activity worth
-    targeting on".  Runs on the |users| rollup; totals broadcast."""
+    targeting on".  Runs on the |users| rollup; totals broadcast; the
+    decile is ``with_global_ntile`` (ntile-identical values, range
+    shuffle + partition offsets — no single-partition window over the
+    unbounded user rollup)."""
     e = _t(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("activity"),
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
-    )
-    q = u.select(
-        "converted",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("activity").desc(), "user_id"))
-        .alias("decile"),
-    )
+    ).localCheckpoint(eager=False)
+    q = with_global_ntile(
+        u, [F.col("activity").desc(), F.col("user_id")], 10, "decile"
+    ).select("converted", "decile")
     t = q.agg(
         F.sum("converted").alias("tot_conv"), F.count(F.lit(1)).alias("tot_n")
     )
@@ -12101,11 +12115,15 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("gopher_pass"),
     )
-    q = s.select(
-        "spt",
-        "gopher_pass",
-        F.ntile(10).over(Window.orderBy("spt", "doc_id")).alias("bin"),
-    )
+    # decile bins via with_global_ntile: ntile-identical, but a range
+    # shuffle + partition offsets instead of a single-partition window
+    # over the |docs| score rollup
+    q = with_global_ntile(
+        s.localCheckpoint(eager=False),
+        [F.col("spt"), F.col("doc_id")],
+        10,
+        "bin",
+    ).select("spt", "gopher_pass", "bin")
     return q.groupBy(F.col("bin").cast("int").alias("score_bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("spt").cast("long").alias("min_score"),
@@ -14121,6 +14139,68 @@ def evt_count_min_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "plan_join_strategy_hook",
+    f"""
+    WITH ko AS (SELECT CAST(o_custkey AS STRING) AS k FROM orders),
+    kc AS (SELECT CAST(c_custkey AS STRING) AS k
+           FROM customer WHERE c_acctbal > 0),
+    ga AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+                f"FROM ko" for r in range(4)
+            )}) GROUP BY r, bucket),
+    gb AS (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+                f"FROM kc" for r in range(4)
+            )}) GROUP BY r, bucket),
+    na AS (SELECT sum(cnt) AS rows_a FROM ga WHERE r = 0),
+    nb AS (SELECT sum(cnt) AS rows_b FROM gb WHERE r = 0),
+    est AS (SELECT min(s) AS join_size_bound FROM (
+        SELECT ga.r, sum(ga.cnt * gb.cnt) AS s
+        FROM ga JOIN gb USING (r, bucket) GROUP BY ga.r))
+    SELECT CAST(coalesce(rows_a, 0) AS BIGINT) AS rows_a,
+           CAST(coalesce(rows_b, 0) AS BIGINT) AS rows_b,
+           CAST(coalesce(join_size_bound, 0) AS BIGINT) AS join_size_bound,
+           CAST(5000 AS BIGINT) AS broadcast_threshold_rows,
+           least(coalesce(rows_a, 0), coalesce(rows_b, 0)) <= 5000
+               AS broadcast_smaller,
+           CASE WHEN coalesce(rows_a, 0) <= coalesce(rows_b, 0)
+                THEN 'a' ELSE 'b' END AS smaller_side
+    FROM na, nb, est
+    """,
+)
+def plan_join_strategy_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-size-estimation family consumed as a COST MODEL
+    (operators/costmodel.py): the 1-row planning record a sketch-driven
+    planner reads before choosing broadcast vs shuffle for
+    orders ⋈ positive-balance customers — exact side cardinalities off
+    the grids (each key adds 1 to every row, so one row's cnt-sum is
+    |side|), the CMS upper bound on the join output, and the decision
+    under a 5000-row broadcast threshold.  The eager twin
+    (``costmodel.plan_equijoin``) applies the decision as an actual
+    ``broadcast()`` hint — pytest asserts the resulting physical plans;
+    this registered form keeps the arithmetic itself under the value
+    oracle.
+
+    Scale notes (100 TB): two one-pass map-side-combined grid builds
+    (≤4096 cells a side), one broadcast-scale cell join, three 1-row
+    aggregates — the facts are each scanned once, never joined."""
+    from ..operators import costmodel
+
+    ga = costmodel.key_cms_grid(
+        _t(spark, sf_dir, "orders"), "o_custkey"
+    )
+    gb = costmodel.key_cms_grid(
+        _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0),
+        "c_custkey",
+    )
+    return costmodel.join_plan_stats(ga, gb, broadcast_threshold_rows=5000)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -14129,12 +14209,69 @@ def evt_count_min_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-7 window (50): first the 15 names staged at the r7 head
-    # (NOTES_r7_staging.md) — 4 r6 hint-removal TPC-H queries + the
-    # re-codec'd mm_feature_extract + the 10 late-round-6 registrations
-    # that never saw a driver window.  Green here burns the
-    # never-driver-checked ledger for the CURRENT form of every query
-    # back to zero. ----
+    # ---- round-8 window (50): first the 7 round-7 registrations that
+    # never saw a driver window (NOTES_r8_staging.md), one of which
+    # (evt_count_min_deletes) was also FIXED in r8 (insert-then-retract
+    # semantics) ----
+    "dq_record_linkage",
+    "cdc_join_view_maintenance",
+    "evt_selfjoin_size_estimate",
+    "cdc_join_view_zset_deletes",
+    "agg_join_size_estimate",
+    "dq_linkage_blocking_eval",
+    "evt_count_min_deletes",
+    # ---- then the 14 queries whose plans were REWRITTEN in round 8
+    # (global-window family: TakeOrdered top-k, with_global_prefix /
+    # with_global_ntile, bounded BPE winner selection) — changed form
+    # needs a fresh driver-green row ----
+    "tpch_q10_returned_items",
+    "evt_timeseries_similarity",
+    "evt_user_rfm_segments",
+    "part_abc_pareto",
+    "text_vocab_coverage_curve",
+    "text_zipf_curve",
+    "evt_decile_lift_table",
+    "text_classifier_calibration",
+    "doc_bm25_search",
+    "doc_hybrid_rrf",
+    "text_bpe_merge_step",
+    "text_bpe_apply",
+    "text_bpe_encode_stats",
+    "pipeline_corpus_curation_v5",
+    # ---- remaining 29 slots: staleness refresh — the r2-era names
+    # whose last driver-green row is oldest (3 r2-era names deferred
+    # to the r9 head: udf_pandas_agg_median, udf_pandas_distinct_words,
+    # udtf_bigrams) ----
+    "agg_salted_event_type",
+    "corr_subquery_cheapest_item",
+    "doc_contamination_check",
+    "doc_lsh_levenshtein_verify",
+    "doc_neardup_clusters",
+    "doc_ngram_jaccard_pairs",
+    "doc_stratified_sample",
+    "emb_neardup_pairs",
+    "evt_asof_join_signup",
+    "evt_multires_rollup",
+    "fn_date_parts",
+    "fn_map_suite",
+    "fn_scalar_suite",
+    "kr_active_region_gate",
+    "kr_checkpoint",
+    "kr_payload_decode",
+    "kr_replicated_records",
+    "kr_stream_name_extract",
+    "pipeline_corpus_curation",
+    "pipeline_corpus_curation_v2",
+    "text_lang_stats",
+    "text_token_counts",
+    "tpch_q12_late_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "udf_broadcast_lookup",
+    "udf_grouped_user_stats",
+    # ---- the round-7 window and prior rotations, demoted in order ----
     "tpch_q3_top_orders",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
@@ -14142,17 +14279,11 @@ _CHECK_FIRST = [
     "mm_feature_extract",
     "doc_chargram_dup_coverage",
     "doc_url_canonical_dedup",
-    "text_bpe_apply",
     "agg_quantile_sketch_merge",
-    "text_bpe_encode_stats",
     "text_heavy_hitters_bounds",
     "doc_url_host_profile",
     "text_count_min_estimate",
     "text_bloom_membership",
-    "pipeline_corpus_curation_v5",
-    # -- the remaining 35 slots: staleness refresh — the queries whose
-    # most recent driver-green row is OLDEST (33 last checked in r1,
-    # 2 in r2), so the oldest evidence gets re-verified first --
     "agg_collect_sorted",
     "agg_pivot_event_types",
     "agg_rollup_nation_acctbal",
@@ -14188,12 +14319,10 @@ _CHECK_FIRST = [
     "win_top_customers_per_nation",
     "agg_cube_orders",
     "agg_percentiles_disc",
-    # ---- the round-6 window and prior rotations, demoted in order ----
     "doc_neardup_rate_by_source",
     "text_bpe_pair_counts",
     "graph_degree_histogram",
     "fn_interval_arithmetic",
-    "text_zipf_curve",
     "evt_multitouch_attribution",
     "agg_weighted_median",
     "dq_k_anonymity",
@@ -14205,7 +14334,6 @@ _CHECK_FIRST = [
     "emb_power_iteration_matvec",
     "dq_referential_suite",
     "files_partitioned_write_layout",
-    "evt_timeseries_similarity",
     "emb_incremental_topk_maintenance",
     "evt_survival_risk_table",
     "dq_distribution_drift",
@@ -14222,8 +14350,6 @@ _CHECK_FIRST = [
     "text_word_bigram_familiarity",
     "emb_exact_dup_groups",
     "evt_error_budget_burn",
-    "evt_decile_lift_table",
-    "text_classifier_calibration",
     "doc_source_overlap_matrix",
     "dq_unreferenced_dims",
     "emb_ivf_probe_sweep",
@@ -14232,7 +14358,6 @@ _CHECK_FIRST = [
     "tpch_q5_revenue_by_nation",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_variety",
     "tpch_q17_small_qty_revenue",
@@ -14249,7 +14374,6 @@ _CHECK_FIRST = [
     "evt_peak_concurrency",
     "evt_pattern_match_cep",
     "text_typo_variant_pairs",
-    "text_bpe_merge_step",
     "fn_sql_udf_suite",
     "sql_parameterized_query",
     "fn_xml_suite",
@@ -14268,11 +14392,9 @@ _CHECK_FIRST = [
     "evt_funnel_within_7d",
     "tpch_running_backlog",
     "text_lang_confusion_matrix",
-    "text_vocab_coverage_curve",
     "udf_arrow_grouped_stats",
     "agg_exact_mode",
     "agg_exact_covariance",
-    "evt_user_rfm_segments",
     "tpch_repeat_purchase_cohorts",
     "doc_split_leakage_audit",
     "doc_neardup_cluster_size_hist",
@@ -14280,7 +14402,6 @@ _CHECK_FIRST = [
     "agg_bitmap_distinct",
     "fn_aes_roundtrip",
     "doc_quality_dup_crosstab",
-    "part_abc_pareto",
     "evt_user_concentration_gini",
     "doc_shingle_containment_pairs",
     "text_stopword_discovery",
@@ -14297,7 +14418,6 @@ _CHECK_FIRST = [
     "emb_semantic_dedup",
     "agg_pivot_events",
     "text_quality_classifier",
-    "doc_hybrid_rrf",
     "emb_ann_pq_topk",
     "cdc_point_in_time_join",
     "fn_recursive_date_spine",
@@ -14335,7 +14455,6 @@ _CHECK_FIRST = [
     "agg_hll_sketch_union",
     "fn_url_suite",
     "evt_range_count_5m",
-    "udf_grouped_user_stats",
     "kr_batch_metrics",
     "evt_sessionize_batch",
     "cdc_scd2_intervals",
@@ -14350,7 +14469,6 @@ _CHECK_FIRST = [
     "text_vocab_oov",
     "text_pmi_collocations",
     "doc_tfidf_top_terms",
-    "doc_bm25_search",
     "mm_resize",
     "mm_frame_sample",
     "udtf_analyze_top_tokens",

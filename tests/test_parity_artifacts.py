@@ -65,3 +65,25 @@ def test_write_artifact_rejects_cross_sf_merge(tmp_path):
     write_artifact(p, "/sf_a", {"a": {"ok": True, "msg": "OK", "sec": 0.1}}, merge=False)
     with pytest.raises(SystemExit):
         write_artifact(p, "/sf_b", {"b": {"ok": True, "msg": "OK", "sec": 0.1}}, merge=True)
+
+
+def test_plan_fingerprints_cover_registry():
+    """fingerprints ∪ excluded == registry, with the exclusion list and
+    its reason carried INSIDE the artifact — a new registration can
+    never silently fall out of the plan gate, and the artifact explains
+    its own gaps (round-7 verdict ask)."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+        PLAN_BUILD_RUNS_JOBS,
+        QUERIES,
+    )
+
+    with open(os.path.join(REPO, "PLAN_FINGERPRINTS.json")) as fh:
+        art = json.load(fh)
+    assert set(art["excluded"]) == set(PLAN_BUILD_RUNS_JOBS)
+    assert art["excluded_reason"]
+    covered = set(art["fingerprints"]) | set(art["excluded"])
+    assert covered == set(QUERIES), (
+        f"missing from fingerprint gate: {sorted(set(QUERIES) - covered)}; "
+        f"stale entries: {sorted(covered - set(QUERIES))} — regenerate "
+        "with `python tools/plan_fingerprints.py`"
+    )

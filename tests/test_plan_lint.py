@@ -29,7 +29,11 @@ sys.path.insert(
     0,
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
 )
-from tools.plan_fingerprints import DEFAULT_OUT, fingerprint  # noqa: E402
+from tools.plan_fingerprints import (  # noqa: E402
+    DEFAULT_OUT,
+    fingerprint,
+    global_window_violations,
+)
 
 # queries whose CONSTRUCTION runs jobs (iterative connected components,
 # eager localCheckpoints) — plan text of the final frame is meaningless
@@ -101,9 +105,43 @@ _BNLJ_OK = {
     # 30-row day-spine broadcast range probe (at-risk counting)
     "evt_survival_risk_table",
     "evt_decile_lift_table",  # 1-row population-totals scalar broadcast
+    # round-8 prefix rewrites: 1-row total / count scalar broadcasts
+    # (with_global_ntile's n, Pareto's grand total, coverage's corpus
+    # token total)
+    "part_abc_pareto",
+    "text_classifier_calibration",
+    "text_vocab_coverage_curve",
+    # 1-row side-count x 1-row bound crosses in the planning record
+    "plan_join_strategy_hook",
     "dq_unreferenced_dims",  # 1-row count x 1-row count per check
     # exact baseline leg (emb_ann_topk rationale) + IVF centroid cross
     "emb_ivf_probe_sweep",
+}
+
+
+# Global windows (empty partition spec → Exchange SinglePartition) the
+# structural detector cannot prove bounded, each with the boundedness
+# argument.  Every entry's window input is a SUMMARY whose cardinality
+# is fixed by DOMAIN (calendar span, config count, hash-bucket modulus,
+# frequency threshold), not by corpus row count — so the single
+# partition holds thousands of rows at ANY scale.  Anything else that
+# trips the detector is a real scale bug: fix the plan
+# (orderBy().limit(k), operators/prefix.py) instead of extending this
+# list.
+_GLOBAL_WINDOW_OK: dict[str, str] = {
+    "doc_lsh_band_sweep": "lag over the ≤3-row band-config sweep",
+    "doc_lsh_precision_eval": "rollup per band config (≤ dozens)",
+    "doc_mixture_weights": "per-source rollup (bounded domain)",
+    "dq_skew_profile": "window over exactly 32 hash buckets",
+    "evt_cumulative_new_users": "running sum over the per-hour rollup "
+    "(calendar-bounded)",
+    "evt_error_budget_burn": "running sum over the per-day rollup",
+    "evt_peak_concurrency": "running max over the per-day rollup",
+    "evt_rolling_corr": "rolling window over the per-day rollup",
+    "text_stopword_discovery": "rank over words with df ≥ 60% of docs "
+    "(≤ avg distinct words/doc ÷ 0.6 by the df-sum bound)",
+    "tpch_revenue_mom_growth": "lag over the per-month rollup",
+    "tpch_running_backlog": "running sum over the per-day rollup",
 }
 
 
@@ -116,6 +154,21 @@ def test_no_pathological_joins(spark, sf_dir, name):
         .toString()
     )
     assert "CartesianProduct" not in plan, f"{name} builds a cartesian product"
+    # Round-8 lint: no single-partition WindowExec over unbounded input.
+    # The detector recognizes limit-cut inputs (TakeOrdered/GlobalLimit),
+    # the ≤P-row _pid offset rollup of operators/prefix.py, and keyless
+    # 1-row aggregates; everything else must be domain-bounded and
+    # allowlisted above with its bound.
+    gw = global_window_violations(plan)
+    if name not in _GLOBAL_WINDOW_OK:
+        assert not gw, (
+            f"{name} plans a single-partition window over unbounded "
+            f"input — the stage that serializes at 100×. Rewrite with "
+            f"orderBy().limit(k) + bounded re-rank or "
+            f"operators/prefix.py (with_global_prefix / "
+            f"with_global_ntile), or document a domain bound in "
+            f"_GLOBAL_WINDOW_OK. Offending windows: {gw}"
+        )
     if name not in _BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} has an unexpected broadcast nested-loop join — "
@@ -297,3 +350,64 @@ def test_no_unbounded_broadcast_hints():
         "rewrite as a window over the same partitioning:\n  "
         + "\n  ".join(hits)
     )
+
+
+# --------------------------------------------------------------------------
+# Detector self-tests: the global-window lint must FIRE on a deliberate
+# violation and stay quiet on every sanctioned bounded shape.  Built
+# from real Spark plans (not synthetic strings) so a plan-format change
+# in a Spark upgrade breaks these tests, not silently the lint.
+# --------------------------------------------------------------------------
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_window_lint_fires_on_violation(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "id"))
+    )
+    assert global_window_violations(_executed(bad)), (
+        "detector must flag row_number over an unpartitioned window "
+        "on unbounded input"
+    )
+
+
+def test_global_window_lint_allows_bounded_shapes(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_streams_replicator_spark.operators.prefix import (
+        with_global_prefix,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    # limit-cut input: rank over TakeOrderedAndProject survivors
+    cut = (
+        df.orderBy("k", "id")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+    )
+    assert not global_window_violations(_executed(cut))
+    # partitioned window: no single-partition exchange at all
+    pw = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not global_window_violations(_executed(pw))
+    # the prefix helper's own plans (mono-id path and the ≤P-row _pid
+    # offset window) must both pass their own lint
+    rn_only = with_global_prefix(df, [F.col("k"), F.col("id")], rn_col="rn")
+    assert not global_window_violations(_executed(rn_only))
+    with_cum = with_global_prefix(
+        df, [F.col("k"), F.col("id")], rn_col="rn", cum_cols=["id"]
+    )
+    assert not global_window_violations(_executed(with_cum))

@@ -72,6 +72,81 @@ def fingerprint(plan: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Global-window lint (round 8): a Window with an EMPTY partition spec
+# plans `Exchange SinglePartition` under its Sort — every input row
+# through ONE task.  Over an unbounded input that task is the straggler
+# at 100×.  Bounded inputs are fine and recognized structurally:
+#   * TakeOrderedAndProject / GlobalLimit / LocalLimit / CollectLimit
+#     ABOVE the exchange (the window ranks k already-cut survivors);
+#   * the exchange feeding straight from a HashAggregate keyed on a
+#     physical-partition id (`_pid`) — the ≤P-row offset rollup of
+#     operators/prefix.py — or from any global (keyless) aggregate.
+# ---------------------------------------------------------------------------
+
+_TREE_ART = re.compile(r"^[\s:+*\-()0-9]*")
+_BOUNDED_NODE = re.compile(
+    r"^(TakeOrderedAndProject|GlobalLimit|LocalLimit|CollectLimit)"
+)
+_PID_SUMMARY = re.compile(r"^HashAggregate\(keys=\[_pid\b")
+_GLOBAL_AGG = re.compile(r"^HashAggregate\(keys=\[\]")
+
+
+def _node_text(line: str) -> str:
+    """Strip the tree-art prefix (`+- `, `:- `, `*(3) `, indent)."""
+    return _TREE_ART.sub("", line)
+
+
+def global_window_violations(plan: str) -> list[str]:
+    """Return one entry per Window node whose `Exchange SinglePartition`
+    is fed by an unbounded input — the plan shape that serializes at
+    scale.  Empty list = every global window in the plan is over a
+    limit-cut or a ≤P-row partition-id/global-agg summary."""
+    lines = plan.splitlines()
+    nodes = [_node_text(ln) for ln in lines]
+    bad = []
+    for i, node in enumerate(nodes):
+        if not node.startswith("Window"):
+            continue
+        # walk the child chain: pass-through nodes until something
+        # decisive.  A Window's own exchange sits within a few lines
+        # (Sort, sometimes Project/Filter between).
+        for j in range(i + 1, min(i + 8, len(nodes))):
+            nxt = nodes[j]
+            if _BOUNDED_NODE.match(nxt):
+                break  # ranked input already cut to k rows
+            if nxt.startswith("Exchange SinglePartition"):
+                # look through pass-through nodes below the exchange
+                # for a bounding producer (limit cut, ≤P-row _pid
+                # rollup, keyless 1-row aggregate)
+                bounded = False
+                for b in range(j + 1, min(j + 7, len(nodes))):
+                    below = nodes[b]
+                    if (
+                        _PID_SUMMARY.match(below)
+                        or _GLOBAL_AGG.match(below)
+                        or _BOUNDED_NODE.match(below)
+                    ):
+                        bounded = True
+                        break
+                    if not (
+                        below.startswith("Project")
+                        or below.startswith("Filter")
+                        or below.startswith("Sort")
+                        or below.startswith("Exchange RoundRobinPartitioning")
+                        or below.startswith("ColumnarToRow")
+                    ):
+                        break  # decisive unbounded producer
+                if not bounded:
+                    bad.append(node[:120])
+                break
+            if nxt.startswith("Exchange") or nxt.startswith("Window"):
+                break  # partitioned window / nested window (own check)
+        # fell through the scan horizon: treat as OK (no single-
+        # partition exchange in the direct child chain)
+    return bad
+
+
 def build_plan(spark, name: str, sf_dir: str) -> str:
     df = QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
@@ -92,7 +167,22 @@ def main() -> None:
     spark = get_spark("akr-plan-fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
     fps = compute_all(spark, sf_dir)
-    payload = {"sf_dir": sf_dir, "fingerprints": fps}
+    payload = {
+        "sf_dir": sf_dir,
+        "fingerprints": fps,
+        # self-documenting exclusions: fingerprints ∪ excluded must
+        # equal the registry (tests/test_parity_artifacts.py asserts
+        # it), so a new registration can never silently fall out of
+        # the plan gate
+        "excluded": sorted(PLAN_BUILD_RUNS_JOBS),
+        "excluded_reason": (
+            "plan CONSTRUCTION runs Spark jobs for these iterative "
+            "queries (connected components, PageRank, eager "
+            "checkpoint pipelines) — the final frame's static plan "
+            "text is meaningless and expensive to build; their plans "
+            "are audited by their own tests"
+        ),
+    }
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
