@@ -54,6 +54,7 @@ def with_global_prefix(
     cum_cols: Sequence[str] = (),
     cum_suffix: str = "_cum",
     num_partitions: int | None = None,
+    totals: bool = False,
 ) -> DataFrame:
     """Add an exact global row number (``rn_col``) — and, for each
     name in ``cum_cols``, an inclusive prefix sum ``<col><cum_suffix>``
@@ -66,6 +67,13 @@ def with_global_prefix(
     ``row_number()/sum().over(Window.orderBy(*order_cols))`` but the
     plan is range-shuffle + per-partition work + a ≤P-row offset
     rollup, never a single-partition sort.
+
+    ``totals=True`` additionally attaches ``_totn`` (global row count)
+    and ``_tot_<c>`` (global sum of each cum col) to every row — read
+    off the SAME ≤P-row partition rollup the offsets come from, so
+    callers needing "rank plus total" (ntile, cumulative share) never
+    pay a second scan of ``df`` for a count/sum the rollup already
+    knows.
     """
     order_cols = list(order_cols)
     if num_partitions is None:
@@ -108,6 +116,15 @@ def with_global_prefix(
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot_cols = []
+    if totals:
+        tot_cols = [F.sum("_pn").over(w_all).alias("_totn")] + [
+            F.sum(f"_ps_{c}").over(w_all).alias(f"_tot_{c}")
+            for c in cum_cols
+        ]
     offs = ptot.select(
         "_pid",
         F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_offn"),
@@ -117,6 +134,7 @@ def with_global_prefix(
             )
             for c in cum_cols
         ],
+        *tot_cols,
     )
     out = local.join(F.broadcast(offs), "_pid").withColumn(
         rn_col, (F.col("_offn") + F.col("_lrn")).cast("long")
@@ -140,16 +158,19 @@ def with_global_ntile(
     """Add ``bucket_col`` with values IDENTICAL to
     ``ntile(n_buckets).over(Window.orderBy(*order_cols))`` — the first
     ``n mod k`` buckets hold ``n div k + 1`` rows, the rest ``n div
-    k`` — computed from the distributed global row number plus one
-    broadcast total, never a single-partition window.  ``order_cols``
+    k`` — computed from the distributed global row number plus the
+    total row count read off the SAME partition rollup as the rank
+    offsets (no second scan of ``df``: with ntile chained 3× over one
+    user rollup, a separate count pass re-executed the whole upstream
+    chain each time), never a single-partition window.  ``order_cols``
     must end in a unique tiebreak (ntile ties are position-split, so
     the order must be total for determinism anyway)."""
     k = int(n_buckets)
     rn = "_ntile_rn"
     out = with_global_prefix(
-        df, order_cols, rn_col=rn, num_partitions=num_partitions
-    )
-    tot = df.agg(F.count(F.lit(1)).alias("_ntile_n"))
+        df, order_cols, rn_col=rn, num_partitions=num_partitions,
+        totals=True,
+    ).withColumnRenamed("_totn", "_ntile_n")
     # q = n div k, r = n mod k; first r buckets take q+1 rows:
     #   rn <= r*(q+1)  ->  (rn-1) div (q+1) + 1
     #   else           ->  r + 1 + (rn - r*(q+1) - 1) div q
@@ -160,8 +181,4 @@ def with_global_ntile(
         f"({rn} - (_ntile_n % {k}) * (_ntile_n DIV {k} + 1) - 1) "
         f"DIV (_ntile_n DIV {k}) END AS INT)"
     )
-    return (
-        out.crossJoin(F.broadcast(tot))
-        .withColumn(bucket_col, bucket)
-        .drop(rn, "_ntile_n")
-    )
+    return out.withColumn(bucket_col, bucket).drop(rn, "_ntile_n")

@@ -9062,8 +9062,9 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.  Runs on the |parts|-row rollup, not the fact table: one
     fact aggregation, one RANGE-PARTITIONED prefix sum
     (``with_global_prefix``: per-partition running sums + broadcast
-    partition offsets — no single-partition window), one broadcast
-    scalar total; integer cross-multiplied thresholds (cum·10000 ≤
+    partition offsets — no single-partition window) with the grand
+    total read off the same ≤P-row partition rollup (``totals=True`` —
+    no second scan); integer cross-multiplied thresholds (cum·10000 ≤
     tot·8000 avoids division entirely)."""
     li = _t(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
@@ -9071,18 +9072,18 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_c"
         )
     )
-    pr = pr.localCheckpoint(eager=False)
-    tot = pr.agg(F.sum("rev_c").alias("tot_c"))
     r = with_global_prefix(
         pr,
         [F.col("rev_c").desc(), F.col("l_partkey")],
         rn_col="_rn",
         cum_cols=["rev_c"],
+        totals=True,
     ).select(
         "l_partkey",
         "rev_c",
         F.col("rev_c_cum").alias("cum_c"),
-    ).crossJoin(F.broadcast(tot))
+        F.col("_tot_rev_c").alias("tot_c"),
+    )
     cl = r.select(
         "rev_c",
         F.when(F.col("cum_c") * 10000 <= F.col("tot_c") * 8000, "A")
