@@ -400,11 +400,12 @@ def streaming_quantile_sketch(events_stream: DataFrame) -> DataFrame:
     stream the accumulated ``rank_err_bound`` grows roughly linearly in
     n per compaction epoch and eventually exceeds n/2 — still sound
     (never understates the error) but vacuous for consumers.  For a
-    non-vacuous guarantee on unbounded streams, switch to level-based
-    KLL-style compaction (error per LEVEL, O(log n) levels); this
-    single-level summary is the right shape for bounded replay windows
-    and for merging with the batch ``agg_quantile_sketch_merge`` legs,
-    which share the identical compaction rule.
+    non-vacuous guarantee on unbounded streams use
+    ``streaming_quantile_kll`` (level-based compaction, logarithmic
+    budget growth); this single-level summary remains the right shape
+    for bounded replay windows and for merging with the batch
+    ``agg_quantile_sketch_merge`` legs, which share the identical
+    compaction rule.
 
     Scale notes: state is O(capacity) longs per event type regardless
     of stream length — the mergeable-summary property is exactly what
@@ -545,6 +546,156 @@ def streaming_median_drift(events_stream: DataFrame) -> DataFrame:
         _median_drift_update,
         outputStructType=MDRIFT_OUT_SCHEMA,
         stateStructType=MDRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KLL_OUT_SCHEMA = (
+    "event_type string, n_seen long, est_p50_cents long, "
+    "rank_err_bound long, summary_size long, n_levels long"
+)
+KLL_STATE_SCHEMA = (
+    "vals array<long>, lvls array<int>, n long, err long, "
+    "parities array<int>"
+)
+_KLL_LEVEL_CAP = 64
+
+
+def _kll_compact(levels: list[list[int]], parities: list[int], C: int):
+    """Deterministic level compaction, in place: any level over
+    capacity is sorted and every other item promoted to the next level
+    (weight doubles); which offset survives alternates per level via a
+    persisted parity bit — the standard derandomization, so two
+    consecutive compactions of a level cancel to first order instead
+    of drifting one-sided.  Returns the SOUND rank-error increment:
+    one compaction of level h (item weight 2^h) moves any rank
+    estimate by at most 2^h — keep the odd positions of the sorted
+    level and an estimate can only round a level-h rank contribution
+    UP by one item; keep even, only DOWN (the parity alternation).
+    """
+    err_inc = 0
+    h = 0
+    while h < len(levels):
+        if len(levels[h]) > C:
+            while len(parities) <= h:
+                parities.append(0)
+            srt = sorted(levels[h])
+            keep = srt[parities[h] :: 2]
+            parities[h] ^= 1
+            if len(levels) <= h + 1:
+                levels.append([])
+            levels[h + 1].extend(keep)
+            levels[h] = []
+            err_inc += 1 << h
+        h += 1
+    return err_inc
+
+
+def _kll_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    C = _KLL_LEVEL_CAP
+    if state.exists:
+        vals, lvls, n, err, parities = state.get
+        n_levels = (max(lvls) + 1) if lvls else 1
+        levels: list[list[int]] = [[] for _ in range(n_levels)]
+        for v, h in zip(vals, lvls):
+            levels[h].append(int(v))
+        parities = list(parities)
+    else:
+        levels, n, err, parities = [[]], 0, 0, [0]
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        cents = np.floor(pdf["value"] * 100).astype("int64")
+        n += len(cents)
+        # weighted insert with ZERO error: a value seen c times enters
+        # as one item at every level h where bit h of c is set (weight
+        # exactly c), instead of c separate level-0 items — the binary
+        # decomposition keeps micro-batch pre-aggregation free
+        for v, c in cents.value_counts().items():
+            c = int(c)
+            h = 0
+            while c:
+                if c & 1:
+                    while len(levels) <= h:
+                        levels.append([])
+                    levels[h].append(int(v))
+                c >>= 1
+                h += 1
+        err += _kll_compact(levels, parities, C)
+    # median: cumulate (value, 2^level) weights in value order
+    items = sorted(
+        (v, 1 << h) for h, lv in enumerate(levels) for v in lv
+    )
+    W = sum(w for _, w in items)
+    est, cum = None, 0
+    for v, w in items:
+        cum += w
+        if cum >= -(-W // 2):
+            est = v
+            break
+    state.update((
+        [v for h, lv in enumerate(levels) for v in lv],
+        [h for h, lv in enumerate(levels) for _ in lv],
+        int(n),
+        int(err),
+        [int(p) for p in parities],
+    ))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "est_p50_cents": [est],
+            "rank_err_bound": [err],
+            "summary_size": [len(items)],
+            "n_levels": [len(levels)],
+        }
+    )
+
+
+def streaming_quantile_kll(events_stream: DataFrame) -> DataFrame:
+    """Running per-type median with a NON-VACUOUS error bound on
+    unbounded streams: deterministic KLL-style multi-level summary —
+    level h holds items of weight 2^h, capacity 64 per level; overflow
+    promotes every other sorted item one level up (weight doubles),
+    with a persisted per-level parity bit alternating which offset
+    survives (derandomized KLL: reproducible state under WAL replay,
+    first-order error cancellation between consecutive compactions).
+
+    This closes the documented bound-looseness of
+    ``streaming_quantile_sketch``: that single-level equi-depth summary
+    adds ceil(W/C)+1 rank error per compaction with W the TOTAL weight,
+    so its budget grows ~linearly in n per epoch and eventually
+    exceeds n/2 — sound but vacuous.  Here a compaction at level h
+    costs exactly 2^h and level h sees at most n/(C·2^h) compactions,
+    so the accumulated budget is ≤ (n/C)·log2(n/C): err/n ≈
+    log2(n/C)/C grows only LOGARITHMICALLY — at C=64 it stays under
+    40% of n out to n ≈ 2^30 per key (≈ half that in practice from
+    the parity cancellation), versus the single-level form crossing
+    n/2 within a few thousand same-size batches.  Larger deployments
+    raise the level capacity: err/n halves per doubling of C.
+    Micro-batch counts enter by binary weight decomposition (value
+    seen c times = one item at each set bit of c), so pre-aggregated
+    inserts are exact and cost zero budget.
+
+    The single-level sketch remains the right choice when the summary
+    must MERGE with the batch ``agg_quantile_sketch_merge`` legs
+    (identical compaction rule on both sides); this operator is the
+    unbounded-stream upgrade where that compatibility isn't needed.
+
+    Scale notes: state is O(C·log2(n/C)) longs per event type —
+    31 levels ≈ 2k longs covers n = 2^36 — and every update is a
+    value_counts + list append, no per-row Python in the hot loop
+    beyond the Arrow batch the runtime already hands over.
+    """
+    return events_stream.select("event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _kll_update,
+        outputStructType=KLL_OUT_SCHEMA,
+        stateStructType=KLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
