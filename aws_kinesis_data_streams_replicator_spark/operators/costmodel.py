@@ -41,13 +41,26 @@ def key_cms_grid(
     key: str | Column,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """(r, bucket, cnt) count-min grid of a relation's join key — ONE
     map-side-combinable rollup into ≤ depth·width cells, any corpus
     size.  Same seeded-md5 bucket convention as the batch estimation
     queries and the streaming join-size monitor, so grids from the
-    three paths are cell-wise mergeable."""
+    three paths are cell-wise mergeable.
+
+    ``weight`` switches the cells from row counts to Σweight — build
+    the grid from a PRE-AGGREGATED (key, weight) rollup (catalog
+    stats, partial aggregate) instead of fact rows; with nonnegative
+    weights every downstream bound (side cardinality = unrolled rows,
+    inner-product join-size bound) holds for the unrolled relation
+    unchanged (the ``agg_weighted_join_size_estimate`` invariant)."""
     k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
+    w = (
+        F.lit(1)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
     rows = F.explode(
         F.array(
             *[
@@ -63,11 +76,11 @@ def key_cms_grid(
         )
     ).alias("rb")
     return (
-        df.select(k.alias("_cms_k"))
-        .select(rows)
-        .select("rb.r", "rb.bucket")
+        df.select(k.alias("_cms_k"), w.alias("_cms_w"))
+        .select(rows, "_cms_w")
+        .select("rb.r", "rb.bucket", "_cms_w")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_cms_w").alias("cnt"))
     )
 
 

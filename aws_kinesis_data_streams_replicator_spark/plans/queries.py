@@ -13962,6 +13962,127 @@ def agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_weighted_join_size_estimate",
+    f"""
+    WITH wa AS (SELECT CAST(o_custkey AS STRING) AS k, count(*) AS w
+                FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+    wb AS (SELECT CAST(o_custkey AS STRING) AS k, count(*) AS w
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+    ga AS (
+        SELECT r, bucket, sum(w) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket, "
+                f"w FROM wa" for r in range(4)
+            )})
+        GROUP BY r, bucket),
+    gb AS (
+        SELECT r, bucket, sum(w) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket, "
+                f"w FROM wb" for r in range(4)
+            )})
+        GROUP BY r, bucket),
+    est AS (SELECT min(s) AS cms_est FROM (
+        SELECT ga.r, sum(ga.cnt * gb.cnt) AS s
+        FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+        GROUP BY ga.r)),
+    ex AS (SELECT coalesce(sum(wa.w * wb.w), 0) AS true_size
+           FROM wa JOIN wb USING (k))
+    SELECT CAST(true_size AS BIGINT) AS true_join_size,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= true_size AS never_underestimates,
+           CAST((cms_est - true_size) * 10000
+                // greatest(true_size, 1) AS BIGINT) AS overcount_bp
+    FROM ex, est
+    """,
+)
+def agg_weighted_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size bound for PRE-AGGREGATED relations: the count-min
+    grids carry Σw per cell instead of row counts, so the sketch can
+    be built from a (key, weight) rollup — catalog statistics, a
+    partial aggregate, a retained summary — without ever unrolling
+    back to fact rows.  The inner-product bound survives unchanged:
+    with every weight ≥ 0, min over rows of Σ_b wA[r,b]·wB[r,b] ≥
+    Σ_k wA(k)·wB(k), the exact output size of the UNROLLED equi-join
+    (collisions only ever add cross terms).
+
+    Evaluated here on open ⋈ fulfilled orders by customer: each side
+    is the per-custkey order count under one status filter, the true
+    size Σ cA(k)·cB(k) is the number of (open, fulfilled) same-
+    customer order pairs, and the one-sided guarantee is asserted
+    in-query.  Generalizes ``agg_join_size_estimate`` (all weights 1)
+    on the same 4×1024 seeded-md5 grid — the three grid families
+    (unweighted batch, weighted batch, streaming monitor) stay
+    cell-wise mergeable.
+
+    Scale notes: the weighted rollup is one map-side-combinable
+    aggregation per side; grids are ≤4096 cells regardless of fact or
+    rollup size; the exact leg exists only for evaluation."""
+    D, W = 4, 1024
+
+    def grid(df: DataFrame) -> DataFrame:
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(
+                            f"CAST(conv(substring(md5(concat('{r}|', k)), "
+                            f"1, 5), 16, 10) AS BIGINT) % {W}"
+                        ).alias("bucket"),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("rb")
+        return (
+            df.select(rows, "w")
+            .select("rb.r", "rb.bucket", "w")
+            .groupBy("r", "bucket")
+            .agg(F.sum("w").alias("cnt"))
+        )
+
+    o = _t(spark, sf_dir, "orders")
+
+    def side(status: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    wa, wb = side("O"), side("F")
+    ga, gb = grid(wa), grid(wb)
+    est = (
+        ga.join(
+            gb.withColumnsRenamed({"cnt": "cnt_b"}), ["r", "bucket"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+        .agg(F.min("s").alias("cms_est"))
+    )
+    exact = (
+        wa.join(wb.withColumnsRenamed({"w": "w_b"}), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("w") * F.col("w_b")), F.lit(0)).alias(
+                "true_size"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("true_size").cast("long").alias("true_join_size"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("true_size")).alias("never_underestimates"),
+        F.expr(
+            "CAST((cms_est - true_size) * 10000 "
+            "DIV greatest(true_size, 1) AS BIGINT)"
+        ).alias("overcount_bp"),
+    )
+
+
+@_q(
     "dq_linkage_blocking_eval",
     f"""
     WITH {_LINK_SIDES_CTE},

@@ -67,6 +67,57 @@ def test_plan_equijoin_broadcasts_proven_small_side(
     ).count()
 
 
+def test_weighted_grid_equals_grid_of_unrolled_relation(spark, orders):
+    """Σw cells from a (key, weight) rollup must be cell-wise identical
+    to counting the unrolled fact rows — the property that lets a grid
+    be built from catalog stats instead of the fact."""
+    rollup = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    gw = costmodel.key_cms_grid(rollup, "o_custkey", weight="w")
+    gu = costmodel.key_cms_grid(orders, "o_custkey")
+    mismatches = (
+        gw.withColumnsRenamed({"cnt": "cnt_w"})
+        .join(gu, ["r", "bucket"], "full")
+        .where(
+            F.coalesce("cnt_w", F.lit(-1)) != F.coalesce("cnt", F.lit(-1))
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_weighted_join_size_bound_is_one_sided(spark, orders):
+    """Inner product of two weighted grids bounds the unrolled join
+    size Σ_k wA(k)·wB(k) from above — nonnegative weights mean
+    collisions only add cross terms."""
+    wa = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wb = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ga = costmodel.key_cms_grid(wa, "o_custkey", weight="w")
+    gb = costmodel.key_cms_grid(wb, "o_custkey", weight="w")
+    stats = costmodel.join_plan_stats(ga, gb, 5000).first()
+    true_size = (
+        wa.join(
+            wb.withColumnsRenamed({"w": "w_b"}), "o_custkey"
+        )
+        .agg(F.coalesce(F.sum(F.col("w") * F.col("w_b")), F.lit(0)))
+        .first()[0]
+    )
+    assert stats["join_size_bound"] >= true_size > 0
+    # side cardinalities read as UNROLLED row counts
+    assert stats["rows_a"] == orders.where(
+        F.col("o_orderstatus") == "O"
+    ).count()
+
+
 def test_plan_equijoin_withholds_hint_over_threshold(
     spark, orders, customer
 ):
