@@ -137,6 +137,122 @@ def join_plan_stats(
     )
 
 
+def sketch_path(catalog_dir: str, relation: str, key: str) -> str:
+    """Catalog location of a relation's key sketch: one parquet
+    directory per (relation, key) pair."""
+    return f"{catalog_dir}/{relation}__{key}.cms.parquet"
+
+
+def write_key_sketch(
+    df: DataFrame,
+    key: str,
+    catalog_dir: str,
+    relation: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    mode: str = "overwrite",
+    weight: str | None = None,
+) -> None:
+    """Persist the key grid of ``df`` into a sketch catalog — the
+    layout-metadata pattern: statistics computed ONCE per relation (or
+    per appended partition) and stored next to the data, so join
+    planning never re-scans a fact for numbers the catalog already
+    knows.  Rows are self-describing (relation/key/depth/width
+    constants alongside the cells) so a reader can reject a
+    convention mismatch instead of silently merging incompatible
+    grids.
+
+    Incremental maintenance is ``mode="append"``: grids are cell-wise
+    ADDABLE, so appending the grid of only the NEW rows (one pass over
+    the fresh partition, never the historical fact) keeps the catalog
+    sketch exact — ``read_key_sketch`` folds base + deltas with one
+    ≤4096-group rollup at read time."""
+    grid = key_cms_grid(df, key, depth, width, weight=weight)
+    (
+        grid.withColumn("relation", F.lit(relation))
+        .withColumn("key", F.lit(key))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("width", F.lit(width))
+        .write.mode(mode)
+        .parquet(sketch_path(catalog_dir, relation, key))
+    )
+
+
+def read_key_sketch(
+    spark,
+    catalog_dir: str,
+    relation: str,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Load a catalog sketch back as a (r, bucket, cnt) grid, folding
+    any appended delta grids cell-wise (the read-side half of the
+    incremental-maintenance contract).  Raises if the stored
+    depth/width convention differs from the requested one — a grid
+    under a different convention is not mergeable and must not be
+    silently consumed."""
+    raw = spark.read.parquet(sketch_path(catalog_dir, relation, key))
+    bad = raw.where(
+        (F.col("depth") != depth) | (F.col("width") != width)
+    ).limit(1)
+    if bad.count():
+        row = bad.first()
+        raise ValueError(
+            f"sketch convention mismatch for {relation}.{key}: stored "
+            f"{row['depth']}x{row['width']}, requested {depth}x{width}"
+        )
+    return raw.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def plan_equijoin_from_catalog(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    catalog_dir: str,
+    left_relation: str,
+    right_relation: str,
+    broadcast_threshold_rows: int = 1_000_000,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """``plan_equijoin`` planning from CATALOG sketches: read each
+    side's persisted grid; on a catalog miss, build it from the
+    relation ONCE and persist before planning (cache-on-miss), so the
+    per-query cost after warmup is two ≤4096-cell parquet reads and a
+    1-row stats collect — the fact tables are touched only by the
+    join itself.  Returns ``(joined_df, stats_row)`` exactly like
+    ``plan_equijoin``."""
+    from pyspark.errors import AnalysisException
+
+    def load_or_build(df: DataFrame, key: str, relation: str) -> DataFrame:
+        try:
+            return read_key_sketch(
+                df.sparkSession, catalog_dir, relation, key, depth, width
+            )
+        except AnalysisException:  # PATH_NOT_FOUND: first sight
+            write_key_sketch(
+                df, key, catalog_dir, relation, depth, width
+            )
+            return read_key_sketch(
+                df.sparkSession, catalog_dir, relation, key, depth, width
+            )
+
+    ga = load_or_build(left, left_key, left_relation)
+    gb = load_or_build(right, right_key, right_relation)
+    stats = join_plan_stats(ga, gb, broadcast_threshold_rows).first()
+    cond = left[left_key] == right[right_key]
+    if stats["broadcast_smaller"]:
+        if stats["smaller_side"] == "a":
+            joined = F.broadcast(left).join(right, cond)
+        else:
+            joined = left.join(F.broadcast(right), cond)
+    else:
+        joined = left.join(right, cond)
+    return joined, stats
+
+
 def plan_equijoin(
     left: DataFrame,
     right: DataFrame,

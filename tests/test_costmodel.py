@@ -130,3 +130,72 @@ def test_plan_equijoin_withholds_hint_over_threshold(
     assert joined.count() == orders.join(
         customer, orders["o_custkey"] == customer["c_custkey"]
     ).count()
+
+
+def test_sketch_catalog_roundtrip_and_delta_fold(spark, orders, tmp_path):
+    """Persisted grid reads back cell-wise identical to a fresh one;
+    appending only the NEW rows' grid keeps the catalog exact — the
+    incremental-maintenance contract (one pass over the fresh
+    partition, never the historical fact)."""
+    cat = str(tmp_path / "catalog")
+    base = orders.where(F.col("o_orderkey") % 4 != 0)
+    delta = orders.where(F.col("o_orderkey") % 4 == 0)
+    costmodel.write_key_sketch(base, "o_custkey", cat, "orders")
+    costmodel.write_key_sketch(
+        delta, "o_custkey", cat, "orders", mode="append"
+    )
+    folded = costmodel.read_key_sketch(spark, cat, "orders", "o_custkey")
+    fresh = costmodel.key_cms_grid(orders, "o_custkey")
+    mismatches = (
+        folded.withColumnsRenamed({"cnt": "cnt_f"})
+        .join(fresh, ["r", "bucket"], "full")
+        .where(
+            F.coalesce("cnt_f", F.lit(-1)) != F.coalesce("cnt", F.lit(-1))
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_sketch_catalog_rejects_convention_mismatch(
+    spark, orders, tmp_path
+):
+    cat = str(tmp_path / "catalog")
+    costmodel.write_key_sketch(
+        orders, "o_custkey", cat, "orders", depth=2, width=64
+    )
+    with pytest.raises(ValueError, match="convention mismatch"):
+        costmodel.read_key_sketch(spark, cat, "orders", "o_custkey")
+
+
+def test_plan_from_catalog_caches_on_miss_then_reads_stats(
+    spark, orders, customer, tmp_path
+):
+    """First call builds+persists both sketches; the decision matches
+    plan_equijoin.  Second call must read the CATALOG, not the
+    relations: plant a deliberately inflated sketch for customer and
+    assert the planner believes the catalog (rows_b = the inflated
+    unrolled count), proving warm-path stats never touch the fact."""
+    cat = str(tmp_path / "catalog")
+    joined, stats = costmodel.plan_equijoin_from_catalog(
+        orders, customer, "o_custkey", "c_custkey", cat,
+        "orders", "customer", broadcast_threshold_rows=100_000,
+    )
+    assert stats["broadcast_smaller"] and stats["smaller_side"] == "b"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # overwrite customer's catalog entry with a 10x-weighted grid
+    ten = customer.groupBy("c_custkey").agg(
+        (F.count(F.lit(1)) * 10_000_000).alias("w")
+    )
+    costmodel.write_key_sketch(
+        ten, "c_custkey", cat, "customer", weight="w"
+    )
+    _, stats2 = costmodel.plan_equijoin_from_catalog(
+        orders, customer, "o_custkey", "c_custkey", cat,
+        "orders", "customer", broadcast_threshold_rows=100_000,
+    )
+    assert stats2["rows_b"] == customer.count() * 10_000_000
+    # the smaller side flipped to orders — the decision tracked the
+    # CATALOG numbers, not the live relations
+    assert stats2["smaller_side"] == "a"
