@@ -98,6 +98,72 @@ def streaming_dedup(
     )
 
 
+def streaming_interval_join(
+    trigger_stream: DataFrame,
+    outcome_stream: DataFrame,
+    key: str = "user_id",
+    trigger_ts: str = "ts",
+    outcome_ts: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join — the attribution
+    primitive: match each outcome event (click, purchase, conversion)
+    to every trigger event (impression, send, exposure) for the same
+    key whose timestamp precedes it by at most ``max_delay``.  Emits
+    one row per (trigger, outcome) pair: key, both event ids, both
+    event times, and the lag in seconds.
+
+    The two Structured Streaming requirements for BOUNDED join state
+    are both encoded here: a watermark on EACH input and a time-RANGE
+    join condition (outcome.ts ∈ [trigger.ts, trigger.ts+max_delay]).
+    Together they let the runtime evict a buffered trigger row as soon
+    as the outcome-side watermark passes its match window — without
+    them an inner stream-stream join buffers both sides forever.
+    Inner matches emit eagerly (no watermark wait); rows later than
+    ``watermark_delay`` drop deterministically on both sides.
+
+    Scale notes: the join state is hash-partitioned by key across
+    executors; per-key state is bounded by the event rate within one
+    ``max_delay`` window plus the watermark slack, independent of
+    stream length.  Keep ``max_delay`` ≪ ``watermark_delay`` headroom
+    honest: widening the delay widens every executor's buffered
+    window linearly.  First-touch/last-touch attribution is a
+    downstream dedup over the emitted pairs (min/max lag per
+    outcome), composable with ``streaming_dedup`` or a foreachBatch
+    rollup rather than baked in here."""
+    t = trigger_stream.select(
+        F.col(key).alias("k"),
+        F.col(trigger_ts).alias("trigger_ts"),
+        F.col("event_id").alias("trigger_event_id"),
+    ).withWatermark("trigger_ts", watermark_delay)
+    o = outcome_stream.select(
+        F.col(key).alias("k_o"),
+        F.col(outcome_ts).alias("outcome_ts"),
+        F.col("event_id").alias("outcome_event_id"),
+    ).withWatermark("outcome_ts", watermark_delay)
+    joined = t.join(
+        o,
+        (F.col("k") == F.col("k_o"))
+        & (F.col("outcome_ts") >= F.col("trigger_ts"))
+        & (
+            F.col("outcome_ts")
+            <= F.col("trigger_ts") + F.expr(f"INTERVAL {max_delay}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("k").alias(key),
+        "trigger_event_id",
+        "outcome_event_id",
+        "trigger_ts",
+        "outcome_ts",
+        (
+            F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
+        ).alias("lag_seconds"),
+    )
+
+
 def topk_users_per_window_stream(
     events_stream: DataFrame,
     out_dir: str,
