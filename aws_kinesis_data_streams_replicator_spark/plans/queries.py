@@ -3026,6 +3026,50 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_features",
+    """
+    WITH m AS (SELECT doc_id,
+                      CAST(256 + (doc_id * 13) % 512 AS BIGINT) AS n
+               FROM documents),
+    s AS (SELECT m.doc_id, m.n, g.i,
+                 ((m.doc_id * 37 + g.i * 11) % 4001) - 2000 AS v
+          FROM m JOIN generate_series(0, 766) AS g(i) ON g.i < m.n),
+    w AS (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s)
+    SELECT doc_id,
+           'audio/wav' AS media_type,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings,
+           CAST(sum(CASE WHEN abs(v) < 200 THEN 1 ELSE 0 END) * 10000
+                // max(n) AS BIGINT) AS silence_bp
+    FROM w GROUP BY doc_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode inside the engine — the audio leg of the
+    multimodal family (images got their real codecs in round 6).
+    media_with_audio encodes one actual PCM16 mono WAV per document
+    (RIFF container, fmt+data chunks); extract_audio_features walks
+    the chunk list, validates the profile, and reduces the true int16
+    sample buffer to integer-exact curation features: duration, Σ|s|,
+    energy Σs², strict-sign-flip zero crossings, and the silence
+    ratio in basis points — the voice-activity and quality gates an
+    audio pipeline filters on.  The waveform is closed-form per
+    sample, so DuckDB reproduces every feature WITHOUT a decoder: a
+    chunk-walk or byte-order regression in the Spark codec hash-fails
+    this row.  Two Arrow crossings per batch (encode, decode+reduce),
+    vectorized numpy inside — a soundfile/librosa call drops into the
+    identical contract."""
+    media = multimodal.media_with_audio(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+@_q(
     "gen_replicate_pipeline",
     """
     WITH r AS (SELECT CAST(i AS BIGINT) AS i,
