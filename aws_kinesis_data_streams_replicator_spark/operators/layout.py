@@ -1,87 +1,119 @@
-"""Multi-dimensional file layout (Z-ordering) for scan pruning.
+"""Multi-dimensional data layout: Z-order (Morton) clustering and the
+min-max pruning arithmetic that justifies it.
 
-At 100 TB the fastest query is the one that never reads the file: parquet
-row-group/file min-max statistics prune scans, but only if the data
-layout makes per-file ranges NARROW on the filter columns.  Sorting by a
-single column gives perfect pruning on that column and none on others;
-interleaving the bits of several columns (a Z-/Morton curve) gives good
-pruning on ALL of them simultaneously — the technique behind
-Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+Why this exists at 100 TB: a table laid out in ingestion order prunes
+parquet row groups well on the ingestion key and not at all on any
+other column; sorting by a single column just moves the problem.
+Interleaving the bits of two (or more) keys into one Z-value and
+range-bucketing files by it gives every interleaved dimension
+locality, so a point or range predicate on EITHER column skips most
+files on min-max statistics alone — the technique behind every
+"OPTIMIZE ZORDER BY"-style layout command.
 
-Implemented with pure JVM bit arithmetic (shiftleft/or inside
-whole-stage codegen) + ``repartitionByRange`` on the curve value, so the
-cluster sorts once and every written file covers a compact Z-range.
-
-Scale notes: range partitioning samples the curve values to build
-balanced splits — one extra job over a sample, then one total-sort
-shuffle; this is exactly how a layout-optimization job (compaction /
-OPTIMIZE) runs on a real table, amortized over many subsequent reads.
-"""
+Everything here is integer arithmetic (div/mod/multiply — no bit
+intrinsics), deliberately: the identical expression runs on any SQL
+engine, which is also how the oracle checks it."""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-
-def _grid_normalize(df: DataFrame, col: str, bits: int) -> Column:
-    """Scale a column to [0, 2^bits) grid cells via min-max equi-width
-    binning.  min/max come from one distributed aggregate (never a
-    global sort — a rank-based normalization would need one); heavy skew
-    degrades cell balance but not correctness, and repartitionByRange on
-    the final Z value re-balances the FILES regardless."""
-    lo, hi = df.agg(
-        F.min(col).cast("double"), F.max(col).cast("double")
-    ).first()
-    cells = 1 << bits
-    if hi is None or lo is None or hi == lo:
-        return F.lit(0).cast("long")
-    return F.least(
-        F.lit(cells - 1),
-        F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(cells))
-        - 1,
-    ).cast("long")
+ZORDER_BITS = 16
 
 
-def z_value(x: Column, y: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative longs into a
-    Morton (Z-curve) value: x's bit i lands at position 2i, y's at 2i+1.
-    Pure shiftleft/and/or — stays inside whole-stage codegen."""
+def zvalue_sql(x_sql: str, y_sql: str, bits: int = ZORDER_BITS,
+               div: str = "DIV") -> str:
+    """SQL for the Morton interleave of two ``bits``-bit nonnegative
+    ints: bit b of x lands at position 2b, bit b of y at 2b+1.  Pure
+    div/mod/multiply so the SAME construction (modulo the integer-
+    division token — ``DIV`` for Spark, ``//`` for DuckDB) runs on
+    both engines; inputs must already be folded into [0, 2^bits)."""
     terms = []
-    for i in range(bits):
-        xbit = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ybit = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        terms.append(xbit)
-        terms.append(ybit)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out.bitwiseOR(t)
-    return out
+    for b in range(bits):
+        terms.append(f"(({x_sql}) {div} {1 << b}) % 2 * {1 << (2 * b)}")
+        terms.append(f"(({y_sql}) {div} {1 << b}) % 2 * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    col_x: str,
-    col_y: str,
-    n_files: int = 16,
-    bits: int = 16,
-) -> None:
-    """Write ``df`` as parquet laid out along the Z-curve of (col_x, col_y).
+def zvalue(x_sql: str, y_sql: str, bits: int = ZORDER_BITS) -> Column:
+    """Spark column for the Morton interleave — see ``zvalue_sql``."""
+    return F.expr(zvalue_sql(x_sql, y_sql, bits, div="DIV"))
 
-    Each output file then covers a compact square-ish region of the
-    (x, y) domain, so min-max stats prune file scans for predicates on
-    EITHER or BOTH columns — versus a linear sort, which prunes only its
-    leading column.
-    """
-    zed = (
-        df.withColumn("_zx", _grid_normalize(df, col_x, bits))
-        .withColumn("_zy", _grid_normalize(df, col_y, bits))
-        .withColumn("_z", z_value(F.col("_zx"), F.col("_zy"), bits))
+
+def range_bucket_sql(
+    value_sql: str, max_plus_1_sql: str, n_buckets: int, div: str = "DIV"
+) -> str:
+    """SQL assigning ``value`` ∈ [0, max_plus_1) to one of
+    ``n_buckets`` contiguous range buckets — the file-assignment rule
+    for a layout sorted by ``value`` (z-value for a Z-order layout,
+    ingestion key for the baseline).  Integer ``value * n DIV (max+1)``
+    stays exact in int64 for values < 2^(63−lg n); like
+    ``zvalue_sql``, the same text runs on both engines modulo the
+    division token."""
+    return (
+        f"CAST(({value_sql}) * {n_buckets} {div} ({max_plus_1_sql}) "
+        f"AS BIGINT)"
     )
-    (
-        zed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_zx", "_zy", "_z")
-        .write.mode("overwrite")
-        .parquet(path)
+
+
+def layout_pruning_stats(
+    df: DataFrame,
+    assignments: list[tuple[str, str, Column, Column]],
+    domains: dict[str, Column],
+) -> DataFrame:
+    """Min-max pruning effectiveness of competing file layouts, exactly.
+
+    ``assignments`` rows are (layout_name, dim_name, file_col,
+    value_col): which file each record lands in under that layout, and
+    the dimension value whose per-file min-max range a reader would
+    prune on.  ``domains`` maps dim_name → that dimension's global
+    width (max − min + 1) as a Column over ``df``.
+
+    For every (layout, dim): per-file [min, max] spans, then
+    ``span_sum = Σ(max−min+1)`` — the exact expected number of files a
+    uniform random point predicate must touch is span_sum/domain,
+    emitted as ``expected_files_hit_bp`` (×10⁴).  One explode + two
+    hash aggregations; no windows, no collects — the measurement
+    itself follows the engine's scale rules."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(layout).alias("layout"),
+                        F.lit(dim).alias("dim"),
+                        fcol.cast("long").alias("file_id"),
+                        vcol.cast("long").alias("val"),
+                    )
+                    for layout, dim, fcol, vcol in assignments
+                ]
+            )
+        ).alias("t")
+    ).select("t.*")
+    per_file = stacked.groupBy("layout", "dim", "file_id").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    per_layout = per_file.groupBy("layout", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("span_sum"),
+    )
+    dom = df.agg(
+        *[c.cast("long").alias(f"_dom_{d}") for d, c in domains.items()]
+    )
+    return (
+        per_layout.crossJoin(F.broadcast(dom))
+        .select(
+            "layout",
+            "dim",
+            "n_files",
+            "span_sum",
+            F.expr(
+                "CAST(span_sum * 10000 DIV ("
+                + " + ".join(
+                    f"CASE WHEN dim = '{d}' THEN _dom_{d} ELSE 0 END"
+                    for d in domains
+                )
+                + ") AS BIGINT)"
+            ).alias("expected_files_hit_bp"),
+        )
     )

@@ -27,6 +27,7 @@ from ..sources.envelope import envelope_from_events
 from ..operators import (
     clustering,
     dedup,
+    layout,
     multimodal,
     replication,
     similarity,
@@ -2976,6 +2977,98 @@ def files_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import layout_report
 
     return layout_report(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "files_zorder_pruning",
+    f"""
+    WITH li AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+                       l_orderkey AS ok
+                FROM lineitem),
+    z AS (SELECT x, y, ok,
+                 {layout.zvalue_sql("x", "y", div="//")} AS zv
+          FROM li),
+    s AS (SELECT max(zv) + 1 AS mz, max(ok) + 1 AS mo,
+                 max(x) - min(x) + 1 AS dom_partkey,
+                 max(y) - min(y) + 1 AS dom_suppkey
+          FROM z),
+    e AS (SELECT x, y,
+                 {layout.range_bucket_sql("zv", "s.mz", 256, div="//")}
+                     AS fz,
+                 {layout.range_bucket_sql("ok", "s.mo", 256, div="//")}
+                     AS fn
+          FROM z, s),
+    st AS (
+      SELECT 'zorder' AS layout, 'partkey' AS dim, fz AS file_id,
+             x AS val FROM e
+      UNION ALL SELECT 'zorder', 'suppkey', fz, y FROM e
+      UNION ALL SELECT 'orderkey_range', 'partkey', fn, x FROM e
+      UNION ALL SELECT 'orderkey_range', 'suppkey', fn, y FROM e),
+    pf AS (SELECT layout, dim, file_id, min(val) AS lo, max(val) AS hi
+           FROM st GROUP BY 1, 2, 3),
+    pl AS (SELECT layout, dim, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(hi - lo + 1) AS BIGINT) AS span_sum
+           FROM pf GROUP BY 1, 2)
+    SELECT layout, dim, n_files, span_sum,
+           CAST(span_sum * 10000 // (CASE WHEN dim = 'partkey'
+                THEN s.dom_partkey ELSE s.dom_suppkey END) AS BIGINT)
+               AS expected_files_hit_bp
+    FROM pl, s
+    """,
+)
+def files_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout vs ingestion-order layout, judged by the exact
+    min-max pruning arithmetic a reader uses (operators/layout.py).
+    lineitem's (partkey, suppkey) bits are Morton-interleaved into one
+    z-value; files are 256 contiguous range buckets of z (vs the
+    baseline's orderkey ranges — ingestion order).  For every (layout,
+    dimension): per-file [min, max] spans and ``span_sum``, whose
+    ratio to the dimension's domain is the expected number of files a
+    uniform point predicate touches (×10⁴ = ``expected_files_hit_bp``)
+    — the number that says "a filter on EITHER interleaved column
+    skips most files" for Z-order while the ingestion layout scans
+    everything on both.
+
+    Everything is div/mod integer arithmetic (no bit intrinsics), so
+    the identical construction runs in DuckDB and a drift in the
+    interleave, the bucket rule, or the span accounting hash-fails.
+
+    Scale notes: one explode + two hash aggregations over (layout,
+    dim, file) — ≤ 4·256 groups after the first — plus one 1-row
+    scalar broadcast for the bucket denominators; no windows, no
+    global sort.  At 100 TB the same z-expression IS the
+    repartitionByRange + sortWithinPartitions write key; this query
+    is the advisor that quantifies what that rewrite buys before
+    anyone pays for it."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("l_partkey % 65536").alias("x"),
+        F.expr("l_suppkey % 65536").alias("y"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    z = li.withColumn("zv", layout.zvalue("x", "y"))
+    s = z.agg(
+        (F.max("zv") + 1).alias("mz"),
+        (F.max("ok") + 1).alias("mo"),
+    )
+    e = z.crossJoin(F.broadcast(s)).select(
+        "x",
+        "y",
+        F.expr(layout.range_bucket_sql("zv", "mz", 256)).alias("fz"),
+        F.expr(layout.range_bucket_sql("ok", "mo", 256)).alias("fn"),
+    )
+    return layout.layout_pruning_stats(
+        e,
+        assignments=[
+            ("zorder", "partkey", F.col("fz"), F.col("x")),
+            ("zorder", "suppkey", F.col("fz"), F.col("y")),
+            ("orderkey_range", "partkey", F.col("fn"), F.col("x")),
+            ("orderkey_range", "suppkey", F.col("fn"), F.col("y")),
+        ],
+        domains={
+            "partkey": F.max("x") - F.min("x") + 1,
+            "suppkey": F.max("y") - F.min("y") + 1,
+        },
+    )
 
 
 @_q(

@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "evt_selfjoin_size_estimate",  # 1-row exact-F2 x 1-row CMS estimate
     "agg_join_size_estimate",  # 1-row exact-size x 1-row CMS estimate
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
+    "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "evt_user_rfm_segments",  # 1-row corpus-max scalar broadcast
     # recall eval embeds the brute-force baseline (emb_ann_topk, above)
