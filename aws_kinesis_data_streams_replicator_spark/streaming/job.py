@@ -106,13 +106,24 @@ def streaming_interval_join(
     outcome_ts: str = "ts",
     max_delay: str = "15 minutes",
     watermark_delay: str = "30 minutes",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream INTERVAL join — the attribution
     primitive: match each outcome event (click, purchase, conversion)
     to every trigger event (impression, send, exposure) for the same
     key whose timestamp precedes it by at most ``max_delay``.  Emits
     one row per (trigger, outcome) pair: key, both event ids, both
-    event times, and the lag in seconds.
+    event times, the lag in seconds, and a ``matched`` flag.
+
+    ``join_type="left_outer"`` additionally emits every UNMATCHED
+    trigger exactly once — with null outcome fields and
+    ``matched=false`` — but only after the outcome-side watermark has
+    passed the end of its match window (the runtime must prove no
+    qualifying outcome can still arrive before declaring the miss).
+    That is the send-without-conversion / impression-without-click
+    row an attribution report needs, and the delay is the price of
+    its correctness: outer results trail live time by up to
+    ``watermark_delay`` + one trigger interval.
 
     The two Structured Streaming requirements for BOUNDED join state
     are both encoded here: a watermark on EACH input and a time-RANGE
@@ -150,7 +161,7 @@ def streaming_interval_join(
             F.col("outcome_ts")
             <= F.col("trigger_ts") + F.expr(f"INTERVAL {max_delay}")
         ),
-        "inner",
+        join_type,
     )
     return joined.select(
         F.col("k").alias(key),
@@ -161,6 +172,7 @@ def streaming_interval_join(
         (
             F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
         ).alias("lag_seconds"),
+        F.col("outcome_event_id").isNotNull().alias("matched"),
     )
 
 

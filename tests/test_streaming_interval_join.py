@@ -122,3 +122,72 @@ def test_interval_join_restart_matches_across_batches(spark, tmp_path):
     rows = spark.read.parquet(sink_dir).collect()
     assert [(r.trigger_event_id, r.outcome_event_id, r.lag_seconds)
             for r in rows] == [(1, 101, 240)]
+
+
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """An impression with no qualifying click must emit exactly once
+    with null outcome fields — but only after the outcome watermark
+    proves no click can still arrive in its window."""
+    trig_stage = str(tmp_path / "trig")
+    out_stage = str(tmp_path / "outc")
+    sink_dir = str(tmp_path / "sink")
+    wal = str(tmp_path / "wal")
+    _write_file(
+        spark, [("imp", "2024-01-01 10:00:00", 1, 7)], trig_stage,
+        "b1.parquet",
+    )
+    _write_file(
+        spark, [("click", "2024-01-01 10:00:10", 100, 9)], out_stage,
+        "b1.parquet",
+    )
+
+    def run():
+        trig = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(trig_stage)
+        )
+        outc = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out_stage)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            streaming_interval_join(
+                trig, outc, max_delay="10 minutes",
+                join_type="left_outer",
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", wal)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    # advance BOTH watermarks far past 10:10 + 30min slack (the global
+    # watermark is the MIN across inputs), then one more batch so the
+    # evicted state emits the outer row; the late trigger uses another
+    # user so it cannot match and stays buffered
+    _write_file(
+        spark, [("imp", "2024-01-01 13:00:00", 5, 8)], trig_stage,
+        "b2.parquet",
+    )
+    _write_file(
+        spark, [("click", "2024-01-01 13:00:00", 101, 9)], out_stage,
+        "b2.parquet",
+    )
+    _write_file(
+        spark, [("click", "2024-01-01 13:00:05", 102, 9)], out_stage,
+        "b3.parquet",
+    )
+    run()
+    rows = spark.read.parquet(sink_dir).collect()
+    assert [(r.trigger_event_id, r.outcome_event_id, r.matched)
+            for r in rows] == [(1, None, False)]
