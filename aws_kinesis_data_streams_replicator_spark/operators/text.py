@@ -945,3 +945,65 @@ def heavy_hitters_bounds(
             ).alias("bounds_hold"),
         )
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Count-based bigram language-model scoring — the perplexity-style
+    quality signal of corpus curation, in integer-exact form so two
+    engines agree bit-for-bit.  The corpus trains its own bigram model
+    (c(w1,w2) and left-context totals c(w1) = Σ_w c(w1,w)); each
+    document's surprisal is Σ over its bigrams of
+    ``⌊log2 c(w1)⌋ − ⌊log2 c(w1,w2)⌋`` — the integer skeleton of
+    −log2 p(w2|w1), computed as binary-digit counts
+    (``length(conv(c, 10, 2))``, the +1s cancelling) so no floating
+    log ever runs.  Low average bits = predictable/boilerplate text,
+    high = rare constructions — the two tails a curation pipeline
+    clips.
+
+    Scale notes: one tokenized scan; bigram and context counts are
+    map-side-combined aggregations; scoring is two shuffle equi-joins
+    (bg, then w1) against count tables pruned to observed keys; the
+    per-doc rollup is a hash aggregation.  No windows, no broadcast of
+    unbounded sides."""
+    toks = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    bg = (
+        toks.select(
+            "doc_id", F.explode(shingles_of_tokens(F.col("t"), 2)).alias("bg")
+        )
+        .localCheckpoint(eager=False)
+    )
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = (
+        c12.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c12"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    scored = (
+        bg.join(c12, "bg")
+        .select(
+            "doc_id",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            "c12",
+        )
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            (
+                F.length(F.conv(F.col("c1"), 10, 2))
+                - F.length(F.conv(F.col("c12"), 10, 2))
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST(sum(bits) * 100 DIV count(1) AS BIGINT)").alias(
+            "avg_centibits"
+        ),
+    )

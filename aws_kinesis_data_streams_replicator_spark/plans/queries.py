@@ -2138,6 +2138,46 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_bigram_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                      range(1, greatest(len(t) - 1, 0) + 1),
+                      i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM toks),
+    c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1),
+    sc AS (SELECT b.doc_id,
+                  length(to_base(c1.c1, 2)) - length(to_base(c12.c12, 2))
+                      AS bits
+           FROM bg b
+           JOIN c12 USING (bg)
+           JOIN c1 ON c1.w1 = string_split(b.bg, ' ')[1])
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST(sum(bits) * 100 // count(*) AS BIGINT) AS avg_centibits
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM scoring per document — the
+    perplexity-style curation signal, integer-exact (see
+    operators/text.py bigram_lm_score: surprisal =
+    ⌊log2 c(w1)⌋ − ⌊log2 c(w1,w2)⌋ via binary digit counts, no
+    floating log).  Low average bits = boilerplate, high = rare
+    constructions; both tails are what a quality gate clips."""
+    from ..operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "doc_tfidf_top_terms",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
