@@ -56,6 +56,80 @@ def range_bucket_sql(
     )
 
 
+def _grid_normalize(df: DataFrame, col: str, bits: int) -> Column:
+    """Scale a column to [0, 2^bits) grid cells via min-max equi-width
+    binning.  min/max come from one distributed aggregate (never a
+    global sort — a rank-based normalization would need one); heavy skew
+    degrades cell balance but not correctness, and repartitionByRange on
+    the final Z value re-balances the FILES regardless."""
+    lo, hi = df.agg(
+        F.min(col).cast("double"), F.max(col).cast("double")
+    ).first()
+    cells = 1 << bits
+    if hi is None or lo is None or hi == lo:
+        return F.lit(0).cast("long")
+    return F.least(
+        F.lit(cells - 1),
+        F.width_bucket(
+            F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(cells)
+        )
+        - 1,
+    ).cast("long")
+
+
+def z_value(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative longs into a
+    Morton (Z-curve) value: x's bit i lands at position 2i, y's at 2i+1.
+    Column-object twin of ``zvalue`` (shiftleft/and/or — same codegen
+    class as the div/mod form, for callers holding Columns rather than
+    SQL text)."""
+    terms = []
+    for i in range(bits):
+        xbit = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        terms.append(xbit)
+        terms.append(ybit)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of (col_x,
+    col_y) — the PHYSICAL half of the layout family
+    (``layout_pruning_stats`` below is the advisor that predicts what
+    this write buys).
+
+    Each output file covers a compact square-ish region of the (x, y)
+    domain, so min-max stats prune file scans for predicates on EITHER
+    or BOTH columns — versus a linear sort, which prunes only its
+    leading column.  Range partitioning samples the curve values to
+    build balanced splits — one extra job over a sample, then one
+    total-sort shuffle; exactly how a layout-optimization (compaction /
+    OPTIMIZE) job runs on a real table, amortized over many
+    subsequent reads."""
+    zed = (
+        df.withColumn("_zx", _grid_normalize(df, col_x, bits))
+        .withColumn("_zy", _grid_normalize(df, col_y, bits))
+        .withColumn("_z", z_value(F.col("_zx"), F.col("_zy"), bits))
+    )
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_zx", "_zy", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def layout_pruning_stats(
     df: DataFrame,
     assignments: list[tuple[str, str, Column, Column]],
