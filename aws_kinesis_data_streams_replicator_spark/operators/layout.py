@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .prefix import with_global_prefix
+
 ZORDER_BITS = 16
 
 
@@ -190,4 +192,54 @@ def layout_pruning_stats(
                 + ") AS BIGINT)"
             ).alias("expected_files_hit_bp"),
         )
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    key_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Plan a small-file compaction: pack a sorted file inventory into
+    contiguous bins of ~``target_bytes`` each — the planning half of
+    the OPTIMIZE/binpack job every incrementally-ingested table needs
+    (micro-batch ingest leaves one small file per trigger; reads then
+    pay per-file open/footer costs that dwarf the data).
+
+    Files are walked in ``key_col`` order (ingestion/cluster key, must
+    be unique per file) and assigned ``bin = exclusive_prefix_bytes DIV
+    target_bytes`` — first-fit in sort order, so each output bin merges
+    ADJACENT files and the table's range clustering survives
+    compaction (a size-sorted packing would destroy it).  A file
+    larger than ``target_bytes`` keeps its bin to itself plus whatever
+    tail space the rule grants — the standard binpack behavior.
+
+    Returns one row per bin: ``bin, n_files, total_bytes, first/last
+    key`` — the work list a rewrite job (e.g. ``write_zordered``) then
+    executes per bin.
+
+    Scale notes: the inventory is file METADATA (one row per file —
+    ~10⁵ rows for a 100 TB table), but the prefix sum still uses the
+    distributed range-shuffle decomposition (operators/prefix.py), so
+    even a 10⁸-file inventory never plans a single-partition window."""
+    ordered = with_global_prefix(
+        files,
+        [F.col(key_col)],
+        rn_col="_file_rn",
+        cum_cols=[size_col],
+        cum_suffix="_cum",
+    )
+    binned = ordered.withColumn(
+        "bin",
+        F.expr(
+            f"CAST(({size_col}_cum - {size_col}) DIV {int(target_bytes)} "
+            "AS BIGINT)"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_bytes"),
+        F.min(key_col).alias("first_key"),
+        F.max(key_col).alias("last_key"),
     )

@@ -14500,6 +14500,54 @@ def plan_join_strategy_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return costmodel.join_plan_stats(ga, gb, broadcast_threshold_rows=5000)
 
 
+@_q(
+    "files_compaction_plan",
+    """
+    WITH f AS (SELECT o_orderdate AS d,
+                      CAST(count(*) * 120 AS BIGINT) AS size_bytes
+               FROM orders GROUP BY 1),
+    c AS (SELECT d, size_bytes,
+                 CAST(coalesce(sum(size_bytes) OVER (
+                     ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS before
+          FROM f)
+    SELECT CAST(before // 4096 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           strftime(min(d), '%Y-%m-%d') AS first_day,
+           strftime(max(d), '%Y-%m-%d') AS last_day
+    FROM c GROUP BY 1
+    """,
+)
+def files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.py
+    ``compaction_plan``): daily micro-batch ingest leaves one file per
+    order date (~120 bytes/row); the planner walks the inventory in
+    date order and first-fits adjacent files into ~4 KiB bins —
+    ``bin = exclusive_prefix_bytes DIV target`` — so each bin merges a
+    CONTIGUOUS date range and the table's time clustering survives the
+    rewrite.  Output is the per-bin work list (file count, bytes, date
+    span) a rewrite job executes.
+
+    Scale notes: the inventory is one row per FILE, but the prefix sum
+    still runs the distributed range-shuffle decomposition
+    (operators/prefix.py) — no single-partition window even on a 10⁸-
+    file inventory; the rollup is a hash aggregation on the bin key."""
+    files = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg((F.count(F.lit(1)) * 120).cast("long").alias("size_bytes"))
+    )
+    plan = layout.compaction_plan(files, "d", "size_bytes", 4096)
+    return plan.select(
+        "bin",
+        "n_files",
+        "total_bytes",
+        F.date_format("first_key", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_key", "yyyy-MM-dd").alias("last_day"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
