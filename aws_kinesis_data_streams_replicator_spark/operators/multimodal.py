@@ -544,3 +544,149 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     from .util import spread
 
     return spread(media).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing: near-duplicate IMAGES that are not byte-duplicates
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("phash", LongType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+_PHASH_GRID = 4  # 4x4 block grid -> 16-bit average hash
+
+
+def variant_pixels(doc_id: int, cls: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) pixels = a CLASS-keyed low-frequency structure (a 4x4
+    block checkerboard whose phase is ``cls``) plus DOC-keyed
+    high-frequency noise in [-3, 3] — so documents sharing a class are
+    perceptually identical but byte-distinct.  Closed-form per byte
+    (base 200/40 by block parity; noise = (doc_id*31 + pix*11 + ch*13)
+    mod 7 - 3) so a SQL oracle reproduces every byte without a
+    decoder; the +-3 noise cannot flip an average-hash bit because the
+    block-mean margins are ~40x larger."""
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    pix, ch = idx // 3, idx % 3
+    row, col = pix // w, pix % w
+    gi = row * _PHASH_GRID // h
+    gj = col * _PHASH_GRID // w
+    base = np.where((gi + gj + cls) % 2 == 0, 200, 40)
+    noise = (doc_id * 31 + pix * 11 + ch * 13) % 7 - 3
+    return (base + noise).astype(np.uint8).reshape(h, w, 3)
+
+
+def media_with_image_variants(documents: DataFrame) -> DataFrame:
+    """Synthetic NEAR-DUPLICATE image corpus: documents in the same
+    class (doc_id mod 64) share dimensions and low-frequency content
+    but carry per-document pixel noise — the re-encoded / slightly-
+    retouched duplicates an image curation pipeline must collapse that
+    exact-hash dedup cannot.  Same real-codec ingest boundary as
+    ``media_with_images`` (BMP for even doc_ids, P6 PPM for odd, one
+    Arrow crossing per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cls = did % 64
+                w = 8 + cls % 9
+                h = 8 + (cls * 5) % 7
+                rgb = variant_pixels(did, cls, w, h)
+                if did % 2 == 0:
+                    payloads.append(encode_bmp(rgb))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(rgb))
+                    types.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": types,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [""] * len(payloads),
+                }
+            )
+
+    from .util import spread
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def extract_image_phash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    pixels: luminance (r+g+b, integer) is pooled into a 4x4 block
+    grid; bit k = gi*4+gj is set iff that block's mean luminance
+    exceeds the image mean — integer-exact via cross-multiplication
+    (``block_sum * w * h > total_sum * block_pixels``), so no float
+    division ever runs and any engine agrees bit-for-bit.  Emits the
+    16-bit hash plus a position-weighted pixel checksum
+    (sum(byte_j * (j+1))) that distinguishes byte-level variants the
+    hash deliberately collapses.
+
+    One Arrow crossing per batch; block pooling is numpy per image.
+    Downstream grouping on (width, height, phash) is a plain hash
+    aggregation — near-dup image discovery without any pairwise
+    comparison, the property that makes it run at 10^10 images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = _PHASH_GRID
+        for pdf in batches:
+            ws, hs, phs, cks = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, rgb = decode_image(bytes(payload))
+                lum = rgb.astype(np.int64).sum(axis=2)
+                gi = np.arange(h, dtype=np.int64) * g // h
+                gj = np.arange(w, dtype=np.int64) * g // w
+                cell = gi[:, None] * g + gj[None, :]
+                sums = np.zeros(g * g, dtype=np.int64)
+                np.add.at(sums, cell.ravel(), lum.ravel())
+                pix = np.bincount(cell.ravel(), minlength=g * g)
+                total = int(lum.sum())
+                bits = sums * (w * h) > total * pix
+                phash = int((bits * (1 << np.arange(g * g))).sum())
+                flat = rgb.reshape(-1).astype(np.int64)
+                cks.append(int((flat * np.arange(1, flat.size + 1)).sum()))
+                ws.append(w)
+                hs.append(h)
+                phs.append(phash)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "phash": phs,
+                    "pixel_checksum": cks,
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_dup_groups(media: DataFrame) -> DataFrame:
+    """Near-duplicate image groups by perceptual hash: one hash
+    aggregation over (width, height, phash) — ``n_docs`` images
+    collapse into a group while ``n_variants`` distinct pixel
+    checksums prove they were not byte-duplicates (the gap exact
+    dedup cannot close)."""
+    return (
+        extract_image_phash(media)
+        .groupBy("width", "height", "phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("pixel_checksum").cast("long").alias(
+                "n_variants"
+            ),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
