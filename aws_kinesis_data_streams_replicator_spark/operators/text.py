@@ -1007,3 +1007,80 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
             "avg_centibits"
         ),
     )
+
+
+def importance_weights(
+    documents: DataFrame,
+    target: Column,
+    buckets_seed: int = 97,
+) -> DataFrame:
+    """Hashed-feature importance weighting for domain-targeted data
+    selection (the DSIR recipe: score each document by how much more
+    likely its features are under a TARGET domain than under the raw
+    corpus, using hashed n-gram count models — Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    ``target`` marks the rows defining the target domain (e.g.
+    ``lang == 'en'``).  Word unigrams hash into 256 buckets (first md5
+    byte, seeded family); each token contributes the add-1-smoothed
+    likelihood ratio of its bucket in BASIS POINTS —
+    ``ratio_bp = (tgt_cnt+1)·src_tot·10000 DIV ((src_cnt+1)·tgt_tot)``
+    — and a document's weight is the per-token average.  >10000 ⇔ the
+    document's vocabulary is over-represented in the target.  (DSIR
+    sums log-ratios; the per-token bp ratio is monotone in the
+    log-ratio and its sum is the first-order integer surrogate —
+    chosen over a ⌊log2⌋ skeleton because floor-log granularity
+    collapses sub-2× distributional differences to zero.)  Every
+    quantity is a nonnegative integer, so Spark ``DIV`` and DuckDB
+    ``//`` agree exactly.
+
+    Scale notes: one tokenized scan; both count models are ≤256-row
+    rollups broadcast back onto the token stream plus a 1-row totals
+    cross; the per-doc rollup is a hash aggregation.  No windows, no
+    unbounded broadcasts — the corpus is touched once however big."""
+    toks = spread(documents).select(
+        "doc_id",
+        target.alias("_is_tgt"),
+        F.explode(word_tokens(F.col("text"))).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "_is_tgt",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{buckets_seed}|', tok)), "
+            "1, 2), 16, 10) AS BIGINT)"
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    src = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("src_cnt")
+    )
+    tgt = (
+        b.where(F.col("_is_tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tgt_cnt"))
+    )
+    totals = b.agg(
+        F.count(F.lit(1)).cast("long").alias("src_tot"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_tot"),
+    )
+    scored = (
+        b.join(F.broadcast(src), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((coalesce(tgt_cnt, 0) + 1) * src_tot * 10000 "
+                "DIV ((src_cnt + 1) * tgt_tot) AS BIGINT)"
+            ).alias("ratio_bp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("ratio_bp").cast("long").alias("sum_ratio_bp"),
+        F.expr(
+            "CAST(sum(ratio_bp) DIV count(1) AS BIGINT)"
+        ).alias("avg_ratio_bp"),
+    )

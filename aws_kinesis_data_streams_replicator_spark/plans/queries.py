@@ -14609,6 +14609,59 @@ def mm_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_groups(media)
 
 
+@_q(
+    "doc_importance_weights",
+    """
+    WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    b AS (SELECT doc_id, is_tgt,
+                 CAST((strpos('0123456789abcdef', md5('97|' || tok)[1]) - 1)
+                      * 16
+                    + (strpos('0123456789abcdef', md5('97|' || tok)[2]) - 1)
+                    AS BIGINT) AS bucket
+          FROM toks),
+    src AS (SELECT bucket, CAST(count(*) AS BIGINT) AS src_cnt
+            FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt
+            FROM b WHERE is_tgt GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS src_tot,
+                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tgt_tot
+          FROM b),
+    sc AS (SELECT b.doc_id,
+                  CAST((coalesce(tgt.tgt_cnt, 0) + 1) * s.src_tot * 10000
+                       // ((src.src_cnt + 1) * s.tgt_tot) AS BIGINT)
+                      AS ratio_bp
+           FROM b JOIN src USING (bucket)
+           LEFT JOIN tgt USING (bucket) CROSS JOIN s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(ratio_bp) AS BIGINT) AS sum_ratio_bp,
+           CAST(sum(ratio_bp) // count(*) AS BIGINT) AS avg_ratio_bp
+    FROM sc GROUP BY doc_id
+    """,
+)
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection by hashed importance weights
+    (operators/text.py importance_weights — the DSIR recipe, Xie et
+    al. 2023): score every document by the integer-exact log-ratio of
+    its hashed-unigram likelihood under the TARGET domain (here the
+    ``lang = 'en'`` slice) vs the raw corpus.  High scores = looks
+    like the target; a curation pipeline resamples by these weights
+    to shift a 100-TB crawl toward a domain with only two bounded
+    count models.
+
+    Scale notes: one tokenized scan; the two count models are ≤256-row
+    broadcast tables plus a 1-row totals cross; per-doc rollup is a
+    hash aggregation.  No windows, no collects."""
+    from ..operators.text import importance_weights
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -118,6 +118,9 @@ _BNLJ_OK = {
     "dq_unreferenced_dims",  # 1-row count x 1-row count per check
     # exact baseline leg (emb_ann_topk rationale) + IVF centroid cross
     "emb_ivf_probe_sweep",
+    # 1-row corpus/target token-totals scalar broadcast (the two count
+    # models themselves are bounded ≤256-row broadcast HASH joins)
+    "doc_importance_weights",
 }
 
 
