@@ -14548,14 +14548,18 @@ def files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "mm_image_phash_groups",
-    """
-    WITH m AS (SELECT doc_id, doc_id % 64 AS cls,
+def _phash_ctes() -> list[str]:
+    """CTE list shared by the mm_image_phash_groups oracle and the
+    curation-v6 composition: the closed-form variant-pixel corpus
+    reduced to a per-document perceptual hash at CTE ``ph``
+    (doc_id, width, height, checksum, phash) — kept in ONE builder so
+    the standalone query and the composed pipeline cannot drift."""
+    return [
+        """m AS (SELECT doc_id, doc_id % 64 AS cls,
                       CAST(8 + (doc_id % 64) % 9 AS BIGINT) AS w,
                       CAST(8 + ((doc_id % 64) * 5) % 7 AS BIGINT) AS h
-               FROM documents),
-    b AS (SELECT m.doc_id, m.w, m.h, g.j,
+               FROM documents)""",
+        """b AS (SELECT m.doc_id, m.w, m.h, g.j,
                  ((g.j // 3) // m.w) * 4 // m.h AS gi,
                  ((g.j // 3) % m.w) * 4 // m.w AS gj,
                  CASE WHEN (((g.j // 3) // m.w) * 4 // m.h
@@ -14564,28 +14568,81 @@ def files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (m.doc_id * 31 + (g.j // 3) * 11 + (g.j % 3) * 13) % 7
                  - 3 AS byte
           FROM m JOIN generate_series(0, 16*14*3 - 1) AS g(j)
-            ON g.j < m.w * m.h * 3),
-    cell AS (SELECT doc_id, w, h, gi, gj,
+            ON g.j < m.w * m.h * 3)""",
+        """cell AS (SELECT doc_id, w, h, gi, gj,
                     CAST(sum(byte) AS BIGINT) AS cell_sum,
                     CAST(count(*) // 3 AS BIGINT) AS cell_pix
-             FROM b GROUP BY doc_id, w, h, gi, gj),
-    tot AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS total_sum,
+             FROM b GROUP BY doc_id, w, h, gi, gj)""",
+        """tot AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS total_sum,
                    CAST(sum(byte * (j + 1)) AS BIGINT) AS checksum
-            FROM b GROUP BY doc_id),
-    ph AS (SELECT c.doc_id, c.w AS width, c.h AS height, t.checksum,
+            FROM b GROUP BY doc_id)""",
+        """ph AS (SELECT c.doc_id, c.w AS width, c.h AS height, t.checksum,
                   CAST(sum(CASE WHEN c.cell_sum * c.w * c.h >
                                      t.total_sum * c.cell_pix
                            THEN 1 << CAST(c.gi * 4 + c.gj AS INTEGER)
                            ELSE 0 END) AS BIGINT) AS phash
            FROM cell c JOIN tot t USING (doc_id)
-           GROUP BY c.doc_id, c.w, c.h, t.checksum)
-    SELECT width, height, phash,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT checksum) AS BIGINT) AS n_variants,
-           CAST(min(doc_id) AS BIGINT) AS min_doc_id
-    FROM ph GROUP BY width, height, phash
-    """,
-)
+           GROUP BY c.doc_id, c.w, c.h, t.checksum)""",
+    ]
+
+
+def _phash_oracle() -> str:
+    return (
+        "WITH " + ", ".join(_phash_ctes()) + " SELECT width, height, "
+        "phash, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT checksum) AS BIGINT) AS n_variants, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+        "FROM ph GROUP BY width, height, phash"
+    )
+
+
+def _importance_ctes() -> list[str]:
+    """CTE list shared by the doc_importance_weights oracle and the
+    curation-v6 composition, ending in the per-document weight rollup
+    at CTE ``iw`` (doc_id, n_tokens, sum_ratio_bp, avg_ratio_bp).
+    Names are iw_-prefixed so the family composes with any other CTE
+    chain without collision."""
+    return [
+        """iw_t AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)""",
+        """iw_b AS (SELECT doc_id, is_tgt,
+                 CAST((strpos('0123456789abcdef', md5('97|' || tok)[1]) - 1)
+                      * 16
+                    + (strpos('0123456789abcdef', md5('97|' || tok)[2]) - 1)
+                    AS BIGINT) AS bucket
+          FROM iw_t)""",
+        """iw_src AS (SELECT bucket, CAST(count(*) AS BIGINT) AS src_cnt
+            FROM iw_b GROUP BY 1)""",
+        """iw_tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt
+            FROM iw_b WHERE is_tgt GROUP BY 1)""",
+        """iw_s AS (SELECT CAST(count(*) AS BIGINT) AS src_tot,
+                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tgt_tot
+          FROM iw_b)""",
+        """iw_sc AS (SELECT iw_b.doc_id,
+                  CAST((coalesce(iw_tgt.tgt_cnt, 0) + 1) * iw_s.src_tot
+                       * 10000
+                       // ((iw_src.src_cnt + 1) * iw_s.tgt_tot) AS BIGINT)
+                      AS ratio_bp
+           FROM iw_b JOIN iw_src USING (bucket)
+           LEFT JOIN iw_tgt USING (bucket) CROSS JOIN iw_s)""",
+        """iw AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(ratio_bp) AS BIGINT) AS sum_ratio_bp,
+                 CAST(sum(ratio_bp) // count(*) AS BIGINT) AS avg_ratio_bp
+          FROM iw_sc GROUP BY doc_id)""",
+    ]
+
+
+def _importance_oracle() -> str:
+    return (
+        "WITH " + ", ".join(_importance_ctes())
+        + " SELECT doc_id, n_tokens, sum_ratio_bp, avg_ratio_bp FROM iw"
+    )
+
+
+@_q("mm_image_phash_groups", _phash_oracle())
 def mm_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (average-hash) image dedup over REAL decoded pixels
     — the multimodal leg of near-duplicate detection.  The corpus
@@ -14609,39 +14666,7 @@ def mm_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_groups(media)
 
 
-@_q(
-    "doc_importance_weights",
-    """
-    WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
-                         unnest(string_split(text, ' ')) AS tok
-                  FROM documents),
-    b AS (SELECT doc_id, is_tgt,
-                 CAST((strpos('0123456789abcdef', md5('97|' || tok)[1]) - 1)
-                      * 16
-                    + (strpos('0123456789abcdef', md5('97|' || tok)[2]) - 1)
-                    AS BIGINT) AS bucket
-          FROM toks),
-    src AS (SELECT bucket, CAST(count(*) AS BIGINT) AS src_cnt
-            FROM b GROUP BY 1),
-    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt
-            FROM b WHERE is_tgt GROUP BY 1),
-    s AS (SELECT CAST(count(*) AS BIGINT) AS src_tot,
-                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
-                     AS tgt_tot
-          FROM b),
-    sc AS (SELECT b.doc_id,
-                  CAST((coalesce(tgt.tgt_cnt, 0) + 1) * s.src_tot * 10000
-                       // ((src.src_cnt + 1) * s.tgt_tot) AS BIGINT)
-                      AS ratio_bp
-           FROM b JOIN src USING (bucket)
-           LEFT JOIN tgt USING (bucket) CROSS JOIN s)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(ratio_bp) AS BIGINT) AS sum_ratio_bp,
-           CAST(sum(ratio_bp) // count(*) AS BIGINT) AS avg_ratio_bp
-    FROM sc GROUP BY doc_id
-    """,
-)
+@_q("doc_importance_weights", _importance_oracle())
 def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-targeted data selection by hashed importance weights
     (operators/text.py importance_weights — the DSIR recipe, Xie et
@@ -14659,6 +14684,87 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return importance_weights(
         _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _curation_v6_oracle() -> str:
+    """Composition oracle: the perceptual-hash and importance-weight
+    CTE families joined into the v6 multimodal curation labeling."""
+    ctes = _phash_ctes() + _importance_ctes() + [
+        """pk AS (SELECT width, height, phash, min(doc_id) AS keep_id
+           FROM ph GROUP BY width, height, phash)""",
+        """lab6 AS (SELECT d.source,
+                  CASE WHEN p.doc_id <> pk.keep_id THEN 'dup_image'
+                       WHEN coalesce(iw.avg_ratio_bp, 0) < 10000
+                           THEN 'off_domain'
+                       ELSE 'kept' END AS status,
+                  coalesce(iw.n_tokens, 0) AS toks
+           FROM documents d
+           JOIN ph p ON d.doc_id = p.doc_id
+           JOIN pk ON p.width = pk.width AND p.height = pk.height
+                  AND p.phash = pk.phash
+           LEFT JOIN iw ON d.doc_id = iw.doc_id)""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT source, status, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(toks) AS BIGINT) AS sum_tokens "
+        "FROM lab6 GROUP BY source, status"
+    )
+
+
+@_q("pipeline_corpus_curation_v6", _curation_v6_oracle())
+def pipeline_corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v6 — the late-round-8 operator set composed into ONE
+    multimodal labeling plan: perceptual-hash image dedup (byte-
+    distinct re-encodes collapse to their group keeper, min-doc-id
+    convention) → DSIR importance gate (documents whose hashed-unigram
+    weight falls below the 10000 bp corpus-even line are off-domain)
+    → per-source token pricing of each status bucket.  dup_image beats
+    off_domain (a doc failing both bills to the earlier stage — the
+    v5 dashboard convention), and the rollup is what a mixture-weight
+    planner consumes for a multimodal corpus.
+
+    Scale notes (100 TB): the image leg is one Arrow crossing + a
+    keeper hash-agg joined back on the (w, h, phash) group key; the
+    text leg is the two bounded 256-row count models; the label join
+    is doc_id-co-partitioned.  No windows, no pairwise stages — the
+    composition inherits each family's audited plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_with_image_variants(docs)
+    # lazy checkpoint: the hash feeds both the keeper rollup and the
+    # label join — without it the Arrow decode stage runs twice
+    ph = multimodal.extract_image_phash(media).localCheckpoint(eager=False)
+    keeper = ph.groupBy("width", "height", "phash").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    img = ph.join(keeper, ["width", "height", "phash"]).select(
+        "doc_id", "keep_id"
+    )
+    iw = text.importance_weights(docs, F.col("lang") == "en")
+    lab = (
+        docs.select("doc_id", "source")
+        .join(img, "doc_id")
+        .join(
+            iw.select("doc_id", "n_tokens", "avg_ratio_bp"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("doc_id") != F.col("keep_id"), "dup_image")
+            .when(
+                F.coalesce(F.col("avg_ratio_bp"), F.lit(0)) < 10000,
+                "off_domain",
+            )
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("toks"),
+        )
+    )
+    return lab.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sum_tokens"),
     )
 
 

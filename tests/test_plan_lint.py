@@ -121,6 +121,8 @@ _BNLJ_OK = {
     # 1-row corpus/target token-totals scalar broadcast (the two count
     # models themselves are bounded ≤256-row broadcast HASH joins)
     "doc_importance_weights",
+    # embeds the importance-weight leg (same 1-row totals cross)
+    "pipeline_corpus_curation_v6",
 }
 
 
