@@ -1009,6 +1009,34 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
     )
 
 
+# Shared smoothed-ratio arithmetic of the importance family: the
+# Jelinek-Mercer λ=1/2 uniform-prior form, cross-multiplied to one
+# integer division —
+#   P̂_d(b) = (cnt_d(b) + tot_d/256) / (2·tot_d)
+#   ratio  = P̂_tgt/P̂_src
+#          = (tgt_cnt·256 + tgt_tot)·src_tot / ((src_cnt·256 + src_tot)·tgt_tot)
+# Chosen over add-1 smoothing because an UNSEEN bucket scores exactly
+# 10000 bp (neutral) instead of src_tot/tgt_tot (which biases unknown
+# vocabulary toward whichever side has fewer tokens).  int64 headroom:
+# exact below ~10^7 model tokens; beyond that build per-shard models
+# (counts are cell-wise addable) or promote the product to
+# DECIMAL(38,0) — the FORMULA is the contract, not the width.
+_IW_RATIO_SQL = (
+    "CAST((coalesce(tgt_cnt, 0) * 256 + tgt_tot) * src_tot * 10000 "
+    "DIV ((coalesce(src_cnt, 0) * 256 + src_tot) * tgt_tot) AS BIGINT)"
+)
+
+_IW_N_BUCKETS = 256
+
+
+def _iw_bucket_expr(buckets_seed: int) -> Column:
+    """Token → bucket: first md5 byte of the seeded hash (0..255)."""
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('{buckets_seed}|', tok)), "
+        "1, 2), 16, 10) AS BIGINT)"
+    )
+
+
 def importance_weights(
     documents: DataFrame,
     target: Column,
@@ -1022,17 +1050,23 @@ def importance_weights(
 
     ``target`` marks the rows defining the target domain (e.g.
     ``lang == 'en'``).  Word unigrams hash into 256 buckets (first md5
-    byte, seeded family); each token contributes the add-1-smoothed
-    likelihood ratio of its bucket in BASIS POINTS —
-    ``ratio_bp = (tgt_cnt+1)·src_tot·10000 DIV ((src_cnt+1)·tgt_tot)``
-    — and a document's weight is the per-token average.  >10000 ⇔ the
-    document's vocabulary is over-represented in the target.  (DSIR
-    sums log-ratios; the per-token bp ratio is monotone in the
-    log-ratio and its sum is the first-order integer surrogate —
-    chosen over a ⌊log2⌋ skeleton because floor-log granularity
+    byte, seeded family); each token contributes its bucket's smoothed
+    likelihood ratio in BASIS POINTS (``_IW_RATIO_SQL`` — uniform-
+    prior smoothing, so a bucket unseen in training scores exactly
+    10000/neutral), and a document's weight is the per-token average.
+    >10000 ⇔ the document's vocabulary is over-represented in the
+    target.  (DSIR sums log-ratios; the per-token bp ratio is monotone
+    in the log-ratio and its sum is the first-order integer surrogate
+    — chosen over a ⌊log2⌋ skeleton because floor-log granularity
     collapses sub-2× distributional differences to zero.)  Every
     quantity is a nonnegative integer, so Spark ``DIV`` and DuckDB
     ``//`` agree exactly.
+
+    This is the FUSED train-and-score form (one tokenized scan, counts
+    and scoring off the same checkpoint); the deployment split —
+    train once, gate a stream forever — is ``importance_count_model``
+    + ``score_against_importance_model`` below, which this function
+    must stay value-identical to (pinned in tests).
 
     Scale notes: one tokenized scan; both count models are ≤256-row
     rollups broadcast back onto the token stream plus a 1-row totals
@@ -1044,12 +1078,7 @@ def importance_weights(
         F.explode(word_tokens(F.col("text"))).alias("tok"),
     )
     b = toks.select(
-        "doc_id",
-        "_is_tgt",
-        F.expr(
-            f"CAST(conv(substring(md5(concat('{buckets_seed}|', tok)), "
-            "1, 2), 16, 10) AS BIGINT)"
-        ).alias("bucket"),
+        "doc_id", "_is_tgt", _iw_bucket_expr(buckets_seed).alias("bucket")
     ).localCheckpoint(eager=False)
     src = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("src_cnt")
@@ -1069,13 +1098,88 @@ def importance_weights(
         b.join(F.broadcast(src), "bucket")
         .join(F.broadcast(tgt), "bucket", "left")
         .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.expr(_IW_RATIO_SQL).alias("ratio_bp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("ratio_bp").cast("long").alias("sum_ratio_bp"),
+        F.expr(
+            "CAST(sum(ratio_bp) DIV count(1) AS BIGINT)"
+        ).alias("avg_ratio_bp"),
+    )
+
+
+def importance_count_model(
+    documents: DataFrame,
+    target: Column,
+    buckets_seed: int = 97,
+) -> DataFrame:
+    """Train-once half of the importance family: the DENSE 256-bucket
+    hashed count model (bucket, src_cnt, tgt_cnt, src_tot, tgt_tot) —
+    dense so a scorer joining against it always hits (unseen buckets
+    carry zero counts and score neutral), totals on every row so the
+    model is one self-contained broadcastable frame.  Persist it next
+    to the corpus snapshot like any other catalog artifact; counts are
+    cell-wise addable, so a new shard's model folds in by summing
+    counts and totals."""
+    toks = spread(documents).select(
+        target.alias("_is_tgt"),
+        F.explode(word_tokens(F.col("text"))).alias("tok"),
+    )
+    b = toks.select(
+        "_is_tgt", _iw_bucket_expr(buckets_seed).alias("bucket")
+    ).localCheckpoint(eager=False)
+    src = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("src_cnt")
+    )
+    tgt = (
+        b.where(F.col("_is_tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tgt_cnt"))
+    )
+    totals = b.agg(
+        F.count(F.lit(1)).cast("long").alias("src_tot"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_tot"),
+    )
+    grid = documents.sparkSession.range(_IW_N_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    return (
+        grid.join(F.broadcast(src), "bucket", "left")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
-            "doc_id",
-            F.expr(
-                "CAST((coalesce(tgt_cnt, 0) + 1) * src_tot * 10000 "
-                "DIV ((src_cnt + 1) * tgt_tot) AS BIGINT)"
-            ).alias("ratio_bp"),
+            "bucket",
+            F.coalesce(F.col("src_cnt"), F.lit(0)).cast("long").alias("src_cnt"),
+            F.coalesce(F.col("tgt_cnt"), F.lit(0)).cast("long").alias("tgt_cnt"),
+            "src_tot",
+            "tgt_tot",
         )
+    )
+
+
+def score_against_importance_model(
+    documents: DataFrame,
+    model: DataFrame,
+    buckets_seed: int = 97,
+) -> DataFrame:
+    """Score documents against a PRE-TRAINED importance model (the
+    inference half: tokenize → bucket → one broadcast join against the
+    dense 256-row model → per-doc rollup).  ``buckets_seed`` must be
+    the seed the model was trained with — the hash family is part of
+    the model contract.  Value-identical to ``importance_weights``
+    when the model was trained on the same corpus (pinned in tests);
+    tokens hashing to buckets the training corpus never produced score
+    exactly 10000 (the smoothing's neutral point), so novel vocabulary
+    neither sinks nor rescues a document."""
+    toks = spread(documents).select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    b = toks.select("doc_id", _iw_bucket_expr(buckets_seed).alias("bucket"))
+    scored = b.join(F.broadcast(model), "bucket").select(
+        "doc_id", F.expr(_IW_RATIO_SQL).alias("ratio_bp")
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),

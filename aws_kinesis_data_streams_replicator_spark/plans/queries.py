@@ -14621,9 +14621,10 @@ def _importance_ctes() -> list[str]:
                      AS tgt_tot
           FROM iw_b)""",
         """iw_sc AS (SELECT iw_b.doc_id,
-                  CAST((coalesce(iw_tgt.tgt_cnt, 0) + 1) * iw_s.src_tot
-                       * 10000
-                       // ((iw_src.src_cnt + 1) * iw_s.tgt_tot) AS BIGINT)
+                  CAST((coalesce(iw_tgt.tgt_cnt, 0) * 256 + iw_s.tgt_tot)
+                       * iw_s.src_tot * 10000
+                       // ((coalesce(iw_src.src_cnt, 0) * 256
+                            + iw_s.src_tot) * iw_s.tgt_tot) AS BIGINT)
                       AS ratio_bp
            FROM iw_b JOIN iw_src USING (bucket)
            LEFT JOIN iw_tgt USING (bucket) CROSS JOIN iw_s)""",

@@ -770,3 +770,43 @@ def streaming_linkage_gate(
         .alias("matched_entity"),
         (F.col("m.score") >= match_threshold).alias("matched"),
     )
+
+
+def streaming_importance_gate(
+    docs_batch: DataFrame,
+    model: DataFrame,
+    keep_threshold_bp: int = 10000,
+    buckets_seed: int = 97,
+) -> DataFrame:
+    """Streaming domain-importance gate: score incoming documents
+    against a TRAINED hashed count model (operators/text.py
+    ``importance_count_model``) and emit a keep/drop decision — the
+    deployment split of the DSIR importance family (train once on a
+    corpus snapshot, gate the crawl stream forever).
+
+    Run inside ``foreachBatch`` like the linkage gate: the per-doc
+    rollup is keyed on the stream's doc_id, bounded by the micro-batch,
+    and the model is a dense 256-row broadcast — no stateful operator,
+    no row fan-out; the only streaming state is source offsets, so the
+    gate restarts from the WAL with zero rebuild.  Tokens hashing to
+    buckets the training corpus never saw score exactly 10000
+    (neutral), so novel vocabulary neither sinks nor rescues a
+    document — the property that keeps the gate stable as the stream
+    drifts away from the training snapshot.
+
+    OUTPUT is id + decision only (doc_id, n_tokens, avg_ratio_bp,
+    keep); callers needing the payload downstream re-join on doc_id
+    (the linkage-gate contract)."""
+    from ..operators.text import score_against_importance_model
+
+    scored = score_against_importance_model(
+        docs_batch, model, buckets_seed=buckets_seed
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_ratio_bp",
+        (F.col("avg_ratio_bp") >= F.lit(int(keep_threshold_bp))).alias(
+            "keep"
+        ),
+    )
