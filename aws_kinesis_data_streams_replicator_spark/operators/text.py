@@ -1188,3 +1188,30 @@ def score_against_importance_model(
             "CAST(sum(ratio_bp) DIV count(1) AS BIGINT)"
         ).alias("avg_ratio_bp"),
     )
+
+
+def merge_importance_models(model_a: DataFrame, model_b: DataFrame) -> DataFrame:
+    """Fold two importance count models (disjoint corpus shards) into
+    the model of their union — the incremental-maintenance half of the
+    importance family: when a new shard lands, train a model on the
+    NEW documents only and fold it into the catalog model, never
+    re-scanning history.  Exact because every quantity is a plain
+    count: per-bucket counts add cell-wise, totals add once (each
+    dense 256-row model carries its totals on every row, so the merge
+    joins the grids on bucket and adds column-wise).
+
+    ``merge(model(A), model(B)) == model(A ∪ B)`` for disjoint A, B —
+    pinned under the value oracle by cdc_importance_model_maintenance."""
+    b = (
+        model_b.withColumnRenamed("src_cnt", "_src_cnt_b")
+        .withColumnRenamed("tgt_cnt", "_tgt_cnt_b")
+        .withColumnRenamed("src_tot", "_src_tot_b")
+        .withColumnRenamed("tgt_tot", "_tgt_tot_b")
+    )
+    return model_a.join(b, "bucket").select(
+        "bucket",
+        (F.col("src_cnt") + F.col("_src_cnt_b")).cast("long").alias("src_cnt"),
+        (F.col("tgt_cnt") + F.col("_tgt_cnt_b")).cast("long").alias("tgt_cnt"),
+        (F.col("src_tot") + F.col("_src_tot_b")).cast("long").alias("src_tot"),
+        (F.col("tgt_tot") + F.col("_tgt_tot_b")).cast("long").alias("tgt_tot"),
+    )

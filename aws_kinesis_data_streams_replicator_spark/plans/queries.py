@@ -14769,6 +14769,58 @@ def pipeline_corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _importance_model_oracle() -> str:
+    """DuckDB mirror of the DENSE full-corpus importance count model —
+    what the shard-merge must reproduce exactly."""
+    ctes = _importance_ctes()[:2] + [
+        """iw_cnt AS (SELECT bucket,
+                 CAST(count(*) AS BIGINT) AS src_cnt,
+                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tgt_cnt
+          FROM iw_b GROUP BY 1)""",
+        """iw_s AS (SELECT CAST(count(*) AS BIGINT) AS src_tot,
+                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tgt_tot
+          FROM iw_b)""",
+        """iw_grid AS (SELECT CAST(i AS BIGINT) AS bucket
+           FROM range(0, 256) t(i))""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT g.bucket, "
+        "coalesce(iw_cnt.src_cnt, 0) AS src_cnt, "
+        "coalesce(iw_cnt.tgt_cnt, 0) AS tgt_cnt, "
+        "iw_s.src_tot, iw_s.tgt_tot "
+        "FROM iw_grid g LEFT JOIN iw_cnt USING (bucket) CROSS JOIN iw_s"
+    )
+
+
+@_q("cdc_importance_model_maintenance", _importance_model_oracle())
+def cdc_importance_model_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the importance count model: train on
+    the BASE shard (doc_id mod 10 < 7) and the DELTA shard separately,
+    fold with ``text.merge_importance_models`` — and the oracle checks
+    the fold against the model of the FULL corpus, pinning the
+    cell-wise-addability claim under the value oracle (the property
+    that lets a 100-TB catalog model absorb a new shard by scanning
+    only the new documents).
+
+    Scale notes: two bounded model builds (each one tokenized scan of
+    its shard), one 256-row join — the historical corpus is never
+    re-read."""
+    from ..operators.text import (
+        importance_count_model,
+        merge_importance_models,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "en"
+    base = importance_count_model(docs.where(F.col("doc_id") % 10 < 7), tgt)
+    delta = importance_count_model(docs.where(F.col("doc_id") % 10 >= 7), tgt)
+    return merge_importance_models(base, delta)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -123,6 +123,8 @@ _BNLJ_OK = {
     "doc_importance_weights",
     # embeds the importance-weight leg (same 1-row totals cross)
     "pipeline_corpus_curation_v6",
+    # two 1-row shard-totals crosses (one per shard model)
+    "cdc_importance_model_maintenance",
 }
 
 
