@@ -85,3 +85,14 @@ def quantize_int8(q: Column, maxabs: Column) -> Column:
         lambda x: (F.when(x < F.lit(0), F.lit(-1)).otherwise(F.lit(1)))
         * F.floor((F.abs(x) * F.lit(127)) / maxabs).cast("long"),
     )
+
+
+def sqdist_q(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two quantized vectors.
+    Headroom: 64 dims × (2e6)² ≈ 2.6e14 ≪ 2^63.  Same aggregate/
+    zip_with shape as ``dot_q`` (see its JIT rationale)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -671,3 +671,66 @@ def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return parts.groupBy("i", "j").agg(
         F.sum("partial").cast("long").alias("sum_prod")
     )
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy farthest-first (Gonzalez) k-center coreset selection —
+    the diverse-subset primitive of training-data curation: pick k
+    vectors such that every corpus vector is within the returned
+    ``radius_q`` of some pick (a 2-approximation of the optimal
+    k-center radius, the classical guarantee).
+
+    Deterministic and integer-exact: quantized vectors, exact int64
+    squared L2 (functions/vectors.py ``sqdist_q``), seed = smallest
+    vec_id, each round's pick = argmax of the running min-distance
+    with ties to the smallest vec_id.  Emits one row per pick
+    (round, vec_id, sel_dist_q = its min-distance when picked) plus
+    the final coverage radius on every row.
+
+    Scale notes: k bounded rounds, each ONE corpus pass — the next
+    center is a TakeOrdered(1) broadcast back as a 1-row cross (never
+    a driver collect), and the running min-distance folds with
+    ``least``.  Total cost k scans of N rows; no windows, no pairwise
+    N² stage."""
+    from ..functions.vectors import quantize_embedding, sqdist_q
+
+    e = embeddings.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
+    ).localCheckpoint(eager=False)
+    seed = e.orderBy("vec_id").limit(1)
+    cur = e.crossJoin(
+        F.broadcast(seed.select(F.col("qe").alias("c_qe")))
+    ).select("vec_id", "qe", sqdist_q(F.col("qe"), F.col("c_qe")).alias("mind"))
+    picks = seed.select(
+        F.lit(1).alias("round"),
+        "vec_id",
+        F.lit(0).cast("long").alias("sel_dist_q"),
+    )
+    for j in range(2, k + 1):
+        nxt = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        picks = picks.unionByName(
+            nxt.select(
+                F.lit(j).alias("round"),
+                "vec_id",
+                F.col("mind").cast("long").alias("sel_dist_q"),
+            )
+        )
+        # lazy checkpoint per round: round j's min-distance frame is
+        # consumed by BOTH round j+1's argmax and its fold — without
+        # the pin the lineage re-executes every earlier round per
+        # round (O(k²) corpus passes instead of O(k))
+        cur = (
+            cur.crossJoin(
+                F.broadcast(nxt.select(F.col("qe").alias("c_qe")))
+            )
+            .select(
+                "vec_id",
+                "qe",
+                F.least(
+                    F.col("mind"), sqdist_q(F.col("qe"), F.col("c_qe"))
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    radius = cur.agg(F.max("mind").cast("long").alias("radius_q"))
+    return picks.crossJoin(F.broadcast(radius))

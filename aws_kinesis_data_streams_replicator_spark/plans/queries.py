@@ -14821,6 +14821,77 @@ def cdc_importance_model_maintenance(
     return merge_importance_models(base, delta)
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """DuckDB mirror of similarity.kcenter_coreset: the greedy
+    farthest-first chain unrolled to k rounds (bounded k, like the BPE
+    merge chain)."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    ctes = [
+        f"e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings)",
+        "c1 AS (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT e.vec_id, e.qe, {l2('e.qe', 'c1.qe')} AS mind "
+        "FROM e, c1)",
+    ]
+    sels = [
+        "SELECT CAST(1 AS INTEGER) AS pick_round, vec_id, "
+        "CAST(0 AS BIGINT) AS sel_dist_q FROM c1"
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f"c{j} AS (SELECT vec_id, qe, mind FROM m{j - 1} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"m{j} AS (SELECT m.vec_id, m.qe, "
+            f"least(m.mind, {l2('m.qe', f'c{j}.qe')}) AS mind "
+            f"FROM m{j - 1} m, c{j})"
+        )
+        sels.append(
+            f"SELECT CAST({j} AS INTEGER), vec_id, CAST(mind AS BIGINT) "
+            f"FROM c{j}"
+        )
+    ctes.append(
+        f"rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius_q FROM m{k})"
+    )
+    ctes.append("sel AS (" + " UNION ALL ".join(sels) + ")")
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT pick_round, vec_id, sel_dist_q, radius_q "
+        "FROM sel CROSS JOIN rad"
+    )
+
+
+@_q("emb_kcenter_coreset", _kcenter_oracle())
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse-subset (coreset) selection by greedy farthest-first
+    k-center (similarity.kcenter_coreset): 8 picks over the embedding
+    corpus, each round's pick the vector farthest from every previous
+    pick (exact int64 squared L2 on quantized vectors, deterministic
+    tie-break), plus the final coverage radius — the Gonzalez
+    2-approximation every active-learning / prototype-selection
+    pipeline starts from.
+
+    Scale notes: k bounded corpus passes; the per-round argmax is a
+    TakeOrdered(1) broadcast back as a 1-row cross (no driver
+    collect), and the running min-distance folds with ``least`` — no
+    windows, no pairwise stage."""
+    coreset = similarity.kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), k=8
+    )
+    return coreset.select(
+        F.col("round").cast("int").alias("pick_round"),
+        "vec_id",
+        "sel_dist_q",
+        "radius_q",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -125,6 +125,9 @@ _BNLJ_OK = {
     "pipeline_corpus_curation_v6",
     # two 1-row shard-totals crosses (one per shard model)
     "cdc_importance_model_maintenance",
+    # per-round 1-row next-center broadcasts + the 1-row radius cross
+    # (greedy farthest-first: k bounded TakeOrdered(1) picks)
+    "emb_kcenter_coreset",
 }
 
 
