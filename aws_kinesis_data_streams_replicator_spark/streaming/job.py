@@ -810,3 +810,43 @@ def streaming_importance_gate(
             "keep"
         ),
     )
+
+
+def streaming_phash_gate(
+    media_batch: DataFrame, phash_index: DataFrame
+) -> DataFrame:
+    """Streaming perceptual-image dedup gate: decode each incoming
+    image, compute its average hash (operators/multimodal.py
+    ``extract_image_phash``), and drop rows whose (width, height,
+    phash) already exists in the static corpus index — the image twin
+    of the minhash/semantic near-dup gates, catching re-encoded and
+    lightly-retouched duplicates that byte-level dedup misses.
+
+    ``phash_index`` is the corpus snapshot's (width, height, phash)
+    set — e.g. ``phash_dup_groups`` output or its distinct projection
+    — re-resolved per micro-batch like the other gates' indexes.  The
+    join is a stream-static LEFT join against the DISTINCT index (at
+    most one match, no fan-out); survivors keep their full media row.
+    No stateful operator — offsets-only WAL restart.
+
+    Scale notes: one Arrow decode crossing per micro-batch; one
+    equi-join on the 3-column hash key (broadcast when the index
+    fits).  A mega-cluster of near-identical corpus images is ONE
+    index row, never a fan-out."""
+    from ..operators.multimodal import extract_image_phash
+
+    cols = media_batch.columns
+    hashed = extract_image_phash(media_batch).select(
+        "doc_id", "width", "height", "phash"
+    )
+    idx = (
+        phash_index.select("width", "height", "phash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    gated = (
+        media_batch.join(hashed, "doc_id")
+        .join(idx, ["width", "height", "phash"], "left")
+        .where(F.col("_hit").isNull())
+    )
+    return gated.select(*cols)
