@@ -14892,6 +14892,181 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_autocorrelation_lags",
+    """
+    WITH hr AS (
+        SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    lags(lag_hours) AS (VALUES (1), (24), (168)),
+    pr AS (
+        SELECT l.lag_hours, a.x AS x, b.x AS y
+        FROM hr a JOIN lags l ON true
+        JOIN hr b ON b.h = a.h + l.lag_hours
+    ),
+    st AS (
+        SELECT lag_hours,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pr GROUP BY lag_hours
+    )
+    SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+           n AS n_pairs,
+           CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                     WHEN n * sxy - sx * sy < 0 THEN -1
+                     ELSE 0 END AS INTEGER) AS sign_r,
+           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+                * CAST(n * sxy - sx * sy AS HUGEINT) * 10000
+                // (CAST(n * sxx - sx * sx AS HUGEINT)
+                    * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
+               AS r2_bp
+    FROM st
+    """,
+)
+def evt_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity detection: Pearson autocorrelation of the hourly
+    event-count series at the hour/day/week lags (1, 24, 168) — the
+    seasonality probe a forecasting pipeline runs before choosing its
+    model.  Pairs are co-observed hours (both endpoints present), the
+    Pearson ratio is kept integer-exact by clearing denominators (the
+    evt_anomaly_sigma pattern: DECIMAL(38,0) vs HUGEINT for the ~10^24
+    squares) and emitting sign(r) + r² in basis points — no float, no
+    sqrt.
+
+    Scale notes: one hour-bucket rollup (map-side combined), one
+    3-row lag cross, one self equi-join on the shifted hour index
+    (co-partitioned on h), one ≤3-group rollup.  The series length is
+    calendar-bounded — at 100 TB the hourly rollup is still thousands
+    of rows."""
+    ev = _t(spark, sf_dir, "events")
+    hr = (
+        ev.groupBy(
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) DIV 3600 "
+                "AS BIGINT)"
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = hr.select(
+        "h", "x", F.explode(F.array(F.lit(1), F.lit(24), F.lit(168))).alias("lag_hours")
+    )
+    b = hr.select(F.col("h").alias("hb"), F.col("x").alias("y"))
+    pr = a.join(b, a.h + a.lag_hours == b.hb)
+    st = pr.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dec = "DECIMAL(38,0)"
+    return st.select(
+        F.col("lag_hours").cast("long").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1 "
+            "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("sign_r"),
+        F.expr(
+            f"CAST(CAST(n * sxy - sx * sy AS {dec}) "
+            f"* CAST(n * sxy - sx * sy AS {dec}) * 10000 "
+            f"DIV (CAST(n * sxx - sx * sx AS {dec}) "
+            f"* CAST(n * syy - sy * sy AS {dec})) AS BIGINT)"
+        ).alias("r2_bp"),
+    )
+
+
+# Benford first-digit expectation, ppm of log10(1 + 1/d) — identical
+# constants on both engines (the FORMULA is floating, the CONTRACT is
+# these fixed integers).
+_BENFORD_PPM = [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)]
+
+
+@_q(
+    "dq_benford_first_digit",
+    """
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit FROM c),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    bf(digit, exp_ppm) AS (VALUES (1, 301030) , (2, 176091) , (3, 124939) , (4, 96910) , (5, 79181) , (6, 66947) , (7, 57992) , (8, 51153) , (9, 45757) )
+    SELECT CAST(bf.digit AS BIGINT) AS digit,
+           CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(coalesce(obs.n_obs, 0) * 1000000 // tot.n AS BIGINT)
+               AS obs_ppm,
+           CAST(bf.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(CAST(coalesce(obs.n_obs, 0) * 1000000
+                     - tot.n * bf.exp_ppm AS HUGEINT)
+                * CAST(coalesce(obs.n_obs, 0) * 1000000
+                       - tot.n * bf.exp_ppm AS HUGEINT) * 1000
+                // (CAST(1000000 AS HUGEINT) * tot.n * bf.exp_ppm)
+                AS BIGINT) AS chi_term_x1000
+    FROM bf LEFT JOIN obs USING (digit) CROSS JOIN tot
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    fabricated-data / unit-mix smell test a data-quality suite runs on
+    any money column.  Observed first-digit shares vs the Benford
+    expectation (fixed ppm constants — the integer CONTRACT both
+    engines share) with a per-digit chi-square term, integer-exact via
+    cleared denominators (DECIMAL(38,0) vs HUGEINT for the ~10^22
+    squared deviations; every division has a nonnegative numerator).
+
+    Scale notes: one digit rollup (map-side combined, ≤9 groups), a
+    9-row expectation table, a 1-row total cross.  The synthetic
+    uniform-ish price fixture deliberately FAILS Benford — large
+    chi terms are the expected, honest output here."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bf = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({dd}, {pp})" for dd, pp in _BENFORD_PPM)
+        + " AS t(digit, exp_ppm)"
+    )
+    dec = "DECIMAL(38,0)"
+    return (
+        bf.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "CAST(coalesce(n_obs, 0) * 1000000 DIV n AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            F.expr(
+                f"CAST(CAST(coalesce(n_obs, 0) * 1000000 - n * exp_ppm "
+                f"AS {dec}) * CAST(coalesce(n_obs, 0) * 1000000 "
+                f"- n * exp_ppm AS {dec}) * 1000 "
+                f"DIV (CAST(1000000 AS {dec}) * n * exp_ppm) AS BIGINT)"
+            ).alias("chi_term_x1000"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

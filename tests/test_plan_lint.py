@@ -128,6 +128,8 @@ _BNLJ_OK = {
     # per-round 1-row next-center broadcasts + the 1-row radius cross
     # (greedy farthest-first: k bounded TakeOrdered(1) picks)
     "emb_kcenter_coreset",
+    # 1-row digit-total scalar broadcast over the 9-row Benford table
+    "dq_benford_first_digit",
 }
 
 
