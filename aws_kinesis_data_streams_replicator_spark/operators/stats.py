@@ -86,3 +86,81 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
         .where(F.col("n_groups") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Directional association rules A→B from the co-occurrence
+    support pass: confidence = P(B|A) in basis points and lift =
+    P(A∧B)/(P(A)·P(B)) ×1000, both integer-exact with cleared
+    denominators — the full market-basket mining output
+    (support/confidence/lift) that ``cooccurrence_pairs`` is the
+    first stage of.
+
+    Each unordered co-occurring pair emits BOTH directions (the two
+    rules have different confidences); item marginals come from one
+    bounded rollup joined back, the basket total is a 1-row broadcast.
+
+    Scale notes: inherits the pair-generation bound from
+    ``cooccurrence_pairs`` (Σ basket_size², support-filtered
+    map-side); the marginal join keys on the antecedent item — a
+    shuffle equi-join, broadcastable when the item dimension fits.
+    No windows, no driver materialization."""
+    base = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    marg = base.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    tot = base.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    pairs = cooccurrence_pairs(df, group_col, item_col, min_support)
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_groups").alias("n_both"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_groups").alias("n_both"),
+        )
+    )
+    return (
+        rules.join(
+            marg.select(
+                F.col("item").alias("antecedent"),
+                F.col("n_item").alias("n_antecedent"),
+            ),
+            "antecedent",
+        )
+        .join(
+            marg.select(
+                F.col("item").alias("consequent"),
+                F.col("n_item").alias("n_consequent"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            F.expr("CAST(n_both * 10000 DIV n_antecedent AS BIGINT)").alias(
+                "confidence_bp"
+            ),
+            F.expr(
+                "CAST(n_both * n_baskets * 1000 "
+                "DIV (n_antecedent * n_consequent) AS BIGINT)"
+            ).alias("lift_x1000"),
+        )
+    )

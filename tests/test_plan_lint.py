@@ -130,6 +130,9 @@ _BNLJ_OK = {
     "emb_kcenter_coreset",
     # 1-row digit-total scalar broadcast over the 9-row Benford table
     "dq_benford_first_digit",
+    "part_association_rules",  # 1-row basket-total scalar broadcast
+    # 1-row series-stats + 1-row changepoint scalar broadcasts
+    "evt_changepoint_cusum",
 }
 
 
@@ -155,6 +158,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "text_stopword_discovery": "rank over words with df ≥ 60% of docs "
     "(≤ avg distinct words/doc ÷ 0.6 by the df-sum bound)",
     "tpch_revenue_mom_growth": "lag over the per-month rollup",
+    "evt_changepoint_cusum": "cumulative deviation over the per-hour "
+    "rollup (calendar-bounded)",
     "tpch_running_backlog": "running sum over the per-day rollup",
 }
 
