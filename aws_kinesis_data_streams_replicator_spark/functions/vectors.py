@@ -96,3 +96,14 @@ def sqdist_q(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def dequantize_int8(q8: Column, maxabs: Column) -> Column:
+    """Inverse of ``quantize_int8``: code → µ-scaled component,
+    sign-split so Spark DIV and DuckDB // floor identically
+    (``sign(c) · (|c| · maxabs DIV 127)``)."""
+    return F.transform(
+        q8,
+        lambda c: F.when(c < 0, -((-c) * maxabs.cast("long") / F.lit(127)).cast("long"))
+        .otherwise(((c * maxabs.cast("long")) / F.lit(127)).cast("long")),
+    )

@@ -15216,6 +15216,115 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_quantization_error_audit",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, label, qv,
+               greatest(list_max(list_transform(qv, x -> abs(x))),
+                        CAST(1 AS BIGINT)) AS maxabs
+        FROM q
+    ),
+    c AS (
+        SELECT vec_id, label, qv, maxabs,
+               list_transform(qv,
+                   x -> (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                        * ((abs(x) * 127) // maxabs)) AS q8
+        FROM m
+    ),
+    r AS (
+        SELECT vec_id, label, qv, maxabs,
+               list_transform(q8,
+                   cc -> CASE WHEN cc < 0
+                              THEN -((-cc) * maxabs // 127)
+                              ELSE (cc * maxabs) // 127 END) AS recon
+        FROM c
+    ),
+    e AS (
+        SELECT vec_id, label, maxabs,
+               list_transform(range(1, len(qv) + 1),
+                              i -> abs(qv[i] - recon[i])) AS err,
+               len(qv) AS dim
+        FROM r
+    )
+    SELECT vec_id, label,
+           CAST(maxabs AS BIGINT) AS maxabs_q,
+           CAST(list_max(err) AS BIGINT) AS max_abs_err_q,
+           CAST(list_sum(err) * 1000 // dim AS BIGINT)
+               AS mean_abs_err_x1000,
+           CAST(list_max(err) * 10000 // maxabs AS BIGINT) AS max_err_bp
+    FROM e
+    """,
+)
+def emb_quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization ERROR audit — the calibration check run
+    before an ANN index is served from int8 codes: round-trip every
+    vector through quantize→dequantize (functions/vectors.py
+    quantize_int8 / dequantize_int8, both sign-split so two engines
+    floor identically) and report the per-vector max / mean absolute
+    reconstruction error in µ-units plus the max error relative to
+    the vector's own scale in basis points (bounded by construction:
+    one int8 step is maxabs/127 ≈ 79 bp).
+
+    Scale notes: pure per-row array arithmetic inside codegen — no
+    shuffle, no joins; the audit costs one narrow map over however
+    many vectors exist."""
+    from ..functions.vectors import (
+        dequantize_int8,
+        quantize_embedding,
+        quantize_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+    )
+    m = q.select(
+        "vec_id",
+        "label",
+        "qv",
+        F.greatest(
+            F.array_max(F.transform("qv", F.abs)), F.lit(1).cast("long")
+        ).alias("maxabs"),
+    )
+    r = m.select(
+        "vec_id",
+        "label",
+        "qv",
+        "maxabs",
+        dequantize_int8(
+            quantize_int8(F.col("qv"), F.col("maxabs")), F.col("maxabs")
+        ).alias("recon"),
+    )
+    err = r.select(
+        "vec_id",
+        "label",
+        "maxabs",
+        F.zip_with("qv", "recon", lambda a, b: F.abs(a - b)).alias("err"),
+        F.size("qv").alias("dim"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        F.col("maxabs").cast("long").alias("maxabs_q"),
+        F.array_max("err").cast("long").alias("max_abs_err_q"),
+        F.expr(
+            "CAST(aggregate(err, 0L, (acc, x) -> acc + x) * 1000 "
+            "DIV dim AS BIGINT)"
+        ).alias("mean_abs_err_x1000"),
+        F.expr(
+            "CAST(array_max(err) * 10000 DIV maxabs AS BIGINT)"
+        ).alias("max_err_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

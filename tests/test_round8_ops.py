@@ -82,3 +82,14 @@ def test_deletable_cms_cells_equal_survivor_grid(spark, sf_dir):
         != F.coalesce(F.col("survivor_cnt"), F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_quantization_error_bounded_by_one_int8_step(spark, sf_dir):
+    """Round-trip int8 error is < one code step (maxabs/127), i.e.
+    ≤ 78 bp of the vector's own scale — the bound the audit's
+    docstring claims by construction."""
+    from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+
+    rows = QUERIES["emb_quantization_error_audit"](spark, sf_dir).collect()
+    assert rows and all(r["max_err_bp"] <= 78 for r in rows)
+    assert all(r["max_abs_err_q"] * 127 < r["maxabs_q"] + 127 for r in rows)
