@@ -15325,6 +15325,73 @@ def emb_quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(
+                      range(1, greatest(len(t) - 2, 0) + 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      AS shingle
+           FROM toks),
+    df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+           FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS novelty_bp
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the inverse of the duplication signal:
+    the fraction of a document's distinct 3-word shingles that appear
+    in NO other document (document frequency 1), in basis points.
+    High novelty = fresh content worth keeping; near-zero = the doc is
+    assembled from corpus boilerplate — the complementary gate to the
+    dup-span and containment families.
+
+    Scale notes: one tokenized scan → per-doc distinct shingles
+    (map-side combined), one shingle-keyed document-frequency rollup,
+    one shuffle equi-join back on shingle (both sides pruned to
+    distinct shingles), one per-doc rollup.  No windows, no pairwise
+    stage — novelty needs only the df table, never shingle pairs."""
+    from ..functions.hashing import shingles_of_tokens, word_tokens
+
+    sh = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select("doc_id", word_tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("t"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.expr(
+                "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000 "
+                "DIV count(1) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
