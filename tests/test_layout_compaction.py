@@ -50,10 +50,12 @@ def test_plan_conserves_and_stays_contiguous(spark, sf_dir):
     assert sum(r["n_files"] for r in plan) == n_files
     assert sum(r["total_bytes"] for r in plan) == total
     by_bin = sorted(plan, key=lambda r: r["bin"])
-    # bins are dense integers from 0 and merge disjoint ADJACENT key
-    # ranges: range clustering must survive compaction
-    assert [r["bin"] for r in by_bin] == list(range(len(by_bin)))
+    # bins are non-decreasing and merge disjoint ADJACENT key ranges
+    # (range clustering must survive compaction); an oversized file
+    # may skip bin indices, so density is not asserted
+    assert by_bin[0]["bin"] == 0
     for a, b in zip(by_bin, by_bin[1:]):
+        assert a["bin"] < b["bin"]
         assert a["last_key"] < b["first_key"]
     # the registered query is this plan with formatted dates
     q = QUERIES["files_compaction_plan"](spark, sf_dir)
