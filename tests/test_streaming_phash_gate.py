@@ -102,3 +102,73 @@ def test_gate_e2e_with_wal_restart(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [20, 30]
+
+
+def test_gate_picks_up_refreshed_index_across_restarts(spark, tmp_path):
+    """The documented deployment pattern: the sink re-reads the index
+    PATH per batch, so a corpus-index refresh between runs changes
+    gating for subsequent batches only — no stream restart logic
+    beyond the WAL."""
+    idx_path = str(tmp_path / "idx")
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+
+    def write_index(ids):
+        extract_image_phash(_media(spark, ids)).select(
+            "width", "height", "phash"
+        ).write.mode("overwrite").parquet(idx_path)
+
+    def stage_batch(name, ids):
+        df = spark.sql(
+            "SELECT CAST(i AS BIGINT) AS doc_id FROM (VALUES "
+            + ", ".join(f"({i})" for i in ids)
+            + ") t(i)"
+        )
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(stage, exist_ok=True)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(src, os.path.join(stage, f"{name}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def sink(batch_df, batch_id):
+        media = media_with_image_variants(batch_df)
+        index = batch_df.sparkSession.read.parquet(idx_path)
+        streaming_phash_gate(media, index).select(
+            "doc_id"
+        ).write.mode("append").parquet(out)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "wal"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    # index covers class 0 only: doc 64 (class 0) dropped, 1 kept
+    write_index([0])
+    stage_batch("b1", [64, 1])
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1]
+
+    # REFRESH the index to also cover class 1 -> doc 65 (class 1) now
+    # dropped while doc 2 (class 2) passes; doc 64's earlier verdict
+    # is untouched
+    write_index([0, 1])
+    stage_batch("b2", [65, 2])
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
