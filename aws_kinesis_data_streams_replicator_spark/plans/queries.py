@@ -15392,6 +15392,113 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "evt_seasonal_strength_anova",
+    """
+    WITH hr AS (
+        SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT dim, CASE WHEN dim = 'hour_of_day' THEN h % 24
+                           ELSE (h // 24 + 4) % 7 END AS grp, x
+          FROM hr CROSS JOIN (SELECT unnest(['hour_of_day',
+                                             'day_of_week']) AS dim)),
+    st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS q
+           FROM g GROUP BY dim),
+    gs AS (SELECT g.dim, g.grp, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(g.x) AS BIGINT) AS sg
+           FROM g GROUP BY g.dim, g.grp),
+    ssb AS (SELECT gs.dim,
+                   CAST(sum((st.n * gs.sg - gs.ng * st.s)
+                            * (st.n * gs.sg - gs.ng * st.s) // gs.ng)
+                        AS BIGINT) AS num,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM gs JOIN st USING (dim) GROUP BY gs.dim)
+    SELECT ssb.dim AS dimension, st.n AS n_hours, ssb.n_groups,
+           CAST(CAST(ssb.num AS HUGEINT) * 10000
+                // (CAST(st.n AS HUGEINT)
+                    * (st.n * st.q - st.s * st.s)) AS BIGINT)
+               AS seasonal_strength_bp
+    FROM ssb JOIN st USING (dim)
+    """,
+)
+def evt_seasonal_strength_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength decomposition of the hourly event series: the
+    one-way-ANOVA R² of the hour-of-day and day-of-week profiles —
+    what fraction of hourly variance (in basis points) the calendar
+    profile explains, the statistic that decides whether a forecast
+    needs a seasonal term (complementing evt_autocorrelation_lags'
+    lag view).  Integer-exact by clearing denominators:
+    SSbetween·n² = Σ_g (n·S_g − n_g·S)²/n_g with the per-group
+    division floored identically on both engines (nonnegative
+    numerators), the final ratio in DECIMAL(38,0)/HUGEINT.  Day
+    grouping anchors epoch day 0 = Thursday (+4 mod 7 = standard
+    weekday numbering).
+
+    Scale notes: one calendar-bounded hourly rollup, a 2-row dimension
+    cross, two bounded (≤24/≤7 group) rollups and a ≤2-row join — no
+    windows at all."""
+    ev = _t(spark, sf_dir, "events")
+    hr = (
+        ev.groupBy(
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) DIV 3600 "
+                "AS BIGINT)"
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    g = hr.crossJoin(
+        F.broadcast(
+            spark.sql(
+                "SELECT explode(array('hour_of_day', 'day_of_week')) AS dim"
+            )
+        )
+    ).select(
+        "dim",
+        F.expr(
+            "CASE WHEN dim = 'hour_of_day' THEN h % 24 "
+            "ELSE (h DIV 24 + 4) % 7 END"
+        ).alias("grp"),
+        "x",
+    )
+    st = g.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    gs = g.groupBy("dim", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+    )
+    ssb = (
+        gs.join(F.broadcast(st), "dim")
+        .groupBy("dim")
+        .agg(
+            F.expr(
+                "CAST(sum((n * sg - ng * s) * (n * sg - ng * s) DIV ng) "
+                "AS BIGINT)"
+            ).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    return ssb.join(F.broadcast(st), "dim").select(
+        F.col("dim").alias("dimension"),
+        F.col("n").alias("n_hours"),
+        "n_groups",
+        F.expr(
+            f"CAST(CAST(num AS {dec}) * 10000 "
+            f"DIV (CAST(n AS {dec}) * (n * q - s * s)) AS BIGINT)"
+        ).alias("seasonal_strength_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

@@ -133,6 +133,8 @@ _BNLJ_OK = {
     "part_association_rules",  # 1-row basket-total scalar broadcast
     # 1-row series-stats + 1-row changepoint scalar broadcasts
     "evt_changepoint_cusum",
+    # 2-row dimension cross over the calendar-bounded hourly rollup
+    "evt_seasonal_strength_anova",
 }
 
 
