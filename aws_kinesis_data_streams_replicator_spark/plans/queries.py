@@ -15499,6 +15499,100 @@ def evt_seasonal_strength_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _budget_alloc_oracle() -> str:
+    """Greedy token-budget allocation oracle: importance-scored strata
+    walked best-first until 40% of corpus tokens are allocated."""
+    ctes = _importance_ctes() + [
+        """bstr AS (SELECT d.lang, d.source,
+                  CAST(sum(iw.n_tokens) AS BIGINT) AS tokens_available,
+                  CAST(sum(iw.sum_ratio_bp) // sum(iw.n_tokens) AS BIGINT)
+                      AS score_bp
+           FROM documents d JOIN iw ON d.doc_id = iw.doc_id
+           GROUP BY d.lang, d.source)""",
+        """btot AS (SELECT CAST(sum(tokens_available) * 4 // 10 AS BIGINT)
+                   AS budget FROM bstr)""",
+        """bcum AS (SELECT lang, source, tokens_available, score_bp,
+                  CAST(coalesce(sum(tokens_available) OVER (
+                      ORDER BY score_bp DESC, lang, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cum_before
+           FROM bstr)""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + """
+    SELECT lang, source, score_bp, tokens_available,
+           CAST(least(tokens_available,
+                      greatest(btot.budget - cum_before, 0)) AS BIGINT)
+               AS tokens_allocated,
+           CASE WHEN btot.budget - cum_before >= tokens_available
+                THEN 'full'
+                WHEN btot.budget - cum_before > 0 THEN 'partial'
+                ELSE 'excluded' END AS status
+    FROM bcum CROSS JOIN btot"""
+    )
+
+
+@_q("doc_token_budget_allocation", _budget_alloc_oracle())
+def doc_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture planning: rank (lang, source) strata
+    by token-weighted importance score (the DSIR weights rolled up per
+    stratum) and allocate a 40%-of-corpus token budget greedily —
+    best strata fully, the straddling stratum partially, the rest
+    excluded.  The greedy walk is the LP-relaxation optimum of the
+    budget-knapsack a mixture builder solves before a training run.
+
+    Scale notes: the per-doc scoring is the audited importance plan;
+    strata are a BOUNDED |lang|x|source| rollup, so the cumulative
+    window runs over dozens of rows (the doc_mixture_weights
+    bounded-domain class), and the budget is a 1-row cross."""
+    from ..operators.text import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    iw = importance_weights(docs, F.col("lang") == "en")
+    bstr = (
+        docs.select("doc_id", "lang", "source")
+        .join(iw, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("tokens_available"),
+            F.expr(
+                "CAST(sum(sum_ratio_bp) DIV sum(n_tokens) AS BIGINT)"
+            ).alias("score_bp"),
+        )
+    )
+    btot = bstr.agg(
+        F.expr(
+            "CAST(sum(tokens_available) * 4 DIV 10 AS BIGINT)"
+        ).alias("budget")
+    )
+    w = Window.orderBy(
+        F.col("score_bp").desc(), F.col("lang"), F.col("source")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bcum = bstr.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("tokens_available").over(w), F.lit(0)).cast("long"),
+    )
+    return bcum.crossJoin(F.broadcast(btot)).select(
+        "lang",
+        "source",
+        "score_bp",
+        "tokens_available",
+        F.least(
+            F.col("tokens_available"),
+            F.greatest(F.col("budget") - F.col("cum_before"), F.lit(0)),
+        )
+        .cast("long")
+        .alias("tokens_allocated"),
+        F.when(
+            F.col("budget") - F.col("cum_before") >= F.col("tokens_available"),
+            "full",
+        )
+        .when(F.col("budget") - F.col("cum_before") > 0, "partial")
+        .otherwise("excluded")
+        .alias("status"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with

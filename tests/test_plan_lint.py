@@ -135,6 +135,8 @@ _BNLJ_OK = {
     "evt_changepoint_cusum",
     # 2-row dimension cross over the calendar-bounded hourly rollup
     "evt_seasonal_strength_anova",
+    # importance totals + 1-row budget scalar crosses
+    "doc_token_budget_allocation",
 }
 
 
@@ -151,6 +153,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "doc_lsh_band_sweep": "lag over the ≤3-row band-config sweep",
     "doc_lsh_precision_eval": "rollup per band config (≤ dozens)",
     "doc_mixture_weights": "per-source rollup (bounded domain)",
+    "doc_token_budget_allocation": "cumulative walk over the "
+    "|lang|x|source| strata rollup (bounded domain)",
     "dq_skew_profile": "window over exactly 32 hash buckets",
     "evt_cumulative_new_users": "running sum over the per-hour rollup "
     "(calendar-bounded)",
