@@ -15593,6 +15593,112 @@ def doc_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "geo_grid_dbscan",
+    f"""
+    WITH RECURSIVE p AS (SELECT c_custkey AS id,
+                      {_hex5_sql('c_custkey', 1)} % 100000 AS x,
+                      {_hex5_sql('c_custkey', 6)} % 100000 AS y
+               FROM customer),
+    d AS (SELECT x // 10000 AS cx, y // 10000 AS cy,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2 HAVING count(*) >= 3),
+    c AS (SELECT cx, cy, CAST(cx * 1024 + cy AS BIGINT) AS cid, n FROM d),
+    e0 AS (SELECT a.cid AS u, b.cid AS v
+           FROM c a JOIN c b
+             ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            AND a.cid <> b.cid),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e0) n
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN e0 e ON e.u = r.u
+    ),
+    lab AS (SELECT u AS cid, min(lbl) AS cluster_id FROM reach GROUP BY u),
+    f AS (SELECT c.cid, c.n, coalesce(lab.cluster_id, c.cid) AS cluster_id
+          FROM c LEFT JOIN lab USING (cid))
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_points
+    FROM f GROUP BY cluster_id
+    """,
+)
+def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (the scalable DBSCAN core):
+    tile the md5-scattered customer plane into eps-cells, keep cells
+    with ≥ minpts points (density core), and merge 8-neighbor-adjacent
+    dense cells into clusters via the same iterative min-label
+    connected components the dedup family uses
+    (operators/clustering.py) — isolated dense cells cluster alone.
+    The oracle floods the identical adjacency graph with a recursive
+    CTE.
+
+    Scale notes: one grid rollup (map-side combined, ≤100 cells on
+    this plane — the grid resolution also bounds the dense-graph
+    diameter, keeping min-label propagation within its iteration
+    budget even when every cell is dense); adjacency is an 8-offset
+    explode + equi-join on cell coordinates — per-cell work, never
+    point-pairs; components propagate over the BOUNDED dense-cell
+    graph, not the points.  The grid rollup is the step that makes
+    density clustering run at 10^11 points."""
+    def hex5(start: int):
+        return F.expr(
+            "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), "
+            f"{start}, 5), 16, 10) AS BIGINT) % 100000"
+        )
+
+    pts = _t(spark, sf_dir, "customer").select(
+        hex5(1).alias("x"), hex5(6).alias("y")
+    )
+    cells = (
+        pts.groupBy(
+            F.expr("x DIV 10000").alias("cx"),
+            F.expr("y DIV 10000").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 3)
+        .withColumn("cid", F.expr("CAST(cx * 1024 + cy AS BIGINT)"))
+        .localCheckpoint(eager=False)
+    )
+    nb = cells.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("nx"),
+                        (F.col("cy") + dy).alias("ny"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if not (dx == 0 and dy == 0)
+                ]
+            )
+        ).alias("nb"),
+    ).select("cid", "nb.nx", "nb.ny")
+    edges = (
+        nb.join(
+            cells.select(
+                F.col("cx").alias("nx"),
+                F.col("cy").alias("ny"),
+                F.col("cid").alias("cid_b"),
+            ),
+            ["nx", "ny"],
+        )
+        .where(F.col("cid") < F.col("cid_b"))
+        .select(F.col("cid").alias("cell_a"), F.col("cid_b").alias("cell_b"))
+    )
+    cc = clustering.connected_components(
+        edges, src="cell_a", dst="cell_b", out_id="cid", out_label="cluster_id"
+    )
+    labeled = cells.join(cc, "cid", "left").select(
+        "n", F.coalesce(F.col("cluster_id"), F.col("cid")).alias("cluster_id")
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -15915,6 +16021,7 @@ ORACLE_SQL = _risk_ordered(ORACLE_SQL)
 PLAN_BUILD_RUNS_JOBS = frozenset(
     {
         "doc_neardup_clusters",
+        "geo_grid_dbscan",
         "pipeline_corpus_curation_v2",
         "pipeline_corpus_curation_v4",
         "graph_pagerank",
