@@ -15707,10 +15707,64 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-8 window (50): first the 7 round-7 registrations that
-    # never saw a driver window (NOTES_r8_staging.md), one of which
-    # (evt_count_min_deletes) was also FIXED in r8 (insert-then-retract
-    # semantics) ----
+    # ---- round-9 window (50): first the 20 late-r8 registrations that
+    # never saw a driver window (NOTES_r9_staging.md item 1, in order) ----
+    "plan_join_strategy_hook",
+    "agg_weighted_join_size_estimate",
+    "mm_audio_features",
+    "files_zorder_pruning",
+    "text_bigram_lm_score",
+    "files_compaction_plan",
+    "mm_image_phash_groups",
+    "doc_importance_weights",
+    "cdc_importance_model_maintenance",
+    "pipeline_corpus_curation_v6",
+    "emb_kcenter_coreset",
+    "evt_autocorrelation_lags",
+    "dq_benford_first_digit",
+    "part_association_rules",
+    "evt_changepoint_cusum",
+    "emb_quantization_error_audit",
+    "text_ngram_novelty",
+    "evt_seasonal_strength_anova",
+    "doc_token_budget_allocation",
+    "geo_grid_dbscan",
+    # ---- then the query whose plan CHANGES in round 9 (costmodel-driven
+    # broadcast decision wired into the static-SMJ debt; VERDICT r8 ask 7) ----
+    "tpch_q2_min_cost_supplier",
+    # ---- remaining 29 slots: staleness refresh — the 3 r2-era names the
+    # r8 rotation deferred, then the oldest 26 of the 47 r3-era names
+    # (emb_int8_quantize also carries the r9 dequantize-DIV fix) ----
+    "udf_pandas_agg_median",
+    "udf_pandas_distinct_words",
+    "udtf_bigrams",
+    "agg_exact_median_2x",
+    "agg_grouping_sets",
+    "cdc_merge_upsert",
+    "cdc_position_deletes",
+    "cdc_scd2_intervals",
+    "corr_lateral_topn",
+    "doc_balanced_sample",
+    "doc_curriculum_phases",
+    "doc_dup_spans",
+    "doc_kfold_assign",
+    "doc_mixture_weights",
+    "doc_pack_sequences",
+    "doc_reservoir_sample",
+    "doc_simhash_neardup_pairs",
+    "doc_tfidf_top_terms",
+    "doc_weighted_sample",
+    "dq_check_orders",
+    "dq_profile_orders",
+    "dq_referential_orders_customer",
+    "emb_group_centroids",
+    "emb_int8_quantize",
+    "evt_anomaly_sigma",
+    "evt_funnel_ordered",
+    "evt_gapfill_hourly",
+    "evt_range_frame_sum",
+    "evt_retention_cohorts",
+    # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
     "evt_selfjoin_size_estimate",
@@ -15718,10 +15772,6 @@ _CHECK_FIRST = [
     "agg_join_size_estimate",
     "dq_linkage_blocking_eval",
     "evt_count_min_deletes",
-    # ---- then the 14 queries whose plans were REWRITTEN in round 8
-    # (global-window family: TakeOrdered top-k, with_global_prefix /
-    # with_global_ntile, bounded BPE winner selection) — changed form
-    # needs a fresh driver-green row ----
     "tpch_q10_returned_items",
     "evt_timeseries_similarity",
     "evt_user_rfm_segments",
@@ -15736,10 +15786,6 @@ _CHECK_FIRST = [
     "text_bpe_apply",
     "text_bpe_encode_stats",
     "pipeline_corpus_curation_v5",
-    # ---- remaining 29 slots: staleness refresh — the r2-era names
-    # whose last driver-green row is oldest (3 r2-era names deferred
-    # to the r9 head: udf_pandas_agg_median, udf_pandas_distinct_words,
-    # udtf_bigrams) ----
     "agg_salted_event_type",
     "corr_subquery_cheapest_item",
     "doc_contamination_check",
@@ -15769,7 +15815,6 @@ _CHECK_FIRST = [
     "tpch_q8_market_share",
     "udf_broadcast_lookup",
     "udf_grouped_user_stats",
-    # ---- the round-7 window and prior rotations, demoted in order ----
     "tpch_q3_top_orders",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
@@ -15854,7 +15899,6 @@ _CHECK_FIRST = [
     "evt_training_set_assembly",
     "tpch_supplier_scorecard",
     "tpch_q5_revenue_by_nation",
-    "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_variety",
@@ -15955,50 +15999,24 @@ _CHECK_FIRST = [
     "evt_range_count_5m",
     "kr_batch_metrics",
     "evt_sessionize_batch",
-    "cdc_scd2_intervals",
-    "evt_funnel_ordered",
-    "evt_retention_cohorts",
-    "emb_group_centroids",
-    "agg_exact_median_2x",
     "fn_datetime_suite",
-    "doc_curriculum_phases",
     "set_ops_all_quantifiers",
     "win_value_functions",
     "text_vocab_oov",
     "text_pmi_collocations",
-    "doc_tfidf_top_terms",
     "mm_resize",
     "mm_frame_sample",
     "udtf_analyze_top_tokens",
-    "doc_reservoir_sample",
-    "doc_weighted_sample",
-    "doc_kfold_assign",
-    "doc_pack_sequences",
-    "doc_simhash_neardup_pairs",
     "pipeline_corpus_curation_v3",
-    "doc_balanced_sample",
-    "evt_gapfill_hourly",
     "fn_string_agg",
-    "evt_range_frame_sum",
-    "cdc_merge_upsert",
     "graph_pagerank",
-    "cdc_position_deletes",
-    "agg_grouping_sets",
     "fn_json_suite",
     "fn_regexp_suite",
-    "dq_profile_orders",
-    "dq_check_orders",
-    "dq_referential_orders_customer",
     "udf_arrow_byte_stats",
     "fn_variant_suite",
     "fn_try_errors",
-    "corr_lateral_topn",
-    "evt_anomaly_sigma",
     "text_gopher_rules",
     "text_char_bigram_score",
-    "doc_mixture_weights",
-    "emb_int8_quantize",
-    "doc_dup_spans",
     "text_repetition_stats",
 ]
 
