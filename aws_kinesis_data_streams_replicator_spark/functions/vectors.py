@@ -98,12 +98,27 @@ def sqdist_q(a: Column, b: Column) -> Column:
     )
 
 
+def _div127_nonneg(x: Column) -> Column:
+    """Exact ``x DIV 127`` for a NONNEGATIVE decimal ``x``: decimal
+    division (exact here — the fractional part of n/127 is k/127 ≤
+    126/127 ≈ 0.9921, four orders of magnitude farther from an integer
+    than the scale-6 rounding half-ulp), then floor.  Chosen over float
+    ``/`` + cast, which only matches integer DIV while the numerator is
+    below 2^53."""
+    return F.floor(x / F.lit(127)).cast("long")
+
+
 def dequantize_int8(q8: Column, maxabs: Column) -> Column:
     """Inverse of ``quantize_int8``: code → µ-scaled component,
     sign-split so Spark DIV and DuckDB // floor identically
-    (``sign(c) · (|c| · maxabs DIV 127)``)."""
+    (``sign(c) · (|c| · maxabs DIV 127)``).  The product is computed in
+    decimals, so the contract holds for any |c|·maxabs < 10^32 (the
+    scale-6 quotient's integer headroom) — not just below the 2^53
+    float-mantissa bound of the previous float-``/``-then-cast form."""
+    m = maxabs.cast("decimal(19,0)")
     return F.transform(
         q8,
-        lambda c: F.when(c < 0, -((-c) * maxabs.cast("long") / F.lit(127)).cast("long"))
-        .otherwise(((c * maxabs.cast("long")) / F.lit(127)).cast("long")),
+        lambda c: F.when(
+            c < 0, -_div127_nonneg((-c).cast("decimal(19,0)") * m)
+        ).otherwise(_div127_nonneg(c.cast("decimal(19,0)") * m)),
     )

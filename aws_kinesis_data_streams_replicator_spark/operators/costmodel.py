@@ -54,8 +54,14 @@ def key_cms_grid(
     stats, partial aggregate) instead of fact rows; with nonnegative
     weights every downstream bound (side cardinality = unrolled rows,
     inner-product join-size bound) holds for the unrolled relation
-    unchanged (the ``agg_weighted_join_size_estimate`` invariant)."""
+    unchanged (the ``agg_weighted_join_size_estimate`` invariant).
+
+    NULL keys are dropped before sketching: they can never match an
+    equi-join, so counting them would overstate the 'exact side
+    cardinality' — on a NULL-heavy side that can flip ``smaller_side``
+    and suppress an otherwise valid broadcast."""
     k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
+    df = df.where(k.isNotNull())
     w = (
         F.lit(1)
         if weight is None

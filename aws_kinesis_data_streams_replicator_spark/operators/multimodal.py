@@ -450,9 +450,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        # struct.error would escape the ValueError dead-letter path and
+        # kill the whole micro-batch task instead of one bad row
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} < 16 bytes)")
     audio_fmt, channels, rate, _, block, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if rate == 0:
+        raise ValueError("WAV sample rate is zero")
     if audio_fmt != 1 or channels != 1 or bits != 16 or block != 2:
         raise ValueError(
             f"unsupported WAV profile (fmt={audio_fmt}, ch={channels}, "
@@ -460,6 +466,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         )
     if len(data) % 2:
         raise ValueError("WAV data chunk not sample-aligned")
+    if not data:
+        # a structurally valid zero-sample WAV would pass every profile
+        # check and then divide by n=0 in extract_audio_features —
+        # route it to the same dead-letter path as corrupt payloads
+        raise ValueError("WAV data chunk is empty (zero samples)")
     return rate, np.frombuffer(data, dtype="<i2").copy()
 
 

@@ -1017,13 +1017,19 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
 #          = (tgt_cnt·256 + tgt_tot)·src_tot / ((src_cnt·256 + src_tot)·tgt_tot)
 # Chosen over add-1 smoothing because an UNSEEN bucket scores exactly
 # 10000 bp (neutral) instead of src_tot/tgt_tot (which biases unknown
-# vocabulary toward whichever side has fewer tokens).  int64 headroom:
-# exact below ~10^7 model tokens; beyond that build per-shard models
-# (counts are cell-wise addable) or promote the product to
-# DECIMAL(38,0) — the FORMULA is the contract, not the width.
+# vocabulary toward whichever side has fewer tokens).  The product is
+# computed in DECIMAL(38,0): int64 would wrap SILENTLY (non-ANSI) near
+# ~1.9e6 model tokens in the worst case of everything landing in ONE
+# bucket — uniform fill only buys ~10^7 — and a wrapped ratio corrupts
+# streaming keep/drop gates without any error.  Decimal is exact to
+# ~10^15 tokens a side regardless of bucket skew (worst single-bucket
+# product ≈ tot²·256·10⁴ < 10^38); DuckDB's // promotes to HUGEINT on
+# the same formula, so the engines stay value-identical throughout.
 _IW_RATIO_SQL = (
-    "CAST((coalesce(tgt_cnt, 0) * 256 + tgt_tot) * src_tot * 10000 "
-    "DIV ((coalesce(src_cnt, 0) * 256 + src_tot) * tgt_tot) AS BIGINT)"
+    "CAST((CAST(coalesce(tgt_cnt, 0) AS DECIMAL(38,0)) * 256 + tgt_tot)"
+    " * src_tot * 10000 "
+    "DIV ((CAST(coalesce(src_cnt, 0) AS DECIMAL(38,0)) * 256 + src_tot)"
+    " * tgt_tot) AS BIGINT)"
 )
 
 _IW_N_BUCKETS = 256

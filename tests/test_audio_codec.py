@@ -63,6 +63,41 @@ def test_invalid_payloads_raise(mangle, msg):
         mm.decode_wav(mangle(payload))
 
 
+def _wav(fmt_body: bytes, data_body: bytes) -> bytes:
+    body = (
+        struct.pack("<4sI", b"fmt ", len(fmt_body))
+        + fmt_body
+        + struct.pack("<4sI", b"data", len(data_body))
+        + data_body
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+_FMT_PCM16_MONO = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+
+def test_short_fmt_chunk_is_valueerror_not_struct_error():
+    """A fmt chunk under 16 bytes used to escape as struct.error —
+    outside the ValueError dead-letter contract, so one bad row killed
+    the whole micro-batch task instead of being dropped."""
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        mm.decode_wav(_wav(_FMT_PCM16_MONO[:10], b"\x01\x00"))
+
+
+def test_empty_data_chunk_is_dead_lettered():
+    """A structurally valid ZERO-SAMPLE WAV passes every profile check;
+    without this guard it reached extract_audio_features and divided
+    by n=0 (silence_bp), again killing the task instead of the row."""
+    with pytest.raises(ValueError, match="empty"):
+        mm.decode_wav(_wav(_FMT_PCM16_MONO, b""))
+
+
+def test_zero_sample_rate_is_dead_lettered():
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    with pytest.raises(ValueError, match="sample rate"):
+        mm.decode_wav(_wav(fmt, b"\x01\x00"))
+
+
 def test_synthetic_pcm_matches_oracle_closed_form():
     """sample(i) = ((doc_id*37 + i*11) mod 4001) − 2000 — the contract
     the SQL oracle reproduces; a drift here would silently decouple

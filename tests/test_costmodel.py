@@ -199,3 +199,17 @@ def test_plan_from_catalog_caches_on_miss_then_reads_stats(
     # the smaller side flipped to orders — the decision tracked the
     # CATALOG numbers, not the live relations
     assert stats2["smaller_side"] == "a"
+
+
+def test_grid_drops_null_keys(spark, orders):
+    """NULL keys can never match an equi-join, so they must not count
+    toward the 'exact side cardinality' — a NULL-heavy side would
+    otherwise overstate its size, flip smaller_side, and suppress an
+    otherwise valid broadcast (ADVICE r8)."""
+    with_nulls = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey")).alias("k")
+    )
+    n_nonnull = with_nulls.where(F.col("k").isNotNull()).count()
+    g = costmodel.key_cms_grid(with_nulls, "k")
+    per_row = g.groupBy("r").agg(F.sum("cnt").alias("n")).collect()
+    assert {int(r.n) for r in per_row} == {n_nonnull}

@@ -44,14 +44,14 @@ _SKIP = PLAN_BUILD_RUNS_JOBS
 with open(DEFAULT_OUT) as _fh:
     _COMMITTED_FPS = json.load(_fh)["fingerprints"]
 
-# deliberate scalar-broadcast (1-row build side) nested-loop joins
+# deliberate scalar-broadcast (1-row build side) nested-loop joins.
+# SELF-PRUNING: test_bnlj_allowlist_entry_still_has_bnlj fails on any
+# entry whose plan no longer contains a BNLJ (9 stale entries from the
+# r8 rewrites were pruned when the anti-rot test landed in r9)
 _BNLJ_OK = {
     "tpch_q11_important_stock",  # grand-total threshold
-    "tpch_q15_top_supplier",  # max-revenue scalar
     "tpch_q22_global_sales_opportunity",  # positive-balance average
     "doc_balanced_sample",  # min-stratum-count scalar
-    "pipeline_corpus_curation_v3",  # stratified threshold composition
-    "tpch_q17_small_qty_revenue",  # single-row final aggregate join
     "tpch_q20_excess_shippers",  # above-average scalar total
     "agg_hll_sketch_union",  # 1-row exact total × 1-row sketch-union estimate
     "dq_record_linkage",  # 1-row entity-universe count scalar broadcast (x2)
@@ -60,7 +60,6 @@ _BNLJ_OK = {
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
-    "evt_user_rfm_segments",  # 1-row corpus-max scalar broadcast
     # recall eval embeds the brute-force baseline (emb_ann_topk, above)
     # as its ground-truth side — same bounded |Q|×N rationale
     "emb_ann_recall_eval",
@@ -73,9 +72,6 @@ _BNLJ_OK = {
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
     "text_pmi_collocations",  # corpus token total 1-row scalar broadcast
-    # k-means assignment is vectors × centroids with a BOUNDED build side
-    # (n_cells, ≤ thousands at any corpus size) — the IVF rationale
-    "emb_semantic_dedup",
     # BM25 corpus-stats scalar + single-query-vector broadcast (|Q| = 1)
     "doc_hybrid_rrf",
     # prefix-dot stage is the deliberate small-|Q| broadcast (emb_ann_topk
@@ -87,10 +83,6 @@ _BNLJ_OK = {
     # per-round winning-pair 1-row broadcasts + the 1-row merge table
     # at map-back (bpe_merge_step rationale, iterated)
     "text_bpe_apply",
-    "text_bpe_encode_stats",
-    # embeds the bpe_encode_stats merge chain (same 1-row winner
-    # broadcasts) inside the composed curation plan
-    "pipeline_corpus_curation_v5",
     # 1-row total-eps scalar broadcast (summary-merge error bound)
     "text_heavy_hitters_bounds",
     # type-pair join over the |event_types|-row sketch rollup — bounded
@@ -110,8 +102,6 @@ _BNLJ_OK = {
     # round-8 prefix rewrites: 1-row total / count scalar broadcasts
     # (with_global_ntile's n, Pareto's grand total, coverage's corpus
     # token total)
-    "part_abc_pareto",
-    "text_classifier_calibration",
     "text_vocab_coverage_curve",
     # 1-row side-count x 1-row bound crosses in the planning record
     "plan_join_strategy_hook",
@@ -436,3 +426,70 @@ def test_global_window_lint_allows_bounded_shapes(spark):
         df, [F.col("k"), F.col("id")], rn_col="rn", cum_cols=["id"]
     )
     assert not global_window_violations(_executed(with_cum))
+
+
+def test_global_window_lint_walks_past_deep_passthrough_chains():
+    """Regression pin for the r8 fixed scan horizon: a single-partition
+    window whose unbounded producer sat behind MORE pass-through nodes
+    than the 8/7-line budget was silently passed ('fell through the
+    scan horizon: treat as OK').  Catalyst collapses adjacent
+    Project/Filter pairs, so a real plan can't be coerced into an
+    arbitrarily deep chain — this one test uses a synthetic plan string
+    to pin the walk-until-decisive behavior directly."""
+    above = ["Window [row_number() AS rn], [k ASC NULLS FIRST]"]
+    above += [f"+- Project [k#{i}]" for i in range(6)]
+    above += ["+- Sort [k ASC NULLS FIRST], false, 0"]
+    above += ["+- Exchange SinglePartition, ENSURE_REQUIREMENTS"]
+    deep_below = [f"   +- Filter (k#{i} > 0)" if i % 2 else f"   +- Project [k#{i}]" for i in range(10)]
+    unbounded = ["      +- FileScan parquet [k] PushedFilters: []"]
+    plan = "\n".join(above + deep_below + unbounded)
+    assert global_window_violations(plan), (
+        "deep pass-through chain over an unbounded scan must still "
+        "be flagged"
+    )
+    bounded = "\n".join(
+        above + deep_below + ["      +- HashAggregate(keys=[_pid#1], functions=[count(1)])"]
+    )
+    assert not global_window_violations(bounded), (
+        "the ≤P-row _pid offset rollup stays sanctioned behind the "
+        "same deep chain"
+    )
+    # plan exhaustion below the exchange without a bounding producer is
+    # a violation, not OK
+    exhausted = "\n".join(above + deep_below)
+    assert global_window_violations(exhausted)
+
+
+# --------------------------------------------------------------------------
+# Allowlist anti-rot (round 9): a rewrite that removes the global
+# window / BNLJ must also PRUNE the allowlist entry, else the stale
+# entry later masks a real regression under the same query name.  Each
+# entry must still exhibit the plan shape it is excusing.
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_GLOBAL_WINDOW_OK) - _SKIP)
+)
+def test_global_window_allowlist_entry_still_trips_detector(
+    spark, sf_dir, name
+):
+    plan = _executed(QUERIES[name](spark, sf_dir))
+    assert global_window_violations(plan), (
+        f"{name} no longer trips the global-window detector — its "
+        "_GLOBAL_WINDOW_OK entry is stale; prune it"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_BNLJ_OK - _SKIP))
+def test_bnlj_allowlist_entry_still_has_bnlj(spark, sf_dir, name):
+    plan = _executed(QUERIES[name](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, (
+        f"{name} no longer plans a BroadcastNestedLoopJoin — its "
+        "_BNLJ_OK entry is stale; prune it"
+    )
+
+
+def test_allowlists_reference_only_live_queries():
+    assert sorted(set(_GLOBAL_WINDOW_OK) - set(QUERIES)) == []
+    assert sorted(_BNLJ_OK - set(QUERIES)) == []

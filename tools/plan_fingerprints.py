@@ -97,30 +97,51 @@ def _node_text(line: str) -> str:
     return _TREE_ART.sub("", line)
 
 
+# Nodes a Window's input can pass through WITHOUT changing whether the
+# feed is bounded: between the Window and its exchange, and between the
+# exchange and its producer.  Anything not in these sets is decisive.
+_ABOVE_PASSTHROUGH = ("Sort", "Project", "Filter", "ColumnarToRow")
+_BELOW_PASSTHROUGH = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange RoundRobinPartitioning",
+    "ColumnarToRow",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "InputAdapter",
+)
+
+
 def global_window_violations(plan: str) -> list[str]:
     """Return one entry per Window node whose `Exchange SinglePartition`
     is fed by an unbounded input — the plan shape that serializes at
     scale.  Empty list = every global window in the plan is over a
-    limit-cut or a ≤P-row partition-id/global-agg summary."""
+    limit-cut or a ≤P-row partition-id/global-agg summary.
+
+    Both walks run until a DECISIVE node, not a fixed line budget (a
+    fixed horizon silently passed any window whose unbounded producer
+    sat behind more pass-through nodes than the budget — lint false
+    negatives on deep plans).  Exhausting the plan below an exchange
+    without finding a bounding producer counts as a violation."""
     lines = plan.splitlines()
     nodes = [_node_text(ln) for ln in lines]
     bad = []
     for i, node in enumerate(nodes):
         if not node.startswith("Window"):
             continue
-        # walk the child chain: pass-through nodes until something
-        # decisive.  A Window's own exchange sits within a few lines
-        # (Sort, sometimes Project/Filter between).
-        for j in range(i + 1, min(i + 8, len(nodes))):
+        # walk the child chain down to the window's own exchange
+        for j in range(i + 1, len(nodes)):
             nxt = nodes[j]
             if _BOUNDED_NODE.match(nxt):
                 break  # ranked input already cut to k rows
             if nxt.startswith("Exchange SinglePartition"):
                 # look through pass-through nodes below the exchange
                 # for a bounding producer (limit cut, ≤P-row _pid
-                # rollup, keyless 1-row aggregate)
+                # rollup, keyless 1-row aggregate); plan exhaustion
+                # without one = violation
                 bounded = False
-                for b in range(j + 1, min(j + 7, len(nodes))):
+                for b in range(j + 1, len(nodes)):
                     below = nodes[b]
                     if (
                         _PID_SUMMARY.match(below)
@@ -129,21 +150,17 @@ def global_window_violations(plan: str) -> list[str]:
                     ):
                         bounded = True
                         break
-                    if not (
-                        below.startswith("Project")
-                        or below.startswith("Filter")
-                        or below.startswith("Sort")
-                        or below.startswith("Exchange RoundRobinPartitioning")
-                        or below.startswith("ColumnarToRow")
-                    ):
+                    if not below.startswith(_BELOW_PASSTHROUGH):
                         break  # decisive unbounded producer
                 if not bounded:
                     bad.append(node[:120])
                 break
             if nxt.startswith("Exchange") or nxt.startswith("Window"):
                 break  # partitioned window / nested window (own check)
-        # fell through the scan horizon: treat as OK (no single-
-        # partition exchange in the direct child chain)
+            if not nxt.startswith(_ABOVE_PASSTHROUGH):
+                break  # decisive non-exchange producer: the window
+                # inherits an existing (co-)partitioning — no single-
+                # partition exchange exists in its direct child chain
     return bad
 
 
