@@ -3432,7 +3432,28 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlated-subquery-on-min pattern, decorrelated the way Catalyst
     would: an aggregate computing the per-part min joined back on
     (part, min).  Region-filtered supplier dim broadcasts; the min is an
-    exact DECIMAL so the equality join key is engine-portable."""
+    exact DECIMAL so the equality join key is engine-portable.
+
+    The lineitem ⋈ eur join is planned by the SKETCH CATALOG
+    (costmodel.plan_equijoin_from_catalog): Catalyst's static size
+    estimator over-costs the supplier⋈nation⋈region build side, so the
+    unhinted plan sort-merged (shuffling the whole fact) until AQE
+    re-planned mid-query — the r6–r8 bench debt.  The catalog sketch
+    PROVES |eur| ≤ |supplier| small, so the broadcast hint lands at
+    static planning time; at a scale where |supplier| outgrows the
+    threshold the same evidence withholds the hint and the SMJ fallback
+    is correct.  The catalog is a per-sf scratch dir (cache-on-miss:
+    first construction builds both grids once; afterwards planning
+    costs two ≤4096-cell reads + a 1-row stats job — the fact is
+    touched only by the join itself).  Stats are a HINT only: the
+    joined values are identical under either strategy, so a stale
+    sketch can never corrupt results."""
+    import os
+    import re as _re
+    import tempfile
+
+    from ..operators import costmodel
+
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
@@ -3445,10 +3466,22 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    costs = (
-        li.join(eur.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supp_cost"))
+    catalog = os.path.join(
+        tempfile.gettempdir(),
+        "akr-sketch-catalog",
+        _re.sub(r"\W+", "_", sf_dir.rstrip("/")),
+    )
+    planned, _stats = costmodel.plan_equijoin_from_catalog(
+        eur.select("s_suppkey"),
+        li,
+        "s_suppkey",
+        "l_suppkey",
+        catalog,
+        "supplier_europe",
+        "lineitem",
+    )
+    costs = planned.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supp_cost")
     )
     best = costs.groupBy("l_partkey").agg(F.min("supp_cost").alias("min_cost"))
     return (
