@@ -19,8 +19,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aws_kinesis_data_streams_replicator_spark.plans.queries import QUERIES
+from aws_kinesis_data_streams_replicator_spark.plans.queries import (
+    PLAN_BUILD_RUNS_JOBS,
+    QUERIES,
+)
 from aws_kinesis_data_streams_replicator_spark.session import get_spark
+
+
+def _env_stamp() -> dict:
+    """Machine-state stamp (r8 VERDICT ask 5): cross-round totals drift
+    ±20% with session/machine load on this shared box, so the artifact
+    records the load it was measured under — bench_compare can then
+    distinguish a loaded-box shift from a real regression instead of
+    narrating it."""
+    stamp: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        stamp["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            stamp["uptime_sec"] = round(float(fh.read().split()[0]), 1)
+    except (OSError, ValueError):
+        pass
+    return stamp
+
+
+def _plan_hash(df) -> str:
+    """Stable digest of a query's executed-plan TEXT: expression ids
+    (#123) are session-assigned and scratch paths differ per run, so
+    both are normalized out.  Two rounds with equal hashes ran the
+    IDENTICAL physical plan — per-query bench ratios are then pure
+    machine/session noise plus real data-path cost, never a plan
+    change (the gate bench_compare uses to flag only same-plan
+    regressions)."""
+    import hashlib
+    import re
+
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    norm = re.sub(r"#\d+", "#", txt)
+    norm = re.sub(r"\[plan_id=\d+\]", "", norm)
+    norm = re.sub(r"/tmp/\S*", "/tmp/_", norm)
+    norm = re.sub(r"\s+", " ", norm)
+    return hashlib.md5(norm.encode()).hexdigest()[:16]
 
 
 def run_query(
@@ -246,8 +288,18 @@ def main() -> None:
             ref = json.load(fh).get("queries", {})
     except (OSError, ValueError):
         pass
+    env_start = _env_stamp()
     n_runs: dict[str, int] = {}
+    plan_hashes: dict[str, str] = {}
     for i, name in enumerate(sorted(QUERIES)):
+        try:
+            if name not in PLAN_BUILD_RUNS_JOBS:
+                # plan identity for bench_compare's same-plan gate;
+                # job-running constructions are excluded (their final
+                # frame's plan text covers only the last iteration)
+                plan_hashes[name] = _plan_hash(QUERIES[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001
+            pass
         try:
             sec, runs = run_query(QUERIES[name], spark, sf_dir, ref.get(name))
             timings[name] = round(sec, 3)
@@ -304,6 +356,14 @@ def main() -> None:
         "streaming_floor_rps": 18000,
         "streaming_metric_version": STREAM_METRIC_VERSION,
         "streaming_metric_definition": STREAM_METRIC_DEFINITION,
+        # machine-state stamps: cross-round totals drift with box load
+        # (NOTES_bench_r08.md); compare like-loaded runs or normalize
+        "env_start": env_start,
+        "env_end": _env_stamp(),
+        # normalized executed-plan digests: equal hash across rounds ⇒
+        # identical physical plan ⇒ any timing ratio is noise/data, not
+        # a plan change (bench_compare gates its flags on this)
+        "plan_hashes": plan_hashes,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json artifact keeps only the tail of stdout,

@@ -53,16 +53,47 @@ def main() -> None:
     session = statistics.median(ratios.values())
     print(f"{len(common)} comparable queries (old >= {args.floor}s)")
     print(f"session shift (median ratio): {session:.3f} — divided out below")
+    for which, d in (("old", old), ("new", new)):
+        env = d.get("env_start")
+        if env:
+            print(f"{which} env: loadavg={env.get('loadavg')} "
+                  f"uptime={env.get('uptime_sec')}s")
     flagged = {
         k: r / session for k, r in ratios.items()
         if r / session > args.flag or r / session < 1 / args.flag
     }
+    # Same-plan gate (r8 VERDICT ask 5): when BOTH payloads carry
+    # normalized plan digests, a flagged query whose digest CHANGED is
+    # an intentional/structural plan change — report it separately so
+    # only fingerprint-identical plans are read as drift or regression.
+    oph, nph = old.get("plan_hashes", {}), new.get("plan_hashes", {})
+    have_hashes = bool(oph) and bool(nph)
+
+    def plan_changed(k: str) -> bool:
+        return (
+            have_hashes
+            and k in oph
+            and k in nph
+            and oph[k] != nph[k]
+        )
+
     if flagged:
-        print(f"\n{len(flagged)} queries beyond ±{args.flag}x after "
-              "normalization (check PLAN_FINGERPRINTS diff / suite "
-              "position before believing):")
-        for k, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
-            print(f"  {r:5.2f}x  {k:40s} {oq[k]:7.3f}s -> {nq[k]:7.3f}s")
+        same = {k: r for k, r in flagged.items() if not plan_changed(k)}
+        changed = {k: r for k, r in flagged.items() if plan_changed(k)}
+        if same:
+            hdr = ("IDENTICAL plan" if have_hashes
+                   else "plan identity unknown (no hashes in payloads)")
+            print(f"\n{len(same)} queries beyond ±{args.flag}x after "
+                  f"normalization with {hdr} — noise or real data-path "
+                  "regression:")
+            for k, r in sorted(same.items(), key=lambda kv: -kv[1]):
+                print(f"  {r:5.2f}x  {k:40s} {oq[k]:7.3f}s -> {nq[k]:7.3f}s")
+        if changed:
+            print(f"\n{len(changed)} flagged queries whose PLAN CHANGED "
+                  "between rounds (expected cost moves, verify "
+                  "intent in the round's commits):")
+            for k, r in sorted(changed.items(), key=lambda kv: -kv[1]):
+                print(f"  {r:5.2f}x  {k:40s} {oq[k]:7.3f}s -> {nq[k]:7.3f}s")
     else:
         print(f"no queries beyond ±{args.flag}x after normalization")
 
