@@ -673,6 +673,24 @@ def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def coreset_centroids(
+    embeddings: DataFrame, k: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse-quantizer seeding from the greedy k-center coreset:
+    the k farthest-first picks become the cell centroids (cell id =
+    the pick's vec_id, the ``_ivf_default_centroids`` convention) —
+    the cross-shard index-maintenance path: coresets are tiny (k
+    rows), so per-shard coresets can be shipped, unioned, and
+    re-coreset-ed without touching shard data, and the 2-approx
+    coverage radius bounds how far any vector sits from its cell.
+    Deterministic end-to-end, so a SQL oracle replays the seeding."""
+    picks = kcenter_coreset(embeddings, k).select(id_col)
+    e = _quantized(embeddings, id_col)
+    return e.join(F.broadcast(picks), id_col).select(
+        F.col(id_col).alias("cell"), F.col("qe").alias("c_qe")
+    )
+
+
 def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
     """Greedy farthest-first (Gonzalez) k-center coreset selection —
     the diverse-subset primitive of training-data curation: pick k

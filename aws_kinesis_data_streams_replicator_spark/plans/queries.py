@@ -2910,7 +2910,7 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
 
 
-def _ivf_assign_sql(cent_cte: str) -> str:
+def _ivf_assign_sql(cent_cte: str, n_probe: int = 4) -> str:
     """Shared IVF assignment: score every vector against the (tiny)
     centroid set, rank by dot desc / cell asc — candidates keep rank 1,
     queries probe the top n_probe cells."""
@@ -2923,7 +2923,7 @@ far AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY cd DESC, cell ASC) AS r FROM fa),
 cand AS (SELECT vec_id, qe, cell FROM far WHERE r = 1),
 qs AS (SELECT vec_id AS query_id, qe AS q_qe, cell FROM far
-       WHERE r <= 4 AND vec_id % 50 = 0)"""
+       WHERE r <= {n_probe} AND vec_id % 50 = 0)"""
 
 
 @_q(
@@ -14854,10 +14854,13 @@ def cdc_importance_model_maintenance(
     return merge_importance_models(base, delta)
 
 
-def _kcenter_oracle(k: int = 8) -> str:
-    """DuckDB mirror of similarity.kcenter_coreset: the greedy
-    farthest-first chain unrolled to k rounds (bounded k, like the BPE
-    merge chain)."""
+def _kcenter_ctes(k: int = 8) -> list[str]:
+    """CTE chain of the DuckDB kcenter mirror (greedy farthest-first
+    unrolled to k rounds — bounded k, like the BPE merge chain):
+    ``e`` (quantized corpus), ``sel`` (the k picks), ``rad`` (coverage
+    radius).  Shared by the standalone coreset oracle and the
+    coreset-seeded IVF oracles, so the two stay in lockstep by
+    construction."""
 
     def l2(a: str, b: str) -> str:
         return (
@@ -14893,8 +14896,13 @@ def _kcenter_oracle(k: int = 8) -> str:
         f"rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius_q FROM m{k})"
     )
     ctes.append("sel AS (" + " UNION ALL ".join(sels) + ")")
+    return ctes
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """DuckDB mirror of similarity.kcenter_coreset."""
     return (
-        "WITH " + ", ".join(ctes)
+        "WITH " + ", ".join(_kcenter_ctes(k))
         + " SELECT pick_round, vec_id, sel_dist_q, radius_q "
         "FROM sel CROSS JOIN rad"
     )
@@ -14923,6 +14931,114 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_dist_q",
         "radius_q",
     )
+
+
+@_q(
+    "emb_ann_ivf_coreset_topk",
+    f"""
+    WITH {", ".join(_kcenter_ctes(8))},
+    cseed AS (SELECT e.vec_id AS cell, e.qe AS c_qe
+              FROM e JOIN sel ON sel.vec_id = e.vec_id),
+    {_ivf_assign_sql("cseed", n_probe=2)},
+    {_ann_rerank_sql("qs q JOIN cand c USING (cell)")}
+    """,
+)
+def emb_ann_ivf_coreset_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN seeded from the greedy k-center CORESET
+    (similarity.coreset_centroids): the 8 farthest-first picks become
+    the coarse-quantizer cells — the index-MAINTENANCE path the r8
+    verdict asked for: coresets are k-row summaries, so per-shard
+    coresets ship/fold without touching shard data, and the 2-approx
+    coverage radius bounds every vector's distance to its cell (the
+    guarantee first-k or RNG seeding cannot give).  Deterministic
+    end-to-end, so the oracle replays seeding, assignment, probing,
+    and rerank in exact integer arithmetic.
+
+    Scale notes: seeding is k bounded corpus passes (kcenter), then
+    the standard IVF shape — tiny centroid broadcast, cell-equi-join
+    candidates, never all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cent = similarity.coreset_centroids(emb, k=8)
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=2, centroids=cent
+    )
+
+
+# chance for 2-of-8 probing = 2500 bp; measured working recall
+# 4200-4700 bp at sf0.001/sf0.01 — floor = chance x 1.4 stays below
+# every measured value while a broken index (random cells) collapses
+# to ~chance, far under it (same derivation as _RECALL_FLOORS)
+_CORESET_IVF_FLOOR_BP = _ann_recall_floor_bp(10000 * 2 / 8, margin=1.4)
+
+
+@_q(
+    "emb_coreset_ivf_recall_eval",
+    f"""
+    WITH exact AS ({{exact}}),
+    approx AS ({{approx}}),
+    m AS (
+        SELECT count(*) AS n_expected, count(a.neighbor_id) AS n_hits
+        FROM exact e LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT 'ivf_coreset_np2' AS method,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 10000 // n_expected AS BIGINT) AS micro_recall_bp,
+           CAST({_CORESET_IVF_FLOOR_BP} AS BIGINT) AS floor_bp,
+           n_hits * 10000 // n_expected >= {_CORESET_IVF_FLOOR_BP}
+               AS meets_floor
+    FROM m
+    """,
+)
+def emb_coreset_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the coreset-seeded IVF path vs the exact ranking,
+    asserted against its chance-derived floor (emb_ann_recall_eval
+    rationale: both engines compute meets_floor from their OWN index
+    output, so a seeding/probing quality regression flips Spark's
+    boolean while the frozen oracle stays true — a driver hash
+    mismatch, not a drifting number)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    cent = similarity.coreset_centroids(emb, k=8)
+    a = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=2, centroids=cent
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    j = exact.join(
+        a,
+        (exact.query_id == a.query_id)
+        & (exact.neighbor_id == a.a_neighbor),
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_expected"),
+        F.count("a_neighbor").alias("n_hits"),
+    ).select(
+        F.lit("ivf_coreset_np2").alias("method"),
+        F.col("n_expected").cast("long").alias("n_expected"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("CAST(n_hits * 10000 DIV n_expected AS BIGINT)").alias(
+            "micro_recall_bp"
+        ),
+        F.lit(_CORESET_IVF_FLOOR_BP).cast("long").alias("floor_bp"),
+        F.expr(
+            f"n_hits * 10000 DIV n_expected >= {_CORESET_IVF_FLOOR_BP}"
+        ).alias("meets_floor"),
+    )
+
+
+# splice the already-registered exact and coreset-IVF oracles into the
+# recall template (the emb_ann_recall_eval composition pattern)
+ORACLE_SQL["emb_coreset_ivf_recall_eval"] = ORACLE_SQL[
+    "emb_coreset_ivf_recall_eval"
+].format(
+    exact=ORACLE_SQL["emb_ann_topk"],
+    approx=ORACLE_SQL["emb_ann_ivf_coreset_topk"],
+)
 
 
 @_q(
@@ -15797,6 +15913,10 @@ _CHECK_FIRST = [
     "evt_gapfill_hourly",
     "evt_range_frame_sum",
     "evt_retention_cohorts",
+    # ---- round-9 late registrations (driver window locked at 50;
+    # these head the r10 rotation — NOTES_r10_staging.md item 1) ----
+    "emb_ann_ivf_coreset_topk",
+    "emb_coreset_ivf_recall_eval",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

@@ -58,3 +58,28 @@ def test_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, kcenter_coreset(emb, k=4).collect()))
     b = sorted(map(tuple, kcenter_coreset(emb, k=4).collect()))
     assert a == b
+
+
+def test_coreset_centroids_are_the_picks(spark, sf_dir):
+    """IVF seeding contract (r9): coreset_centroids returns exactly the
+    k farthest-first picks — cell id = pick vec_id, c_qe = the pick's
+    quantized embedding (the _ivf_default_centroids convention, so
+    ivf_topk consumes them unchanged)."""
+    from aws_kinesis_data_streams_replicator_spark.operators.similarity import (
+        coreset_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    picks = {r["vec_id"] for r in kcenter_coreset(emb, k=4).collect()}
+    cents = coreset_centroids(emb, k=4).collect()
+    assert {r["cell"] for r in cents} == picks
+    q = {
+        r["vec_id"]: r["qe"]
+        for r in emb.select(
+            "vec_id", quantize_embedding(F.col("embedding")).alias("qe")
+        )
+        .where(F.col("vec_id").isin(list(picks)))
+        .collect()
+    }
+    for r in cents:
+        assert list(r["c_qe"]) == list(q[r["cell"]])

@@ -118,6 +118,10 @@ _BNLJ_OK = {
     # per-round 1-row next-center broadcasts + the 1-row radius cross
     # (greedy farthest-first: k bounded TakeOrdered(1) picks)
     "emb_kcenter_coreset",
+    # embed the kcenter chain as IVF seeding (same per-round 1-row
+    # broadcasts) + the 8-row centroid-set broadcast cross
+    "emb_ann_ivf_coreset_topk",
+    "emb_coreset_ivf_recall_eval",
     # 1-row digit-total scalar broadcast over the 9-row Benford table
     "dq_benford_first_digit",
     "part_association_rules",  # 1-row basket-total scalar broadcast
