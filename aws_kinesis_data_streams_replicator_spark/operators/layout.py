@@ -223,6 +223,21 @@ def compaction_plan(
     ~10⁵ rows for a 100 TB table), but the prefix sum still uses the
     distributed range-shuffle decomposition (operators/prefix.py), so
     even a 10⁸-file inventory never plans a single-partition window."""
+    binned = _binned_files(files, key_col, size_col, target_bytes)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_bytes"),
+        F.min(key_col).alias("first_key"),
+        F.max(key_col).alias("last_key"),
+    )
+
+
+def _binned_files(
+    files: DataFrame, key_col: str, size_col: str, target_bytes: int
+) -> DataFrame:
+    """Per-file bin assignment of ``compaction_plan`` (the distributed
+    prefix sum + ``bin = exclusive_prefix DIV target``), kept separate
+    so the incremental step can SPLIT an inventory at the open bin."""
     ordered = with_global_prefix(
         files,
         [F.col(key_col)],
@@ -230,16 +245,87 @@ def compaction_plan(
         cum_cols=[size_col],
         cum_suffix="_cum",
     )
-    binned = ordered.withColumn(
+    return ordered.withColumn(
         "bin",
         F.expr(
             f"CAST(({size_col}_cum - {size_col}) DIV {int(target_bytes)} "
             "AS BIGINT)"
         ),
     )
-    return binned.groupBy("bin").agg(
+
+
+def compaction_step(
+    pending: DataFrame,
+    new_files: DataFrame,
+    key_col: str,
+    size_col: str,
+    target_bytes: int,
+    bins_emitted: int = 0,
+    flush: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE incremental compaction-maintenance step — the streaming leg
+    of :func:`compaction_plan` (micro-batch ingest appends a few files
+    per trigger; the maintenance job must emit rewrite work lists
+    continuously, not re-plan the whole table).
+
+    ``pending`` is the open tail carried from the previous step (the
+    files of the bin still below target), ``new_files`` the current
+    micro-batch's inventory rows; both are walked together in
+    ``key_col`` order through the SAME prefix-sum DIV arithmetic as
+    the batch planner.  Every bin except the highest is CLOSED —
+    returned in the work list with a globally contiguous id
+    (``bins_emitted`` + dense index) — and the highest bin's files
+    become the next step's pending (it may still receive files).
+    ``flush=True`` closes the tail too (end-of-stream / forced
+    OPTIMIZE).
+
+    Semantics note: each emission epoch restarts the prefix at 0, so
+    a closed bin always holds ≥ target bytes unless an oversized file
+    jumped a boundary (the batch planner's own tail-space rule); the
+    packing is first-fit-identical to the batch plan whenever bins
+    align with trigger boundaries, and never worse in bin count.
+
+    Returns ``(closed_bins, new_pending)`` — closed_bins has the
+    compaction_plan schema, new_pending the input file schema.
+
+    Scale notes: inventories are metadata (≤ a few rows per trigger +
+    the open tail); the only full pass is over pending ∪ batch, the
+    bin split is a 1-row max cross, and the dense renumbering windows
+    over the CLOSED-BIN ROLLUP (≤ batch_bytes/target rows — bounded
+    by the trigger, not the table)."""
+    from pyspark.sql import Window
+
+    inv = new_files if pending is None else pending.unionByName(new_files)
+    binned = _binned_files(inv, key_col, size_col, target_bytes).select(
+        *inv.columns, "bin"
+    )
+    if flush:
+        closed_files = binned
+        new_pending = binned.select(*inv.columns).limit(0)
+    else:
+        top = binned.agg(F.max("bin").alias("_open_bin"))
+        with_top = binned.crossJoin(F.broadcast(top))
+        closed_files = with_top.where(F.col("bin") < F.col("_open_bin"))
+        new_pending = with_top.where(
+            F.col("bin") == F.col("_open_bin")
+        ).select(*inv.columns)
+    rolled = closed_files.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
         F.sum(size_col).cast("long").alias("total_bytes"),
         F.min(key_col).alias("first_key"),
         F.max(key_col).alias("last_key"),
     )
+    # global ids stay contiguous across epochs even when an oversized
+    # file skips local bin numbers; the window runs over the closed-bin
+    # ROLLUP (bounded by this trigger's bytes), not file rows
+    w = Window.orderBy("bin")
+    closed = rolled.select(
+        (
+            F.dense_rank().over(w) - 1 + F.lit(int(bins_emitted))
+        ).cast("long").alias("bin"),
+        "n_files",
+        "total_bytes",
+        "first_key",
+        "last_key",
+    )
+    return closed, new_pending

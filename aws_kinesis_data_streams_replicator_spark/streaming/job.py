@@ -850,3 +850,84 @@ def streaming_phash_gate(
         .where(F.col("_hit").isNull())
     )
     return gated.select(*cols)
+
+
+def streaming_compaction_maintenance(
+    files_stream: DataFrame,
+    work_dir: str,
+    key_col: str = "file_key",
+    size_col: str = "size_bytes",
+    target_bytes: int = 1 << 20,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuous compaction maintenance — the streaming leg of
+    operators/layout.py ``compaction_plan``: micro-batch ingest leaves
+    one small file per trigger, and instead of re-planning the whole
+    table, every trigger folds the new inventory rows into the carried
+    open tail (``compaction_step``) and appends the bins it CLOSED to
+    a work-list table a rewrite job consumes.
+
+    Exactly-once effective under WAL replay with no stateful operator:
+
+    * per-epoch state — the open tail's files plus a 1-row
+      (bins_emitted, bytes_seen) meta — lives at
+      ``work_dir/state/asof=<batch_id>``; a replayed batch N re-reads
+      ``asof=N-1`` (never clobbered by N's failure) and recomputes
+      deterministically;
+    * closed bins land at ``work_dir/bins/epoch=<batch_id>`` via full
+      directory overwrite, so the replay rewrites byte-identical
+      output instead of duplicating it.
+
+    Scale notes: inventories are metadata (a few rows per trigger);
+    state reads/writes are one tiny parquet each; the only per-trigger
+    Spark work is the bounded compaction_step plan.  Old ``asof``
+    epochs are pruned best-effort to two."""
+    import os
+    import shutil
+
+    from ..operators.layout import compaction_step
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = f"{work_dir}/state"
+        prev = f"{state}/asof={batch_id - 1}"
+        pending = None
+        bins_emitted = 0
+        try:
+            pending = spark.read.parquet(f"{prev}/pending").select(
+                key_col, size_col
+            )
+            bins_emitted = int(
+                spark.read.parquet(f"{prev}/meta").first()["bins_emitted"]
+            )
+        except AnalysisException:
+            pass  # first batch (or fresh work_dir): empty state
+        closed, new_pending = compaction_step(
+            pending,
+            batch_df.select(key_col, size_col),
+            key_col,
+            size_col,
+            target_bytes,
+            bins_emitted=bins_emitted,
+        )
+        closed = closed.localCheckpoint(eager=True)  # plan once: count + write
+        n_closed = closed.count()
+        closed.write.mode("overwrite").parquet(
+            f"{work_dir}/bins/epoch={batch_id}"
+        )
+        cur = f"{state}/asof={batch_id}"
+        new_pending.write.mode("overwrite").parquet(f"{cur}/pending")
+        spark.sql(
+            f"SELECT CAST({bins_emitted + n_closed} AS BIGINT) "
+            "AS bins_emitted"
+        ).write.mode("overwrite").parquet(f"{cur}/meta")
+        # keep two epochs of state: current (for N+1) and previous
+        # (for a replay of N); everything older is dead
+        for d in (f"{state}/asof={batch_id - 2}",):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
+    writer = files_stream.writeStream.foreachBatch(step)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
