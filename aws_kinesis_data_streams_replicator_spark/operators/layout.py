@@ -290,11 +290,11 @@ def compaction_step(
 
     Scale notes: inventories are metadata (≤ a few rows per trigger +
     the open tail); the only full pass is over pending ∪ batch, the
-    bin split is a 1-row max cross, and the dense renumbering windows
-    over the CLOSED-BIN ROLLUP (≤ batch_bytes/target rows — bounded
-    by the trigger, not the table)."""
-    from pyspark.sql import Window
-
+    bin split is a 1-row max cross, and the contiguous renumbering of
+    closed bins runs the distributed prefix decomposition
+    (operators/prefix.py) over the closed-bin ROLLUP — no
+    single-partition window even when a batch replay closes a whole
+    table's worth of bins at once."""
     inv = new_files if pending is None else pending.unionByName(new_files)
     binned = _binned_files(inv, key_col, size_col, target_bytes).select(
         *inv.columns, "bin"
@@ -316,13 +316,13 @@ def compaction_step(
         F.max(key_col).alias("last_key"),
     )
     # global ids stay contiguous across epochs even when an oversized
-    # file skips local bin numbers; the window runs over the closed-bin
-    # ROLLUP (bounded by this trigger's bytes), not file rows
-    w = Window.orderBy("bin")
-    closed = rolled.select(
-        (
-            F.dense_rank().over(w) - 1 + F.lit(int(bins_emitted))
-        ).cast("long").alias("bin"),
+    # file skips local bin numbers; bins are unique, so the exact
+    # distributed row number in bin order IS the dense index
+    renum = with_global_prefix(rolled, [F.col("bin")], rn_col="_bin_rn")
+    closed = renum.select(
+        (F.col("_bin_rn") - 1 + F.lit(int(bins_emitted)))
+        .cast("long")
+        .alias("bin"),
         "n_files",
         "total_bytes",
         "first_key",

@@ -691,6 +691,31 @@ def coreset_centroids(
     )
 
 
+def coverage_radius(
+    embeddings: DataFrame, pick_ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """1-row coverage audit of a pick set: max over the corpus of the
+    min exact squared L2 distance to any pick — the number a coreset's
+    guarantee is ABOUT, computed independently of how the picks were
+    chosen (so it audits folded/shipped coresets, not just fresh ones).
+
+    Scale notes: picks are tiny (k rows) and broadcast; one corpus
+    pass, min folded per vector map-side, one global max."""
+    from ..functions.vectors import sqdist_q
+
+    e = _quantized(embeddings, id_col)
+    picks = e.join(F.broadcast(pick_ids.select(id_col)), id_col).select(
+        F.col("qe").alias("p_qe")
+    )
+    return (
+        e.crossJoin(F.broadcast(picks))
+        .select(id_col, sqdist_q(F.col("qe"), F.col("p_qe")).alias("d"))
+        .groupBy(id_col)
+        .agg(F.min("d").alias("mind"))
+        .agg(F.max("mind").cast("long").alias("cover_q"))
+    )
+
+
 def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
     """Greedy farthest-first (Gonzalez) k-center coreset selection —
     the diverse-subset primitive of training-data curation: pick k

@@ -14581,6 +14581,136 @@ def files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "files_compaction_incremental",
+    """
+    WITH f AS (SELECT o_orderdate AS d,
+                      CAST(count(*) * 120 AS BIGINT) AS size_bytes
+               FROM orders GROUP BY 1),
+    e1 AS (SELECT d, size_bytes,
+                  CAST(coalesce(sum(size_bytes) OVER (
+                      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS lbin
+           FROM f WHERE d < DATE '1996-01-01'),
+    e1top AS (SELECT max(lbin) AS open1 FROM e1),
+    c1 AS (SELECT lbin, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+                  min(d) AS dmin, max(d) AS dmax
+           FROM e1, e1top WHERE lbin < open1 GROUP BY lbin),
+    c1n AS (SELECT CAST(dense_rank() OVER (ORDER BY lbin) - 1 AS BIGINT)
+                       AS bin, n_files, total_bytes, dmin, dmax
+            FROM c1),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS emitted FROM c1n),
+    pend AS (SELECT d, size_bytes FROM e1, e1top WHERE lbin = open1),
+    u2 AS (SELECT d, size_bytes FROM pend
+           UNION ALL
+           SELECT d, size_bytes FROM f WHERE d >= DATE '1996-01-01'),
+    e2 AS (SELECT d, size_bytes,
+                  CAST(coalesce(sum(size_bytes) OVER (
+                      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS lbin
+           FROM u2),
+    e2top AS (SELECT max(lbin) AS open2 FROM e2),
+    c2 AS (SELECT lbin, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+                  min(d) AS dmin, max(d) AS dmax
+           FROM e2, e2top WHERE lbin < open2 GROUP BY lbin),
+    c2n AS (SELECT CAST(dense_rank() OVER (ORDER BY lbin) - 1 AS BIGINT)
+                       + (SELECT emitted FROM n1) AS bin,
+                   n_files, total_bytes, dmin, dmax
+            FROM c2),
+    tail AS (SELECT (SELECT emitted FROM n1)
+                        + (SELECT CAST(count(*) AS BIGINT) FROM c2n)
+                        AS bin,
+                    CAST(count(*) AS BIGINT) AS n_files,
+                    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+                    min(d) AS dmin, max(d) AS dmax
+             FROM e2, e2top WHERE lbin = open2)
+    SELECT CAST(1 AS INTEGER) AS epoch, 'closed' AS status, bin, n_files,
+           total_bytes, strftime(dmin, '%Y-%m-%d') AS first_day,
+           strftime(dmax, '%Y-%m-%d') AS last_day
+    FROM c1n
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'closed', bin, n_files, total_bytes,
+           strftime(dmin, '%Y-%m-%d'), strftime(dmax, '%Y-%m-%d')
+    FROM c2n
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'open', bin, n_files, total_bytes,
+           strftime(dmin, '%Y-%m-%d'), strftime(dmax, '%Y-%m-%d')
+    FROM tail
+    """,
+)
+def files_compaction_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL compaction maintenance made driver-checkable: the
+    daily-orders file inventory splits into two ingest epochs (dates
+    before / from 1996), each folded through ``layout.compaction_step``
+    — the exact arithmetic the streaming maintenance job
+    (streaming/job.py streaming_compaction_maintenance) runs per
+    micro-batch: epoch 1 closes every bin but its open tail, epoch 2
+    folds that tail in front of its own inventory and continues the
+    GLOBAL bin numbering; the final open tail is reported as the one
+    'open' row so byte conservation is visible in the result.
+
+    The oracle replays both epochs' prefix sums, the open-tail split,
+    the dense renumbering, and the id continuation — pinning the
+    streaming leg's state-fold semantics under the value hash, not
+    just pytest.
+
+    Scale notes: inventories are metadata rows; both epochs use the
+    distributed prefix decomposition (operators/prefix.py); splits are
+    1-row max crosses; rollups are hash aggregations."""
+    f = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg((F.count(F.lit(1)) * 120).cast("long").alias("size_bytes"))
+        .localCheckpoint(eager=False)
+    )
+    cut = F.col("d") < F.lit("1996-01-01").cast("timestamp")
+    closed1, pend1 = layout.compaction_step(
+        None, f.where(cut), "d", "size_bytes", 4096
+    )
+    closed1 = closed1.localCheckpoint(eager=False)
+    closed2, pend2 = layout.compaction_step(
+        pend1, f.where(~cut), "d", "size_bytes", 4096
+    )
+    n1 = closed1.agg(F.count(F.lit(1)).cast("long").alias("_n1"))
+    n2 = closed2.agg(F.count(F.lit(1)).cast("long").alias("_n2"))
+
+    def fmt(df, epoch, status):
+        return df.select(
+            F.lit(epoch).cast("int").alias("epoch"),
+            F.lit(status).alias("status"),
+            F.col("bin"),
+            "n_files",
+            "total_bytes",
+            F.date_format("first_key", "yyyy-MM-dd").alias("first_day"),
+            F.date_format("last_key", "yyyy-MM-dd").alias("last_day"),
+        )
+
+    tail = pend2.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("total_bytes"),
+        F.min("d").alias("first_key"),
+        F.max("d").alias("last_key"),
+    )
+    out1 = fmt(closed1, 1, "closed")
+    out2 = fmt(
+        closed2.crossJoin(F.broadcast(n1)).withColumn(
+            "bin", F.col("bin") + F.col("_n1")
+        ),
+        2,
+        "closed",
+    )
+    out3 = fmt(
+        tail.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn("bin", F.col("_n1") + F.col("_n2")),
+        2,
+        "open",
+    )
+    return out1.unionByName(out2).unionByName(out3)
+
+
 def _phash_ctes() -> list[str]:
     """CTE list shared by the mm_image_phash_groups oracle and the
     curation-v6 composition: the closed-form variant-pixel corpus
@@ -14854,48 +14984,59 @@ def cdc_importance_model_maintenance(
     return merge_importance_models(base, delta)
 
 
-def _kcenter_ctes(k: int = 8) -> list[str]:
+def _kcenter_l2(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two DuckDB integer lists."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kcenter_ctes(k: int = 8, prefix: str = "", source: str | None = None) -> list[str]:
     """CTE chain of the DuckDB kcenter mirror (greedy farthest-first
     unrolled to k rounds — bounded k, like the BPE merge chain):
-    ``e`` (quantized corpus), ``sel`` (the k picks), ``rad`` (coverage
-    radius).  Shared by the standalone coreset oracle and the
-    coreset-seeded IVF oracles, so the two stay in lockstep by
-    construction."""
-
-    def l2(a: str, b: str) -> str:
-        return (
-            f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
-        )
-
+    ``{p}e`` (quantized universe), ``{p}sel`` (the k picks), ``{p}rad``
+    (coverage radius).  Shared by the standalone coreset oracle, the
+    coreset-seeded IVF oracles, and — via ``prefix``/``source`` — the
+    cross-shard fold oracle, which runs THREE chains in one query (two
+    shards + the fold over their 2k union), so every consumer stays in
+    lockstep by construction.  ``source`` must yield (vec_id, qe)."""
+    p = prefix
+    l2 = _kcenter_l2
+    if source is None:
+        source = f"SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings"
+    # AS MATERIALIZED: each m_j is referenced twice (next pick + next
+    # fold), so an inlining planner would expand the chain 2^k times —
+    # the fold oracle's three chains exhausted file handles without it
     ctes = [
-        f"e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings)",
-        "c1 AS (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 1)",
-        f"m1 AS (SELECT e.vec_id, e.qe, {l2('e.qe', 'c1.qe')} AS mind "
-        "FROM e, c1)",
+        f"{p}e AS MATERIALIZED ({source})",
+        f"{p}c1 AS (SELECT vec_id, qe FROM {p}e ORDER BY vec_id LIMIT 1)",
+        f"{p}m1 AS MATERIALIZED (SELECT {p}e.vec_id, {p}e.qe, "
+        f"{l2(f'{p}e.qe', f'{p}c1.qe')} AS mind FROM {p}e, {p}c1)",
     ]
     sels = [
         "SELECT CAST(1 AS INTEGER) AS pick_round, vec_id, "
-        "CAST(0 AS BIGINT) AS sel_dist_q FROM c1"
+        f"CAST(0 AS BIGINT) AS sel_dist_q FROM {p}c1"
     ]
     for j in range(2, k + 1):
         ctes.append(
-            f"c{j} AS (SELECT vec_id, qe, mind FROM m{j - 1} "
+            f"{p}c{j} AS (SELECT vec_id, qe, mind FROM {p}m{j - 1} "
             "ORDER BY mind DESC, vec_id LIMIT 1)"
         )
         ctes.append(
-            f"m{j} AS (SELECT m.vec_id, m.qe, "
-            f"least(m.mind, {l2('m.qe', f'c{j}.qe')}) AS mind "
-            f"FROM m{j - 1} m, c{j})"
+            f"{p}m{j} AS MATERIALIZED (SELECT m.vec_id, m.qe, "
+            f"least(m.mind, {l2('m.qe', f'{p}c{j}.qe')}) AS mind "
+            f"FROM {p}m{j - 1} m, {p}c{j})"
         )
         sels.append(
             f"SELECT CAST({j} AS INTEGER), vec_id, CAST(mind AS BIGINT) "
-            f"FROM c{j}"
+            f"FROM {p}c{j}"
         )
     ctes.append(
-        f"rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius_q FROM m{k})"
+        f"{p}rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius_q "
+        f"FROM {p}m{k})"
     )
-    ctes.append("sel AS (" + " UNION ALL ".join(sels) + ")")
+    ctes.append(f"{p}sel AS (" + " UNION ALL ".join(sels) + ")")
     return ctes
 
 
@@ -15039,6 +15180,98 @@ ORACLE_SQL["emb_coreset_ivf_recall_eval"] = ORACLE_SQL[
     exact=ORACLE_SQL["emb_ann_topk"],
     approx=ORACLE_SQL["emb_ann_ivf_coreset_topk"],
 )
+
+
+def _coreset_fold_oracle(k: int = 8) -> str:
+    """Cross-shard fold: two per-shard kcenter chains, a third chain
+    over the union of their picks, and the full-corpus coverage audit
+    of the folded picks — plus the triangle-inequality bound in squared
+    form (d(x,F) ≤ d(x,s)+d(s,F) ⇒ d² ≤ 2·r_shard² + 2·r_fold²)."""
+    src = f"SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings"
+    ctes = (
+        _kcenter_ctes(k, "a", src + " WHERE vec_id % 2 = 0")
+        + _kcenter_ctes(k, "b", src + " WHERE vec_id % 2 = 1")
+        + _kcenter_ctes(
+            k,
+            "f",
+            "SELECT vec_id, qe FROM ae WHERE vec_id IN "
+            "(SELECT vec_id FROM asel) UNION ALL "
+            "SELECT vec_id, qe FROM be WHERE vec_id IN "
+            "(SELECT vec_id FROM bsel)",
+        )
+        + [
+            f"ce AS ({src})",
+            "fp AS (SELECT vec_id, qe FROM fe WHERE vec_id IN "
+            "(SELECT vec_id FROM fsel))",
+            "cov AS (SELECT CAST(max(m) AS BIGINT) AS cover_q FROM ("
+            "SELECT c.vec_id, min("
+            + _kcenter_l2("c.qe", "p.qe")
+            + ") AS m FROM ce c, fp p GROUP BY c.vec_id) t)",
+        ]
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT "
+        "(SELECT radius_q FROM arad) AS shard_a_radius_q, "
+        "(SELECT radius_q FROM brad) AS shard_b_radius_q, "
+        "(SELECT radius_q FROM frad) AS fold_radius_q, "
+        "cover_q, "
+        "CAST(2 * greatest((SELECT radius_q FROM arad), "
+        "(SELECT radius_q FROM brad)) "
+        "+ 2 * (SELECT radius_q FROM frad) AS BIGINT) AS bound_q, "
+        "cover_q <= 2 * greatest((SELECT radius_q FROM arad), "
+        "(SELECT radius_q FROM brad)) "
+        "+ 2 * (SELECT radius_q FROM frad) AS meets_bound "
+        "FROM cov"
+    )
+
+
+@_q("emb_coreset_fold_maintenance", _coreset_fold_oracle())
+def emb_coreset_fold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard coreset MAINTENANCE: each shard (vec_id parity)
+    computes its own k-center coreset; the folded index re-coresets the
+    2k-row union of picks WITHOUT touching shard data — the shippable
+    k-row summary path for a 100-TB embedding store — and the full
+    corpus is audited against the folded picks
+    (similarity.coverage_radius).  The triangle inequality gives the
+    integer bound cover_q ≤ 2·max(r_a, r_b) + 2·r_fold (squared form
+    via (x+y)² ≤ 2x²+2y²); both engines compute meets_bound from their
+    OWN picks, so a fold-quality regression flips Spark's boolean
+    against the frozen oracle — a driver hash mismatch.
+
+    Scale notes: shard coresets = k bounded passes per shard; the fold
+    runs over 2k ROWS; the audit is one corpus pass against an 8-row
+    broadcast.  Shard data crosses the wire only as k-row summaries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = similarity.kcenter_coreset(emb.where(F.col("vec_id") % 2 == 0), k=8)
+    b = similarity.kcenter_coreset(emb.where(F.col("vec_id") % 2 == 1), k=8)
+    pick_ids = a.select("vec_id").unionByName(b.select("vec_id"))
+    folded = similarity.kcenter_coreset(
+        emb.join(pick_ids, "vec_id", "semi"), k=8
+    )
+    cover = similarity.coverage_radius(emb, folded.select("vec_id"))
+    ra = a.agg(F.max("radius_q").cast("long").alias("shard_a_radius_q"))
+    rb = b.agg(F.max("radius_q").cast("long").alias("shard_b_radius_q"))
+    rf = folded.agg(F.max("radius_q").cast("long").alias("fold_radius_q"))
+    return (
+        ra.crossJoin(F.broadcast(rb))
+        .crossJoin(F.broadcast(rf))
+        .crossJoin(F.broadcast(cover))
+        .select(
+            "shard_a_radius_q",
+            "shard_b_radius_q",
+            "fold_radius_q",
+            "cover_q",
+            (
+                2 * F.greatest("shard_a_radius_q", "shard_b_radius_q")
+                + 2 * F.col("fold_radius_q")
+            ).cast("long").alias("bound_q"),
+            (
+                F.col("cover_q")
+                <= 2 * F.greatest("shard_a_radius_q", "shard_b_radius_q")
+                + 2 * F.col("fold_radius_q")
+            ).alias("meets_bound"),
+        )
+    )
 
 
 @_q(
@@ -15917,6 +16150,8 @@ _CHECK_FIRST = [
     # these head the r10 rotation — NOTES_r10_staging.md item 1) ----
     "emb_ann_ivf_coreset_topk",
     "emb_coreset_ivf_recall_eval",
+    "files_compaction_incremental",
+    "emb_coreset_fold_maintenance",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

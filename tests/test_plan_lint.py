@@ -122,6 +122,12 @@ _BNLJ_OK = {
     # broadcasts) + the 8-row centroid-set broadcast cross
     "emb_ann_ivf_coreset_topk",
     "emb_coreset_ivf_recall_eval",
+    # three kcenter chains (per-round 1-row broadcasts) + the 8-row
+    # folded-pick coverage cross + four 1-row radius/cover crosses
+    "emb_coreset_fold_maintenance",
+    # the two epochs' 1-row open-bin max crosses + the 1-row emitted
+    # counters continuing the global bin ids
+    "files_compaction_incremental",
     # 1-row digit-total scalar broadcast over the 9-row Benford table
     "dq_benford_first_digit",
     "part_association_rules",  # 1-row basket-total scalar broadcast
@@ -277,6 +283,11 @@ _BCAST_OK: dict[str, str] = {
     # is an external bounded query list, modeled at fixture scale as a
     # 1% vec_id sample of the corpus
     "emb_filtered_ann_topk": "bounded query-set broadcast",
+    # every broadcast arg here is a 1-row frame: coverage_radius's
+    # global max-of-min aggregate and the three radius aggregates —
+    # the first is built inside similarity.coverage_radius, whose
+    # collapsing .agg() the lexical resolver can't see through
+    "emb_coreset_fold_maintenance": "1-row coverage/radius aggregates",
 }
 
 
