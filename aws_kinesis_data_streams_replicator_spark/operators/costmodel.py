@@ -182,6 +182,10 @@ def write_key_sketch(
         .write.mode(mode)
         .parquet(sketch_path(catalog_dir, relation, key))
     )
+    # a write (fresh or delta) changes what planning would read —
+    # drop this catalog's memoized stats (out-of-process writers are
+    # out of scope: call invalidate_catalog_plan_cache yourself)
+    invalidate_catalog_plan_cache(catalog_dir)
 
 
 def read_key_sketch(
@@ -211,6 +215,25 @@ def read_key_sketch(
     return raw.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+# per-process memo of catalog planning stats: a sketch catalog entry is
+# immutable once written (appends create NEW delta files, which a
+# session that wrote them invalidates explicitly), so re-planning the
+# same (catalog, relations, convention) join re-reads nothing — the
+# 1-row stats job runs once per session instead of once per query
+# construction.  Keyed by every input that affects the decision.
+_CATALOG_PLAN_CACHE: dict[tuple, object] = {}
+
+
+def invalidate_catalog_plan_cache(catalog_dir: str | None = None) -> None:
+    """Drop memoized planning stats — call after appending delta grids
+    to a catalog this session (pass its dir) or to flush everything."""
+    if catalog_dir is None:
+        _CATALOG_PLAN_CACHE.clear()
+        return
+    for k in [k for k in _CATALOG_PLAN_CACHE if k[0] == catalog_dir]:
+        del _CATALOG_PLAN_CACHE[k]
+
+
 def plan_equijoin_from_catalog(
     left: DataFrame,
     right: DataFrame,
@@ -227,8 +250,10 @@ def plan_equijoin_from_catalog(
     side's persisted grid; on a catalog miss, build it from the
     relation ONCE and persist before planning (cache-on-miss), so the
     per-query cost after warmup is two ≤4096-cell parquet reads and a
-    1-row stats collect — the fact tables are touched only by the
-    join itself.  Returns ``(joined_df, stats_row)`` exactly like
+    1-row stats collect — memoized per process (the catalog is
+    immutable per path), so repeated plannings of the same join in one
+    session cost a dict lookup.  The fact tables are touched only by
+    the join itself.  Returns ``(joined_df, stats_row)`` exactly like
     ``plan_equijoin``."""
     from pyspark.errors import AnalysisException
 
@@ -245,9 +270,22 @@ def plan_equijoin_from_catalog(
                 df.sparkSession, catalog_dir, relation, key, depth, width
             )
 
-    ga = load_or_build(left, left_key, left_relation)
-    gb = load_or_build(right, right_key, right_relation)
-    stats = join_plan_stats(ga, gb, broadcast_threshold_rows).first()
+    memo_key = (
+        catalog_dir,
+        left_relation,
+        left_key,
+        right_relation,
+        right_key,
+        int(broadcast_threshold_rows),
+        depth,
+        width,
+    )
+    stats = _CATALOG_PLAN_CACHE.get(memo_key)
+    if stats is None:
+        ga = load_or_build(left, left_key, left_relation)
+        gb = load_or_build(right, right_key, right_relation)
+        stats = join_plan_stats(ga, gb, broadcast_threshold_rows).first()
+        _CATALOG_PLAN_CACHE[memo_key] = stats
     cond = left[left_key] == right[right_key]
     if stats["broadcast_smaller"]:
         if stats["smaller_side"] == "a":

@@ -213,3 +213,28 @@ def test_grid_drops_null_keys(spark, orders):
     g = costmodel.key_cms_grid(with_nulls, "k")
     per_row = g.groupBy("r").agg(F.sum("cnt").alias("n")).collect()
     assert {int(r.n) for r in per_row} == {n_nonnull}
+
+
+def test_catalog_planning_stats_are_memoized(
+    spark, orders, customer, tmp_path, monkeypatch
+):
+    """Re-planning the same catalog join in one session must not re-run
+    the 1-row stats job (the catalog entry is immutable per path);
+    an in-process sketch write invalidates the memo."""
+    cat = str(tmp_path / "catalog")
+    calls = []
+    orig = costmodel.join_plan_stats
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(costmodel, "join_plan_stats", counting)
+    args = (orders, customer, "o_custkey", "c_custkey", cat,
+            "orders", "customer")
+    _, s1 = costmodel.plan_equijoin_from_catalog(*args)
+    _, s2 = costmodel.plan_equijoin_from_catalog(*args)
+    assert len(calls) == 1 and s1 == s2
+    costmodel.write_key_sketch(customer, "c_custkey", cat, "customer")
+    _, s3 = costmodel.plan_equijoin_from_catalog(*args)
+    assert len(calls) == 2, "a catalog write must invalidate the memo"
