@@ -79,6 +79,47 @@ def connected_components(
     return labels.select(F.col("u").alias(out_id), F.col("lbl").alias(out_label))
 
 
+def fold_components(
+    base_components: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    out_id: str = "doc_id",
+    out_label: str = "cluster_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Incremental connected-components maintenance: absorb a batch of
+    NEW edges into an existing labeling without re-touching historical
+    edges.  The base graph enters CONTRACTED — one star edge
+    (node → its label) per labeled node — so connectivity inside every
+    old component survives through its representative, and the new
+    edges stitch stars together (a delta doc bridging two old
+    components re-canonicalizes both to the global min id).
+
+    Correctness: contracting a component onto any of its nodes
+    preserves the partition of the node universe, and min-label
+    canonicalization is order-independent — so the fold equals
+    from-scratch CC over (historical ∪ new) edges, which is exactly
+    what the cdc_neardup_cluster_maintenance oracle pins.
+
+    Scale notes: the historical corpus re-enters as |nodes| star edges
+    of diameter ≤ 2 (old pair sets, however dense, are gone), so the
+    propagation over the folded graph converges in ~(new-edge chain
+    length) rounds; each round is the same equi-join shape as the
+    batch CC."""
+    star = base_components.select(
+        F.col(out_id).alias(src), F.col(out_label).alias(dst)
+    )
+    return connected_components(
+        star.unionByName(new_edges.select(src, dst)),
+        src=src,
+        dst=dst,
+        out_id=out_id,
+        out_label=out_label,
+        max_iter=max_iter,
+    )
+
+
 def cluster_representatives(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One row per cluster: representative (= cluster_id = min doc_id)
     and member count."""

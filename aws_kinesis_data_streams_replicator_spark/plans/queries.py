@@ -3761,6 +3761,63 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.connected_components(pairs)
 
 
+def cdc_neardup_cluster_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the near-dup cluster labeling
+    (clustering.fold_components): the base corpus (doc_id mod 10 < 8)
+    is clustered once; the delta shard's signatures then PROBE the
+    stored band index (delta bands ⋈ all bands — only pairs touching a
+    delta doc are generated, the historical corpus is never re-paired),
+    and the new edges fold into the old labels through the contracted
+    star graph.  The oracle computes from-scratch CC over the FULL
+    candidate-pair graph — pinning fold == scratch under the value
+    hash, including the hard case where one delta doc bridges two old
+    components and both must re-canonicalize to the global min id.
+
+    Scale notes: the delta probe is an equi-join on (band, bucket)
+    keyed by the delta side; the fold re-enters history as |nodes|
+    star edges of diameter ≤ 2, so convergence is bounded by the NEW
+    chain length, not the historical graph."""
+    docs = _t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 >= 8
+    base_pairs = dedup.minhash_lsh_candidate_pairs(
+        docs.where(~is_delta), k_shingle=3, n_hashes=8, n_bands=4
+    )
+    base_cc = clustering.connected_components(base_pairs)
+    # the stored index: band rows for the whole corpus (base rows were
+    # written at base time; delta rows appended by the delta scan)
+    sig = dedup.minhash_signatures(docs, k_shingle=3, n_hashes=8)
+    sig = sig.localCheckpoint(eager=False)
+    all_bands = dedup.minhash_band_buckets(
+        signatures=sig, n_hashes=8, n_bands=4
+    )
+    delta_bands = all_bands.where(is_delta)
+    a, b = delta_bands.alias("a"), all_bands.alias("b")
+    delta_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return clustering.fold_components(base_cc, delta_pairs)
+
+
+QUERIES["cdc_neardup_cluster_maintenance"] = cdc_neardup_cluster_maintenance
+# fold == from-scratch: the oracle is the full-graph recursive-CTE CC,
+# byte-identical to doc_neardup_clusters' (shared text, not a copy)
+ORACLE_SQL["cdc_neardup_cluster_maintenance"] = ORACLE_SQL[
+    "doc_neardup_clusters"
+]
+
+
 @_q(
     "pipeline_corpus_curation_v2",
     f"""
@@ -16152,6 +16209,7 @@ _CHECK_FIRST = [
     "emb_coreset_ivf_recall_eval",
     "files_compaction_incremental",
     "emb_coreset_fold_maintenance",
+    "cdc_neardup_cluster_maintenance",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
@@ -16427,6 +16485,7 @@ ORACLE_SQL = _risk_ordered(ORACLE_SQL)
 PLAN_BUILD_RUNS_JOBS = frozenset(
     {
         "doc_neardup_clusters",
+        "cdc_neardup_cluster_maintenance",
         "geo_grid_dbscan",
         "pipeline_corpus_curation_v2",
         "pipeline_corpus_curation_v4",
