@@ -195,6 +195,43 @@ def layout_pruning_stats(
     )
 
 
+def execute_compaction_bins(
+    table: DataFrame,
+    bins: DataFrame,
+    key_col: str,
+    out_dir: str,
+) -> None:
+    """Execute a compaction work list (``compaction_plan`` /
+    ``compaction_step`` output): rewrite each bin's key range as ONE
+    key-sorted parquet file under ``out_dir/bin=<id>/`` — the rewrite
+    half of OPTIMIZE, in a single distributed job (no driver loop over
+    bins):
+
+    * bins are metadata (bounded per maintenance cycle) → broadcast
+      range join assigns every row its bin;
+    * hash-repartition on the bin id puts each bin's rows in one task;
+    * ``sortWithinPartitions(bin, key)`` keeps every output file
+      key-clustered, so downstream min-max pruning sees contiguous
+      spans (``layout_pruning_stats`` audits exactly this);
+    * ``partitionBy("bin")`` writes one file per bin directory.
+
+    Reads the table once however many bins close; the per-file
+    open/footer cost the small ingest files paid is amortized away."""
+    b = bins.select("bin", "first_key", "last_key")
+    assigned = table.join(
+        F.broadcast(b),
+        (table[key_col] >= F.col("first_key"))
+        & (table[key_col] <= F.col("last_key")),
+    ).drop("first_key", "last_key")
+    (
+        assigned.repartition("bin")
+        .sortWithinPartitions("bin", key_col)
+        .write.mode("overwrite")
+        .partitionBy("bin")
+        .parquet(out_dir)
+    )
+
+
 def compaction_plan(
     files: DataFrame,
     key_col: str,

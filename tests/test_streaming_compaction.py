@@ -163,3 +163,45 @@ def test_e2e_maintenance_with_wal_restart(spark, tmp_path):
     assert [(r["bin"], r["total_bytes"]) for r in again] == [
         (0, 120), (1, 110), (2, 95),
     ]
+
+
+def test_execute_compaction_bins_end_to_end(spark, tmp_path):
+    """The full physical-layout loop: plan bins over a daily inventory,
+    execute the rewrite, and verify one key-sorted file per bin whose
+    key span is exactly the bin's [first_key, last_key]."""
+    from aws_kinesis_data_streams_replicator_spark.operators.layout import (
+        execute_compaction_bins,
+    )
+
+    # table: 30 'days' of rows, sizes proportional to rows-per-day
+    table = spark.sql(
+        "SELECT CAST(id % 30 AS BIGINT) AS day, id AS payload "
+        "FROM range(3000)"
+    )
+    inv = table.groupBy("day").agg(
+        (F.count(F.lit(1)) * 10).cast("long").alias("size_bytes")
+    )
+    closed, pending = compaction_step(
+        None, inv, "day", "size_bytes", 2500, flush=True
+    )
+    assert pending.count() == 0
+    bins = {r["bin"]: r for r in closed.collect()}
+    out = str(tmp_path / "compacted")
+    execute_compaction_bins(table, closed, "day", out)
+    back = spark.read.parquet(out)
+    # every row survived, assigned to the right bin's range
+    assert back.count() == 3000
+    got = back.groupBy("bin").agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
+    )
+    for r in got.collect():
+        want = bins[r["bin"]]
+        assert (r["lo"], r["hi"]) == (want["first_key"], want["last_key"])
+        assert r["n_files"] == 1, "one rewritten file per bin"
+    # file count collapsed from 30 ingest days to |bins|
+    n_files_total = back.select(
+        F.countDistinct(F.col("_metadata.file_path"))
+    ).first()[0]
+    assert n_files_total == len(bins) < 30
