@@ -6155,6 +6155,94 @@ def emb_knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_SQL} AS qe FROM embeddings),
+    b AS (SELECT vec_id, label, qe, concat({_LSH_BITS_SQL}) AS bucket FROM e),
+    a AS (SELECT vec_id AS anchor_id, label AS a_label, qe AS a_qe, bucket
+          FROM b WHERE vec_id % 50 = 0),
+    s AS (SELECT a.anchor_id, a.a_label, c.vec_id AS cand_id,
+                 c.label AS c_label,
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> a.a_qe[i] * c.qe[i])) AS BIGINT) AS dot_q
+          FROM a JOIN b c USING (bucket) WHERE c.vec_id <> a.anchor_id),
+    pos AS (SELECT anchor_id, cand_id AS pos_id, dot_q AS pos_dot FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY dot_q DESC, cand_id ASC) AS rn
+            FROM s WHERE c_label = a_label) WHERE rn = 1),
+    neg AS (SELECT anchor_id, cand_id AS neg_id, dot_q AS neg_dot FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY dot_q DESC, cand_id ASC) AS rn
+            FROM s WHERE c_label <> a_label) WHERE rn = 1)
+    SELECT p.anchor_id, pos_id, pos_dot, neg_id, neg_dot,
+           CAST(pos_dot - neg_dot AS BIGINT) AS margin_q
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining for embedding training: per anchor,
+    the nearest SAME-label bucketmate (positive) and the nearest
+    DIFFERENT-label bucketmate (hard negative — close in embedding
+    space but semantically wrong, the pair that actually moves a
+    contrastive loss), plus the margin between them.  Candidates come
+    from the anchor's sign-LSH bucket, which is the honest 100-TB
+    shape: hard negatives are by definition nearby, and nearby vectors
+    share buckets — no all-pairs stage, ever.  Anchors whose bucket
+    lacks either a positive or a negative drop (inner join), exactly
+    like a curriculum builder would skip them.
+
+    Deterministic end-to-end (md5 hyperplanes, exact int64 dots, ties
+    → lowest candidate id), so the oracle replays bucketing, scoring,
+    and both argmaxes.
+
+    Scale notes: one equi-join on the bucket key; the per-anchor
+    positive/negative argmaxes fold in ONE map-side-combinable
+    aggregation (max over conditional structs), so the bucket-join
+    output reduces before the shuffle."""
+    from ..functions.vectors import dot_q, quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "label",
+        quantize_embedding(F.col("embedding")).alias("qe"),
+    ).withColumn("bucket", similarity.sign_lsh_bucket(F.col("qe"), n_planes=4))
+    anchors = b.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("qe").alias("a_qe"),
+        "bucket",
+    )
+    cands = (
+        anchors.join(b, "bucket")
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            dot_q(F.col("a_qe"), F.col("qe")).alias("dot_q"),
+        )
+    )
+    pick = F.struct(F.col("dot_q").alias("d"), (-F.col("cand_id")).alias("nc"))
+    best = cands.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("c_label") == F.col("a_label"), pick)).alias("p"),
+        F.max(F.when(F.col("c_label") != F.col("a_label"), pick)).alias("n"),
+    )
+    return (
+        best.where(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "anchor_id",
+            (-F.col("p.nc")).cast("long").alias("pos_id"),
+            F.col("p.d").cast("long").alias("pos_dot"),
+            (-F.col("n.nc")).cast("long").alias("neg_id"),
+            F.col("n.d").cast("long").alias("neg_dot"),
+            (F.col("p.d") - F.col("n.d")).cast("long").alias("margin_q"),
+        )
+    )
+
+
+@_q(
     "doc_source_mix_report",
     """
     WITH q AS (
@@ -16210,6 +16298,7 @@ _CHECK_FIRST = [
     "files_compaction_incremental",
     "emb_coreset_fold_maintenance",
     "cdc_neardup_cluster_maintenance",
+    "emb_hard_negative_mining",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
