@@ -10251,6 +10251,58 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity complement: a group of ≥k
+    identical quasi-identifiers is still re-identifiable when everyone
+    in it shares the SAME sensitive value (homogeneity attack), so each
+    (nation × market segment) equivalence class must carry ≥l distinct
+    sensitive values (the balance band here).  Output is the
+    equivalence-class distribution by diversity level with the
+    below-l=3 flag — two map-side-combined aggregations, the second
+    over the class rollup."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct("bal_band").alias("diversity"),
+    )
+    return (
+        g.groupBy(F.col("diversity").cast("long").alias("diversity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .withColumn("below_l3", F.col("diversity") < 3)
+    )
+
+
+QUERIES["dq_l_diversity"] = dq_l_diversity
+ORACLE_SQL["dq_l_diversity"] = """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CASE WHEN c_acctbal < 0 THEN 'neg'
+                           WHEN c_acctbal < 5000 THEN 'low'
+                           ELSE 'high' END AS bal_band
+               FROM customer),
+    g AS (SELECT c_nationkey, c_mktsegment,
+                 count(*) AS group_size,
+                 count(DISTINCT bal_band) AS diversity
+          FROM q GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(diversity AS BIGINT) AS diversity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_customers,
+           diversity < 3 AS below_l3
+    FROM g GROUP BY diversity
+    """
+
+
+
 @_q(
     "dq_k_anonymity",
     """
@@ -16299,6 +16351,7 @@ _CHECK_FIRST = [
     "emb_coreset_fold_maintenance",
     "cdc_neardup_cluster_maintenance",
     "emb_hard_negative_mining",
+    "dq_l_diversity",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
