@@ -96,10 +96,16 @@ def bottom_k_sample(
     k: int,
     key_col: str = "text",
     stratum_col: str | None = None,
+    tiebreak_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic fixed-size uniform sample: keep the k smallest
     content hashes (the distributed equivalent of a reservoir sample —
     same marginal distribution, but reproducible and mergeable).
+
+    ``tiebreak_col`` (a unique id) breaks hash ties: without it the
+    rank under DUPLICATE ``key_col`` values is engine/partitioning
+    order — invisible on unique-content fixtures, caught by the skew
+    fixture's mass-duplicated documents in r9.
 
     Per-stratum: one window shuffle on the stratum key.  Global: sort +
     limit compiles to ``TakeOrderedAndProject`` — per-partition top-k
@@ -107,16 +113,17 @@ def bottom_k_sample(
     the rank window runs over just k rows.
     """
     h = F.md5(F.col(key_col)).alias("_h")
+    order = ["_h", tiebreak_col]
     if stratum_col is not None:
-        w = Window.partitionBy(stratum_col).orderBy("_h")
+        w = Window.partitionBy(stratum_col).orderBy(*order)
         return (
             df.select("*", h)
             .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
             .where(F.col("sample_rank") <= k)
             .drop("_h")
         )
-    topk = df.select("*", h).orderBy("_h").limit(k)
-    w = Window.orderBy("_h")
+    topk = df.select("*", h).orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
         topk.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .drop("_h")

@@ -4318,7 +4318,8 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (SELECT doc_id, lang, md5(text) AS h,
                       row_number() OVER (PARTITION BY lang
-                                         ORDER BY md5(text)) AS sample_rank
+                                         ORDER BY md5(text), doc_id)
+                          AS sample_rank
                FROM documents)
     SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
     FROM r WHERE sample_rank <= 20
@@ -4327,7 +4328,9 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size uniform sample per language via bottom-k content
     hashes — the deterministic, mergeable distributed equivalent of a
-    reservoir sample (operators/sampling.py)."""
+    reservoir sample (operators/sampling.py).  doc_id breaks hash ties
+    so duplicate texts rank identically in both engines (the r9 skew
+    finding)."""
     from ..operators.sampling import bottom_k_sample
 
     docs = _t(spark, sf_dir, "documents")
