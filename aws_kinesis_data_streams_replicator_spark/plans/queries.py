@@ -10305,6 +10305,98 @@ ORACLE_SQL["dq_l_diversity"] = """
     """
 
 
+@_q(
+    "dq_t_closeness",
+    """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CASE WHEN c_acctbal < 0 THEN 0
+                           WHEN c_acctbal < 5000 THEN 1
+                           ELSE 2 END AS band
+               FROM customer),
+    g AS (SELECT c_nationkey, c_mktsegment,
+                 count(*) AS n,
+                 sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS cum0,
+                 sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS cum1
+          FROM q GROUP BY c_nationkey, c_mktsegment),
+    t AS (SELECT count(*) AS big_n,
+                 sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS g0,
+                 sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS g1
+          FROM q),
+    d AS (SELECT g.c_nationkey, g.c_mktsegment, g.n,
+                 (abs(CAST(g.cum0 AS HUGEINT) * t.big_n
+                      - CAST(t.g0 AS HUGEINT) * g.n)
+                  + abs(CAST(g.cum1 AS HUGEINT) * t.big_n
+                        - CAST(t.g1 AS HUGEINT) * g.n)) * 10000
+                 // (CAST(g.n AS HUGEINT) * t.big_n * 2) AS t_emd_bp
+          FROM g, t)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS group_size,
+           CAST(t_emd_bp AS BIGINT) AS t_emd_bp,
+           t_emd_bp > 2000 AS above_t20
+    FROM d
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triad
+    (k-anonymity: classes big enough; l-diversity: classes varied
+    enough; t-closeness: classes DISTRIBUTED like the whole table, so
+    membership in a class leaks no skew about the sensitive value).
+    Per (nation × market segment) equivalence class, the Earth Mover's
+    Distance between the class's ordered sensitive distribution
+    (balance band neg < low < high) and the global one, with ordinal
+    ground distance: EMD = Σ_j |cumP_j − cumQ_j| / (m−1).  Computed in
+    cleared-denominator integers — per-class cumulative counts
+    cross-multiplied against the global cumulative counts in
+    DECIMAL(38,0) (Spark DIV ↔ DuckDB HUGEINT //, the _IW_RATIO_SQL
+    convention; int64 would wrap near N ≈ 3·10⁹ rows) — emitting
+    ``t_emd_bp`` (×10⁴) and the above-t=0.2 disclosure flag.
+
+    Scale notes (100 TB): one map-side-combined aggregation to the
+    bounded |nations|×|segments| class rollup, one 1-row global
+    aggregate broadcast into it (deliberate scalar BNLJ, allowlisted)
+    — no windows, no shuffle beyond the two aggs."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+        .alias("band"),
+    )
+    le = lambda j: F.sum(  # noqa: E731
+        F.when(F.col("band") <= j, 1).otherwise(0)
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        le(0).alias("cum0"),
+        le(1).alias("cum1"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).alias("big_n"),
+        le(0).alias("g0"),
+        le(1).alias("g1"),
+    )
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.expr(
+            "(abs(CAST(cum0 AS DECIMAL(38,0)) * big_n"
+            "     - CAST(g0 AS DECIMAL(38,0)) * n)"
+            " + abs(CAST(cum1 AS DECIMAL(38,0)) * big_n"
+            "       - CAST(g1 AS DECIMAL(38,0)) * n)) * 10000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * big_n * 2)"
+        ).alias("t_emd_bp"),
+    )
+    return d.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("group_size"),
+        F.col("t_emd_bp").cast("long").alias("t_emd_bp"),
+        (F.col("t_emd_bp") > 2000).alias("above_t20"),
+    )
+
 
 @_q(
     "dq_k_anonymity",
@@ -16355,6 +16447,7 @@ _CHECK_FIRST = [
     "cdc_neardup_cluster_maintenance",
     "emb_hard_negative_mining",
     "dq_l_diversity",
+    "dq_t_closeness",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

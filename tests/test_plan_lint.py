@@ -60,6 +60,7 @@ _BNLJ_OK = {
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
+    "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
     # recall eval embeds the brute-force baseline (emb_ann_topk, above)
     # as its ground-truth side — same bounded |Q|×N rationale
     "emb_ann_recall_eval",
