@@ -13722,6 +13722,238 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FBP_M, _FBP_K, _FBP_FILES = 4096, 3, 64
+
+
+@_q(
+    "files_bloom_pruning",
+    f"""
+    WITH li AS (SELECT l_partkey AS k, l_orderkey AS ok FROM lineitem),
+    s AS (SELECT max(ok) + 1 AS mo, max(k) + 1 AS mk FROM li),
+    fk AS (
+      SELECT 'ingestion' AS layout,
+             {layout.range_bucket_sql("ok", "s.mo", _FBP_FILES, div="//")}
+                 AS file_id, k
+      FROM li, s
+      UNION ALL
+      SELECT 'key_range',
+             {layout.range_bucket_sql("k", "s.mk", _FBP_FILES, div="//")}, k
+      FROM li, s),
+    fkd AS (SELECT DISTINCT layout, file_id, k FROM fk),
+    nf AS (SELECT layout, count(DISTINCT file_id) AS n_files
+           FROM fkd GROUP BY layout),
+    bloom AS (SELECT DISTINCT layout, file_id, bit FROM (
+        {" UNION ALL ".join(
+            f"SELECT layout, file_id, "
+            f"{_cms_bucket_sql(r, 'CAST(k AS VARCHAR)', _FBP_M)} AS bit "
+            f"FROM fkd" for r in range(_FBP_K)
+        )})),
+    pk AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 29 = 0
+           UNION ALL
+           SELECT p_partkey + 100000000 FROM part WHERE p_partkey % 29 = 0),
+    member AS (SELECT DISTINCT k FROM li),
+    probe AS (SELECT pk.k, member.k IS NOT NULL AS is_present
+              FROM pk LEFT JOIN member USING (k)),
+    pb AS (SELECT DISTINCT k, bit FROM (
+        {" UNION ALL ".join(
+            f"SELECT k, {_cms_bucket_sql(r, 'CAST(k AS VARCHAR)', _FBP_M)}"
+            f" AS bit FROM probe" for r in range(_FBP_K)
+        )})),
+    kb AS (SELECT k, count(*) AS n_bits FROM pb GROUP BY k),
+    adm AS (SELECT b.layout, b.file_id, pb.k
+            FROM pb JOIN bloom b USING (bit)
+            GROUP BY b.layout, b.file_id, pb.k
+            HAVING count(DISTINCT b.bit)
+                   = (SELECT n_bits FROM kb WHERE kb.k = pb.k)),
+    act AS (SELECT fkd.layout, fkd.file_id, fkd.k
+            FROM fkd JOIN probe USING (k)),
+    pairs AS (
+      SELECT coalesce(a.layout, c.layout) AS layout,
+             coalesce(a.k, c.k) AS k,
+             a.k IS NOT NULL AS admitted,
+             c.k IS NOT NULL AS actual
+      FROM adm a FULL OUTER JOIN act c
+        ON a.layout = c.layout AND a.file_id = c.file_id AND a.k = c.k),
+    per_key AS (
+      SELECT layout, k,
+             sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS adm_files,
+             sum(CASE WHEN actual THEN 1 ELSE 0 END) AS act_files,
+             sum(CASE WHEN admitted AND NOT actual THEN 1 ELSE 0 END)
+                 AS fp_files,
+             sum(CASE WHEN actual AND NOT admitted THEN 1 ELSE 0 END)
+                 AS fn_files
+      FROM pairs GROUP BY layout, k),
+    lk AS (
+      SELECT nf.layout, probe.k, probe.is_present, nf.n_files,
+             coalesce(pkx.adm_files, 0) AS adm_files,
+             coalesce(pkx.act_files, 0) AS act_files,
+             coalesce(pkx.fp_files, 0) AS fp_files,
+             coalesce(pkx.fn_files, 0) AS fn_files
+      FROM probe CROSS JOIN nf
+      LEFT JOIN per_key pkx
+        ON pkx.layout = nf.layout AND pkx.k = probe.k)
+    SELECT layout,
+           CASE WHEN is_present THEN 'present' ELSE 'absent' END
+               AS probe_class,
+           CAST(count(*) AS BIGINT) AS n_probe_keys,
+           CAST(sum(n_files) AS BIGINT) AS total_file_probes,
+           CAST(sum(adm_files) AS BIGINT) AS admitted_file_probes,
+           CAST(sum(act_files) AS BIGINT) AS actual_file_probes,
+           CAST(sum(fp_files) AS BIGINT) AS false_positive_probes,
+           CAST(sum(fp_files) * 10000
+                // greatest(sum(n_files) - sum(act_files), 1) AS BIGINT)
+               AS fp_rate_bp,
+           CAST(sum(adm_files) * 10000 // sum(n_files) AS BIGINT)
+               AS admit_ratio_bp,
+           bool_and(fn_files = 0) AS no_false_negatives
+    FROM lk GROUP BY layout, is_present
+    """,
+)
+def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level Bloom-filter skipping advisor — the point-lookup
+    complement to ``files_zorder_pruning``'s min-max spans (min-max
+    prunes ranges; Blooms prune needle lookups that min-max can't,
+    because a scattered key is inside almost every file's [min, max]).
+    lineitem is laid out twice — 64 ingestion-order files (orderkey
+    ranges) vs 64 partkey-range files — and every file publishes a
+    {_FBP_K}-hash/{_FBP_M}-bit Bloom over its distinct partkeys
+    (relational: the DISTINCT (file, bit) table IS the filter,
+    mergeable by union).  Probes are real part keys (% 29) plus
+    guaranteed-absent synthetics (+10⁸), classified by ground-truth
+    membership, and per (layout, class) the output carries exact
+    admitted/actual/false-positive file-probe counts, the measured
+    ``fp_rate_bp``, the scan-fraction ``admit_ratio_bp``, and the
+    oracle-asserted ``no_false_negatives`` guarantee.  The lesson it
+    quantifies: Blooms alone make ABSENT lookups skip ~everything in
+    any layout, but PRESENT lookups only skip when the layout also
+    clusters the key (key_range admit ratio « ingestion admit ratio).
+
+    Scale notes (100 TB): the filter build is one distinct over
+    (files × M) ≤ 64·4096 rows per layout — constant-bounded and
+    broadcastable at any table size; probes join the bit table then
+    aggregate per (key, file); ground truth rides the key equi-join
+    (the EVAL side, dropped in production).  One 1-row domain-scalar
+    broadcast (allowlisted BNLJ), no windows.
+
+    Saturation is sf-honest: per-file distinct-key load grows with sf,
+    so fp_rate_bp rises at big sf while no_false_negatives holds — the
+    advisor reports exactly when the 4096-bit budget stops paying."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"), F.col("l_orderkey").alias("ok")
+    )
+    s = li.agg(
+        (F.max("ok") + 1).alias("mo"), (F.max("k") + 1).alias("mk")
+    )
+    base = li.crossJoin(F.broadcast(s))
+    fkd = (
+        base.select(
+            F.lit("ingestion").alias("layout"),
+            F.expr(
+                layout.range_bucket_sql("ok", "mo", _FBP_FILES)
+            ).alias("file_id"),
+            "k",
+        )
+        .union(
+            base.select(
+                F.lit("key_range"),
+                F.expr(layout.range_bucket_sql("k", "mk", _FBP_FILES)),
+                "k",
+            )
+        )
+        .distinct()
+    )
+    nf = fkd.groupBy("layout").agg(
+        F.count_distinct("file_id").alias("n_files")
+    )
+    bit = lambda r, col: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{r}|', CAST({col} AS STRING))),"
+        f" 1, 5), 16, 10) AS BIGINT) % {_FBP_M}"
+    )
+    bloom = (
+        fkd.select(
+            "layout",
+            "file_id",
+            F.explode(
+                F.array(*[bit(r, "k") for r in range(_FBP_K)])
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 29 == 0)
+    pk = part.select(F.col("p_partkey").alias("k")).union(
+        part.select(F.col("p_partkey") + 100000000)
+    )
+    member = li.select("k").distinct().withColumn("_m", F.lit(1))
+    probe = pk.join(member, "k", "left").select(
+        "k", F.col("_m").isNotNull().alias("is_present")
+    )
+    pb = (
+        probe.select(
+            "k",
+            F.explode(
+                F.array(*[bit(r, "k") for r in range(_FBP_K)])
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    kb = pb.groupBy("k").agg(F.count(F.lit(1)).alias("n_bits"))
+    adm = (
+        pb.join(bloom, "bit")
+        .groupBy("layout", "file_id", "k")
+        .agg(F.count_distinct("bit").alias("n_match"))
+        .join(kb, "k")
+        .where(F.col("n_match") == F.col("n_bits"))
+        .select("layout", "file_id", "k")
+    )
+    act = fkd.join(probe.select("k"), "k").select("layout", "file_id", "k")
+    pairs = adm.withColumn("_a", F.lit(1)).join(
+        act.withColumn("_c", F.lit(1)),
+        ["layout", "file_id", "k"],
+        "full_outer",
+    )
+    per_key = pairs.groupBy("layout", "k").agg(
+        F.sum(F.when(F.col("_a").isNotNull(), 1).otherwise(0)).alias(
+            "adm_files"
+        ),
+        F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0)).alias(
+            "act_files"
+        ),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_c").isNull(), 1)
+            .otherwise(0)
+        ).alias("fp_files"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_a").isNull(), 1)
+            .otherwise(0)
+        ).alias("fn_files"),
+    )
+    lk = (
+        probe.crossJoin(F.broadcast(nf))
+        .join(per_key, ["layout", "k"], "left")
+        .fillna(0, ["adm_files", "act_files", "fp_files", "fn_files"])
+    )
+    return lk.groupBy(
+        "layout",
+        F.when(F.col("is_present"), "present")
+        .otherwise("absent")
+        .alias("probe_class"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.sum("n_files").cast("long").alias("total_file_probes"),
+        F.sum("adm_files").cast("long").alias("admitted_file_probes"),
+        F.sum("act_files").cast("long").alias("actual_file_probes"),
+        F.sum("fp_files").cast("long").alias("false_positive_probes"),
+        F.expr(
+            "CAST(sum(fp_files) * 10000 DIV greatest(sum(n_files) "
+            "- sum(act_files), 1) AS BIGINT)"
+        ).alias("fp_rate_bp"),
+        F.expr(
+            "CAST(sum(adm_files) * 10000 DIV sum(n_files) AS BIGINT)"
+        ).alias("admit_ratio_bp"),
+        F.bool_and(F.col("fn_files") == 0).alias("no_false_negatives"),
+    )
+
+
 def _bpe_encode_ctes(n_merges: int = 4) -> list[str]:
     """CTE list shared by _bpe_encode_oracle and the curation-v5
     composition: the orig-carrying merge chain ending in per-doc token
@@ -16448,6 +16680,7 @@ _CHECK_FIRST = [
     "emb_hard_negative_mining",
     "dq_l_diversity",
     "dq_t_closeness",
+    "files_bloom_pruning",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

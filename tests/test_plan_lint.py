@@ -59,6 +59,7 @@ _BNLJ_OK = {
     "agg_join_size_estimate",  # 1-row exact-size x 1-row CMS estimate
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
+    "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
     # recall eval embeds the brute-force baseline (emb_ann_topk, above)
