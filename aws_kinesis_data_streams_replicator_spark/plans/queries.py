@@ -13954,6 +13954,121 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DCW_W, _DCW_S = 32, 24  # window / stride (8-token overlap)
+
+
+@_q(
+    "doc_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+                 CASE WHEN n <= {_DCW_W} THEN 1
+                      ELSE (n - {_DCW_W} + {_DCW_S} - 1) // {_DCW_S} + 1
+                 END AS nc
+          FROM n),
+    e AS (SELECT doc_id, toks, n,
+                 CAST(i.i AS BIGINT) AS chunk_idx,
+                 CAST(i.i * {_DCW_S} AS BIGINT) AS start_tok
+          FROM c, unnest(range(0, nc)) AS i(i)),
+    s AS (SELECT doc_id, chunk_idx, start_tok, n,
+                 array_to_string(
+                     list_slice(toks, CAST(start_tok + 1 AS INTEGER),
+                                CAST(start_tok + {_DCW_W} AS INTEGER)),
+                     ' ') AS chunk_text
+          FROM e)
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(least({_DCW_W}, n - start_tok) AS BIGINT)
+               AS n_chunk_tokens,
+           CAST(CASE WHEN chunk_idx = 0 THEN 0
+                ELSE greatest(0, least((chunk_idx - 1) * {_DCW_S}
+                                       + {_DCW_W}, n) - start_tok)
+                END AS BIGINT) AS overlap_tokens,
+           CAST(length(chunk_text) AS BIGINT) AS n_chunk_chars,
+           md5(chunk_text) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking — the retrieval/context-packing
+    primitive that turns documents into overlapping {_DCW_W}-token
+    chunks at stride {_DCW_S} (8-token overlap so no answer span is
+    ever split without a copy).  Chunk count is closed-form
+    ``max(1, ⌈(n−W)/S⌉+1)`` — the last window always reaches the end
+    of the doc and a degenerate fully-contained tail is never emitted.
+    Per chunk: 0-based index, token offset, exact token/char lengths,
+    the arithmetic overlap with the previous chunk, and the md5 of the
+    reassembled chunk text (both engines hash the identical string, so
+    a drift in tokenization, slicing, or joining hash-fails).
+
+    Scale notes (100 TB): embarrassingly parallel — one projection per
+    doc (split → closed-form chunk count → sequence + posexplode →
+    slice), zero shuffles, zero joins, zero windows; chunk explosion
+    is bounded by n/S per doc.  WholeStageCodegen end-to-end."""
+    W, S = _DCW_W, _DCW_S
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = d.select("doc_id", "toks", F.size("toks").alias("n")).where(
+        F.col("n") > 0
+    )
+    c = n.withColumn(
+        "nc",
+        F.when(F.col("n") <= W, F.lit(1)).otherwise(
+            F.expr(f"(n - {W} + {S} - 1) DIV {S} + 1")
+        ),
+    )
+    e = c.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.expr("sequence(0, nc - 1)")).alias(
+            "chunk_idx", "_i"
+        ),
+    ).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("_i") * S).cast("long").alias("start_tok"),
+    )
+    s = e.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
+        ).alias("chunk_text"),
+    )
+    return s.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(W), F.col("n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.when(F.col("chunk_idx") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    (F.col("chunk_idx") - 1) * S + W, F.col("n")
+                )
+                - F.col("start_tok"),
+            )
+        )
+        .cast("long")
+        .alias("overlap_tokens"),
+        F.length("chunk_text").cast("long").alias("n_chunk_chars"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+    )
+
+
 def _bpe_encode_ctes(n_merges: int = 4) -> list[str]:
     """CTE list shared by _bpe_encode_oracle and the curation-v5
     composition: the orig-carrying merge chain ending in per-doc token
@@ -16681,6 +16796,7 @@ _CHECK_FIRST = [
     "dq_l_diversity",
     "dq_t_closeness",
     "files_bloom_pruning",
+    "doc_chunk_windows",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
