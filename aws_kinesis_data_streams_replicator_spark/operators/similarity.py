@@ -777,3 +777,103 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
         )
     radius = cur.agg(F.max("mind").cast("long").alias("radius_q"))
     return picks.crossJoin(F.broadcast(radius))
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: rerank the
+    ``pool`` most query-relevant candidates so each successive pick
+    maximizes ``λ·rel − (1−λ)·max_sim_to_selected`` with λ = 1/2 — the
+    standard redundancy-killer between retrieval and a context window
+    (near-duplicate passages waste prompt tokens; MMR keeps the set
+    relevant AND mutually distant).
+
+    Deterministic and integer-exact: quantized vectors, exact int64
+    dot products (functions/vectors.py), λ = 1/2 so the argmax of the
+    MMR score equals the argmax of ``rel − max_sim`` (emitted ×2 as
+    ``mmr_score2x_q``), ties to the smallest vec_id; round 1 is the
+    pure-relevance argmax with ``max_sim_sel_q = 0`` by convention.
+
+    Scale notes: the corpus pass is ONE TakeOrdered(pool) shortlist
+    (never a window); the k greedy rounds then run on the pinned
+    ``pool``-row frame — per-round argmax is a TakeOrdered(1)
+    broadcast back as a 1-row cross (no driver collect), the running
+    max-similarity folds with ``greatest``.  Lazy checkpoint per round
+    for the same O(k) lineage reason as kcenter_coreset."""
+    e = _quantized(embeddings, "vec_id")
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("qe").alias("q_qe")
+    )
+    cand = (
+        e.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "qe", dot_q(F.col("qe"), F.col("q_qe")).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    sel = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+    picks = sel.select(
+        F.lit(1).alias("pick_round"),
+        "vec_id",
+        F.col("rel").cast("long").alias("rel_q"),
+        F.lit(0).cast("long").alias("max_sim_sel_q"),
+        F.col("rel").cast("long").alias("mmr_score2x_q"),
+    )
+    cur = cand.crossJoin(
+        F.broadcast(sel.select(F.col("vec_id").alias("s_id"), F.col("qe").alias("s_qe")))
+    ).select(
+        "vec_id",
+        "qe",
+        "rel",
+        dot_q(F.col("qe"), F.col("s_qe")).alias("maxsim"),
+        (F.col("vec_id") == F.col("s_id")).alias("picked"),
+    )
+    for j in range(2, k + 1):
+        cur = cur.localCheckpoint(eager=False)
+        nxt = (
+            cur.where(~F.col("picked"))
+            .orderBy(F.desc(F.col("rel") - F.col("maxsim")), F.asc("vec_id"))
+            .limit(1)
+        )
+        picks = picks.unionByName(
+            nxt.select(
+                F.lit(j).alias("pick_round"),
+                "vec_id",
+                F.col("rel").cast("long").alias("rel_q"),
+                F.col("maxsim").cast("long").alias("max_sim_sel_q"),
+                (F.col("rel") - F.col("maxsim"))
+                .cast("long")
+                .alias("mmr_score2x_q"),
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(
+                nxt.select(
+                    F.col("vec_id").alias("s_id"), F.col("qe").alias("s_qe")
+                )
+            )
+        ).select(
+            "vec_id",
+            "qe",
+            "rel",
+            F.greatest(
+                F.col("maxsim"), dot_q(F.col("qe"), F.col("s_qe"))
+            ).alias("maxsim"),
+            (F.col("picked") | (F.col("vec_id") == F.col("s_id"))).alias(
+                "picked"
+            ),
+        )
+    return picks.select(
+        F.col("pick_round").cast("int").alias("pick_round"),
+        "vec_id",
+        "rel_q",
+        "max_sim_sel_q",
+        "mmr_score2x_q",
+    )

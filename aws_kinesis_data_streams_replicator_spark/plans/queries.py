@@ -15631,6 +15631,82 @@ def _kcenter_l2(a: str, b: str) -> str:
     )
 
 
+def _list_dot(a: str, b: str) -> str:
+    """Exact int64 dot product between two DuckDB integer lists."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50, qid: int = 0) -> str:
+    """DuckDB mirror of similarity.mmr_topk — the greedy MMR rounds
+    unrolled (bounded k, the kcenter/BPE chain convention), each m_j
+    MATERIALIZED because it feeds both the next argmax and the next
+    fold."""
+    dot = _list_dot
+    ctes = [
+        f"e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings)",
+        f"q AS (SELECT qe AS q_qe FROM e WHERE vec_id = {qid})",
+        f"cand AS MATERIALIZED (SELECT e.vec_id, e.qe, "
+        f"{dot('e.qe', 'q.q_qe')} AS rel FROM e, q "
+        f"WHERE e.vec_id <> {qid} ORDER BY rel DESC, vec_id LIMIT {pool})",
+        "c1 AS (SELECT vec_id, qe, rel FROM cand "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+        f"m1 AS MATERIALIZED (SELECT c.vec_id, c.qe, c.rel, "
+        f"{dot('c.qe', 'c1.qe')} AS maxsim, "
+        f"c.vec_id = c1.vec_id AS picked FROM cand c, c1)",
+    ]
+    sels = [
+        "SELECT CAST(1 AS INTEGER) AS pick_round, vec_id, "
+        "CAST(rel AS BIGINT) AS rel_q, CAST(0 AS BIGINT) AS max_sim_sel_q, "
+        "CAST(rel AS BIGINT) AS mmr_score2x_q FROM c1"
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f"c{j} AS (SELECT vec_id, qe, rel, maxsim FROM m{j - 1} "
+            f"WHERE NOT picked ORDER BY rel - maxsim DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"m{j} AS MATERIALIZED (SELECT m.vec_id, m.qe, m.rel, "
+            f"greatest(m.maxsim, {dot('m.qe', f'c{j}.qe')}) AS maxsim, "
+            f"m.picked OR m.vec_id = c{j}.vec_id AS picked "
+            f"FROM m{j - 1} m, c{j})"
+        )
+        sels.append(
+            f"SELECT CAST({j} AS INTEGER), vec_id, CAST(rel AS BIGINT), "
+            f"CAST(maxsim AS BIGINT), CAST(rel - maxsim AS BIGINT) "
+            f"FROM c{j}"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(sels)
+        + ")"
+    )
+
+
+@_q("emb_mmr_diversified_topk", _mmr_oracle())
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval
+    (similarity.mmr_topk): the 50-candidate shortlist most relevant to
+    the query vector (vec_id 0), greedily reranked so each of the 10
+    picks maximizes λ·relevance − (1−λ)·max-similarity-to-selected at
+    λ = ½ — the standard redundancy filter between ANN retrieval and a
+    context window, and the relevance-weighted sibling of the k-center
+    coreset (kcenter maximizes spread alone; MMR trades spread against
+    query affinity).
+
+    Scale notes: one TakeOrdered(pool) corpus pass, then k bounded
+    rounds on the pinned 50-row frame — per-round argmax is a
+    TakeOrdered(1) broadcast back as a 1-row cross; no windows, no
+    driver collect, no pairwise corpus stage."""
+    return similarity.mmr_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, pool=50
+    )
+
+
 def _kcenter_ctes(k: int = 8, prefix: str = "", source: str | None = None) -> list[str]:
     """CTE chain of the DuckDB kcenter mirror (greedy farthest-first
     unrolled to k rounds — bounded k, like the BPE merge chain):
@@ -16797,6 +16873,7 @@ _CHECK_FIRST = [
     "dq_t_closeness",
     "files_bloom_pruning",
     "doc_chunk_windows",
+    "emb_mmr_diversified_topk",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
