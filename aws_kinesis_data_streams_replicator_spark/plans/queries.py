@@ -1513,6 +1513,91 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_tokenizer_fertility",
+    """
+    WITH d AS (SELECT doc_id, lang, length(text) AS n_chars,
+                      len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS ws,
+                      regexp_extract_all(text,
+                          '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+               FROM documents),
+    pl AS (SELECT lang, count(*) AS n_docs,
+                  sum(n_chars) AS n_chars,
+                  sum(ws) AS ws_tokens,
+                  sum(len(toks)) AS bpe_tokens
+           FROM d GROUP BY lang),
+    ty AS (SELECT lang, count(DISTINCT tok) AS bpe_types
+           FROM (SELECT lang, unnest(toks) AS tok FROM d)
+           GROUP BY lang)
+    SELECT pl.lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(bpe_types AS BIGINT) AS bpe_types,
+           CAST(bpe_tokens * 10000 // greatest(ws_tokens, 1) AS BIGINT)
+               AS fertility_bp,
+           CAST(n_chars * 100 // greatest(bpe_tokens, 1) AS BIGINT)
+               AS chars_per_bpe_x100,
+           CAST(bpe_types * 10000 // greatest(bpe_tokens, 1) AS BIGINT)
+               AS type_token_ratio_bp
+    FROM pl JOIN ty USING (lang)
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — the numbers that size a
+    vocabulary budget and a per-language token price before training:
+    subword fertility (BPE-ish tokens per whitespace word, ×10⁴ — the
+    metric multilingual-tokenizer papers report), characters per token
+    (×10², the compression the tokenizer achieves), and the per-lang
+    type/token ratio (×10⁴ — vocabulary pressure: high means the
+    language's surface forms are diverse relative to its volume).
+    Integer-exact throughout (Spark DIV ↔ DuckDB //).
+
+    Scale notes (100 TB): one projection computes all doc-level counts
+    in a single pass; the per-lang rollup is map-side-combinable; the
+    type count is one distinct over (lang, token) — the only shuffle
+    that grows with vocabulary, keyed well (token-sharded).  No
+    windows, no joins beyond the bounded |langs| merge."""
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("ws"),
+        F.expr(
+            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"
+        ).alias("toks"),
+    )
+    pl = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum(F.size("toks")).alias("bpe_tokens"),
+    )
+    ty = (
+        d.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").alias("bpe_types"))
+    )
+    return pl.join(ty, "lang").select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("bpe_types").cast("long").alias("bpe_types"),
+        F.expr(
+            "CAST(bpe_tokens * 10000 DIV greatest(ws_tokens, 1) AS BIGINT)"
+        ).alias("fertility_bp"),
+        F.expr(
+            "CAST(n_chars * 100 DIV greatest(bpe_tokens, 1) AS BIGINT)"
+        ).alias("chars_per_bpe_x100"),
+        F.expr(
+            "CAST(bpe_types * 10000 DIV greatest(bpe_tokens, 1) AS BIGINT)"
+        ).alias("type_token_ratio_bp"),
+    )
+
+
+@_q(
     "text_lang_stats",
     """
     SELECT lang, source, count(*) AS n_docs,
@@ -16874,6 +16959,7 @@ _CHECK_FIRST = [
     "files_bloom_pruning",
     "doc_chunk_windows",
     "emb_mmr_diversified_topk",
+    "text_tokenizer_fertility",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
