@@ -182,3 +182,57 @@ def with_global_ntile(
         f"DIV (_ntile_n DIV {k}) END AS INT)"
     )
     return out.withColumn(bucket_col, bucket).drop(rn, "_ntile_n")
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    max_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the EXCLUSIVE global running max of
+    ``max_col`` over the total order given by ``order_cols`` (null on
+    the globally first row) — values identical to
+    ``max(c).over(Window.orderBy(*order_cols).rowsBetween(
+    unboundedPreceding, -1))`` but decomposed exactly like
+    ``with_global_prefix``: range shuffle, per-partition local
+    exclusive running max, a ≤P-row per-partition max rollup whose
+    bounded cumulative window yields each partition's offset (the max
+    of every EARLIER partition), then ``greatest(local, offset)``.
+
+    The skyline/dominance primitive: "best value among everything
+    strictly before me in this order" without a single-partition
+    WindowExec.  ``order_cols`` must end in a unique tiebreak."""
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_lmax", F.max(max_col).over(w_local))
+    ptot = part.groupBy("_pid").agg(F.max(max_col).alias("_pm"))
+    # bounded global window: ≤ num_partitions rows of the _pid summary
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = ptot.select("_pid", F.max("_pm").over(w_off).alias("_offm"))
+    out = local.join(F.broadcast(offs), "_pid").withColumn(
+        out_col,
+        F.when(
+            F.col("_lmax").isNull(), F.col("_offm")
+        ).when(
+            F.col("_offm").isNull(), F.col("_lmax")
+        ).otherwise(F.greatest(F.col("_lmax"), F.col("_offm"))),
+    )
+    return out.drop("_pid", "_lmax", "_offm")

@@ -34,7 +34,11 @@ from ..operators import (
     text,
     windows,
 )
-from ..operators.prefix import with_global_ntile, with_global_prefix
+from ..operators.prefix import (
+    with_global_ntile,
+    with_global_prefix,
+    with_global_prefix_max,
+)
 from ..operators.util import spread
 
 # --------------------------------------------------------------------------
@@ -9541,6 +9545,63 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "part_skyline_pareto_front",
+    """
+    WITH pr AS (SELECT p_partkey,
+                       CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+                       p_size
+                FROM part),
+    r AS (SELECT cents, max(p_size) AS pmax FROM pr GROUP BY cents),
+    m AS (SELECT cents, pmax,
+                 max(pmax) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS m_lt
+          FROM r)
+    SELECT pr.p_partkey, pr.cents AS price_cents,
+           CAST(pr.p_size AS BIGINT) AS p_size
+    FROM pr JOIN m USING (cents)
+    WHERE pr.p_size = m.pmax AND (m.m_lt IS NULL OR pr.p_size > m.m_lt)
+    """,
+)
+def part_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-dominance) query: the parts no other part
+    dominates on (cheaper price, larger size) — the multi-criteria
+    shortlist operator ("best tradeoffs only") classic OLAP engines
+    ship as SKYLINE OF.  A part survives iff nothing strictly cheaper
+    has ≥ its size and nothing equally cheap has > its size, i.e.
+    ``size == max(size | same price)`` AND ``size > max(size | cheaper
+    price)`` — so dominance needs only a per-price rollup plus the
+    EXCLUSIVE running max over ascending price
+    (``with_global_prefix_max``: range shuffle + per-partition local
+    max + ≤P-row offset rollup, never a single-partition window, and
+    never the naive all-pairs anti-join).  Equal (price, size)
+    co-optima all survive, per standard skyline semantics.
+
+    Scale notes (100 TB): one hash agg to the |distinct prices| rollup,
+    the distributed prefix max over it, one equi-join back on price.
+    The O(N²) dominance pair-join never exists at any scale."""
+    pr = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("cents"),
+        "p_size",
+    )
+    r = pr.groupBy("cents").agg(F.max("p_size").alias("pmax"))
+    m = with_global_prefix_max(r, [F.col("cents")], "pmax", "m_lt")
+    return (
+        pr.join(m, "cents")
+        .where(
+            (F.col("p_size") == F.col("pmax"))
+            & (F.col("m_lt").isNull() | (F.col("p_size") > F.col("m_lt")))
+        )
+        .select(
+            "p_partkey",
+            F.col("cents").alias("price_cents"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+    )
+
+
+@_q(
     "evt_user_concentration_gini",
     """
     WITH u AS (SELECT event_type, user_id, count(*) AS x
@@ -16960,6 +17021,7 @@ _CHECK_FIRST = [
     "doc_chunk_windows",
     "emb_mmr_diversified_topk",
     "text_tokenizer_fertility",
+    "part_skyline_pareto_front",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
