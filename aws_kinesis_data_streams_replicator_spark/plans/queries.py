@@ -3850,6 +3850,123 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.connected_components(pairs)
 
 
+@_q(
+    "doc_holdout_leakage_rate",
+    f"""
+    WITH {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sp AS (SELECT doc_id, doc_id % 5 = 0 AS is_test FROM documents),
+    lab AS (SELECT p.doc_a, p.doc_b, sa.is_test AS ta, sb.is_test AS tb
+            FROM pairs p
+            JOIN sp sa ON sa.doc_id = p.doc_a
+            JOIN sp sb ON sb.doc_id = p.doc_b),
+    leaked AS (SELECT DISTINCT CASE WHEN ta THEN doc_a ELSE doc_b END
+                   AS doc_id
+               FROM lab WHERE ta <> tb),
+    tot AS (SELECT count(*) AS n_docs,
+                   sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test
+            FROM sp),
+    pcnt AS (SELECT count(*) AS n_neardup_pairs,
+                    sum(CASE WHEN ta <> tb THEN 1 ELSE 0 END)
+                        AS n_cross_split_pairs
+             FROM lab),
+    lcnt AS (SELECT count(*) AS n_leaked_test_docs FROM leaked)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(n_neardup_pairs AS BIGINT) AS n_neardup_pairs,
+           CAST(n_cross_split_pairs AS BIGINT) AS n_cross_split_pairs,
+           CAST(n_leaked_test_docs AS BIGINT) AS n_leaked_test_docs,
+           CAST(n_leaked_test_docs * 10000 // greatest(n_test, 1)
+                AS BIGINT) AS test_leak_rate_bp
+    FROM tot, pcnt, lcnt
+    """,
+)
+def doc_holdout_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout leakage RATE — the doc-level complement to
+    doc_split_leakage_audit (which reports pair counts per fold pair):
+    a random (hash/modulus) split ignores near-duplicates, so a test
+    doc whose near-twin sits in train leaks the answer.  The split
+    here is ``doc_id % 5 == 0`` → test; candidate near-dup pairs come
+    from the SAME MinHash-LSH machinery as doc_neardup_clusters
+    (shared CTE constants keep this oracle in lockstep by
+    construction); the audit reports cross-split near-dup pairs AND
+    the number that gates a release: distinct test docs with ≥1 train
+    near-twin, as a rate in bp ("re-split along cluster boundaries"
+    when it's nonzero — doc_neardup_clusters gives the boundaries).
+
+    Scale notes (100 TB): band-bucket equi-join candidates only (never
+    all-pairs); the split labels ride two hash joins on doc_id; the
+    three 1-row summary aggregates cross-combine (allowlisted scalar
+    BNLJ).  No windows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    )
+    sp = docs.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_test")
+    )
+    lab = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("is_test").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("is_test").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    leaked = (
+        lab.where(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("ta"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    tot = sp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+    )
+    pcnt = lab.agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0)).alias(
+            "n_cross_split_pairs"
+        ),
+    )
+    lcnt = leaked.agg(F.count(F.lit(1)).alias("n_leaked_test_docs"))
+    return (
+        tot.crossJoin(pcnt)
+        .crossJoin(lcnt)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_neardup_pairs").cast("long").alias("n_neardup_pairs"),
+            F.col("n_cross_split_pairs")
+            .cast("long")
+            .alias("n_cross_split_pairs"),
+            F.col("n_leaked_test_docs")
+            .cast("long")
+            .alias("n_leaked_test_docs"),
+            F.expr(
+                "CAST(n_leaked_test_docs * 10000 DIV greatest(n_test, 1) "
+                "AS BIGINT)"
+            ).alias("test_leak_rate_bp"),
+        )
+    )
+
+
 def cdc_neardup_cluster_maintenance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4850,6 +4967,66 @@ def evt_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
+    )
+
+
+@_q(
+    "evt_sliding_distinct_users",
+    """
+    WITH e AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          // 3600000000 AS eh,
+                      user_id
+               FROM events),
+    x AS (SELECT DISTINCT eh + o.o AS h, user_id
+          FROM e, unnest(range(0, 6)) AS o(o)),
+    sl AS (SELECT h, count(*) AS sliding_users_6h FROM x GROUP BY h),
+    base AS (SELECT eh, count(DISTINCT user_id) AS hourly_users
+             FROM e GROUP BY eh)
+    SELECT base.eh AS epoch_hour,
+           CAST(hourly_users AS BIGINT) AS hourly_users,
+           CAST(sliding_users_6h AS BIGINT) AS sliding_users_6h
+    FROM base JOIN sl ON sl.h = base.eh
+    """,
+)
+def evt_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct count — per hour, the distinct
+    users active in the 6-hour window ENDING at that hour, alongside
+    the plain hourly distinct.  Distinct-over-overlapping-windows
+    cannot be rolled up from per-hour distincts (users repeat), so the
+    engine rewrite is the canonical one Structured Streaming uses for
+    sliding windows: each event replicates to every window it belongs
+    to (a BOUNDED ×6 fanout), then one DISTINCT + count per window —
+    never a per-window rescan, never a window function.  Emitted only
+    for hours that themselves have events (trailing ghost windows
+    dropped via the equi-join with the hourly rollup).
+
+    Scale notes (100 TB): fanout is windows-per-event = 6 (constant);
+    the DISTINCT is one shuffle keyed (window, user) — the same key
+    the count then folds map-side.  For wide windows where ×W fanout
+    hurts, the HLL-merge path (agg_hll_sketch_union) is the documented
+    approximate alternative; this is the exact one."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("eh"), "user_id"
+    )
+    x = (
+        e.select(
+            F.explode(
+                F.sequence(F.col("eh"), F.col("eh") + 5)
+            ).alias("h"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sl = x.groupBy("h").agg(
+        F.count(F.lit(1)).alias("sliding_users_6h")
+    )
+    base = e.groupBy("eh").agg(
+        F.count_distinct("user_id").alias("hourly_users")
+    )
+    return base.join(sl, base.eh == sl.h).select(
+        F.col("eh").alias("epoch_hour"),
+        F.col("hourly_users").cast("long").alias("hourly_users"),
+        F.col("sliding_users_6h").cast("long").alias("sliding_users_6h"),
     )
 
 
@@ -17022,6 +17199,8 @@ _CHECK_FIRST = [
     "emb_mmr_diversified_topk",
     "text_tokenizer_fertility",
     "part_skyline_pareto_front",
+    "evt_sliding_distinct_users",
+    "doc_holdout_leakage_rate",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

@@ -62,6 +62,7 @@ _BNLJ_OK = {
     "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
+    "doc_holdout_leakage_rate",  # three 1-row summary aggregates crossed
     # recall eval embeds the brute-force baseline (emb_ann_topk, above)
     # as its ground-truth side — same bounded |Q|×N rationale
     "emb_ann_recall_eval",
