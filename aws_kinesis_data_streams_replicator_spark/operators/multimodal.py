@@ -386,6 +386,66 @@ def sample_frames(
     return spread(media).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+KEYFRAME_DELTA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_delta", LongType()),
+    ]
+)
+
+
+def keyframe_deltas(
+    media: DataFrame, n_frames: int = 8, frame_bytes: int = 128
+) -> DataFrame:
+    """Inter-frame change score per sampled frame — the signal a
+    keyframe selector thresholds: for each frame i ≥ 1 (the
+    ``sample_frames`` offset rule: byte window of ``frame_bytes`` at
+    ``(n·i) DIV n_frames``), the exact integer L1 distance to the
+    previous frame over their common length plus 255 per byte of
+    length mismatch; frame 0 scores 0 by convention (it is always a
+    keyframe).  Integer-exact on raw payload bytes, so a SQL oracle
+    replays it from the hex/char space.
+
+    Scale notes: the delta is computed INSIDE the pandas batch right
+    where the frame bytes are materialized — one Arrow crossing, no
+    shuffle of frame payloads at all (only the (doc, idx, delta)
+    triples leave the stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, deltas = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                prev = None
+                for i in range(n_frames):
+                    off = (n * i) // n_frames
+                    fb = np.frombuffer(
+                        payload[off : off + frame_bytes], dtype=np.uint8
+                    )
+                    if prev is None:
+                        d = 0
+                    else:
+                        m = min(len(fb), len(prev))
+                        d = int(
+                            np.abs(
+                                fb[:m].astype(np.int64)
+                                - prev[:m].astype(np.int64)
+                            ).sum()
+                        ) + 255 * abs(len(fb) - len(prev))
+                    ids.append(did)
+                    idxs.append(i)
+                    deltas.append(d)
+                    prev = fb
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_delta": deltas}
+            )
+
+    from .util import spread
+
+    return spread(media).mapInPandas(run, schema=KEYFRAME_DELTA_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Real audio codec (pure numpy/struct — no audio library in the
 # container).  WAV: RIFF container, PCM 16-bit little-endian mono —

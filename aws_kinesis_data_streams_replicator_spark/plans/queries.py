@@ -2396,6 +2396,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm_keyframe_select",
+    """
+    WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    f AS (SELECT doc_id, text, n, unnest(range(0, 8)) AS i FROM m),
+    g AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS i,
+                 (n * i) // 8 AS o1, (n * (i - 1)) // 8 AS o0,
+                 least(128, n - (n * i) // 8) AS l1,
+                 least(128, n - (n * (i - 1)) // 8) AS l0
+          FROM f),
+    ds AS (SELECT doc_id, i,
+                  sum(abs(ascii(substr(text, CAST(o1 + j.j + 1 AS INTEGER), 1))
+                          - ascii(substr(text, CAST(o0 + j.j + 1 AS INTEGER), 1))))
+                  + 255 * abs(min(l1) - min(l0)) AS frame_delta
+           FROM g, unnest(range(0, least(l1, l0))) AS j(j)
+           WHERE i > 0
+           GROUP BY doc_id, i),
+    d AS (SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+                 CAST(0 AS BIGINT) AS frame_delta
+          FROM m
+          UNION ALL
+          SELECT doc_id, i, CAST(frame_delta AS BIGINT) FROM ds),
+    r AS (SELECT doc_id, frame_idx, frame_delta,
+                 row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY CASE WHEN frame_idx > 0 THEN frame_delta
+                                   ELSE -1 END DESC, frame_idx) AS rk
+          FROM d)
+    SELECT doc_id, frame_idx, frame_delta,
+           (frame_idx = 0 OR rk <= 2) AS is_keyframe
+    FROM r
+    """,
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection over sampled video frames — the shot-change
+    detector of a multimodal ingest pipeline: 8 fixed-offset frames
+    per payload (the ``sample_frames`` offset rule), each scored by
+    its exact integer L1 delta to the previous frame
+    (``multimodal.keyframe_deltas`` — computed INSIDE the pandas batch
+    where the frame bytes live, so only (doc, idx, delta) triples ever
+    leave the stage), then per doc: frame 0 plus the top-2 highest-
+    delta frames are flagged keyframes (ties to the lower index).  The
+    oracle replays the byte windows and the L1 arithmetic in char
+    space and must match the flag bit-for-bit.
+
+    Scale notes (100 TB): one Arrow crossing for the scoring, one
+    window PARTITIONED by doc_id (≤ 8 rows per key) for the top-2 —
+    no frame payload shuffle, no global window."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    kd = multimodal.keyframe_deltas(media, n_frames=8, frame_bytes=128)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(
+            F.when(F.col("frame_idx") > 0, F.col("frame_delta")).otherwise(
+                -1
+            )
+        ),
+        F.asc("frame_idx"),
+    )
+    return kd.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "frame_idx",
+        "frame_delta",
+        ((F.col("frame_idx") == 0) | (F.col("rk") <= 2)).alias(
+            "is_keyframe"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (as-of / bounded range) + cube + the pandas-UDF surface
 # --------------------------------------------------------------------------
@@ -17201,6 +17270,7 @@ _CHECK_FIRST = [
     "part_skyline_pareto_front",
     "evt_sliding_distinct_users",
     "doc_holdout_leakage_rate",
+    "mm_keyframe_select",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
