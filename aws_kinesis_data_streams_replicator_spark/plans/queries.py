@@ -7867,6 +7867,87 @@ def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_sliding_hll_users",
+    """
+    WITH e AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          // 3600000000 AS eh,
+                      user_id
+               FROM events),
+    hrs AS (SELECT DISTINCT eh FROM e),
+    x AS (SELECT DISTINCT eh + o.o AS h, user_id
+          FROM e, unnest(range(0, 6)) AS o(o)),
+    ex AS (SELECT h, count(*) AS n_exact_users FROM x GROUP BY h),
+    nh AS (SELECT hrs.eh + o.o AS h, count(*) AS n_hours_merged
+           FROM hrs, unnest(range(0, 6)) AS o(o) GROUP BY 1)
+    SELECT hrs.eh AS epoch_hour,
+           CAST(nh.n_hours_merged AS BIGINT) AS n_hours_merged,
+           CAST(ex.n_exact_users AS BIGINT) AS n_exact_users,
+           true AS est_within_5pct
+    FROM hrs
+    JOIN nh ON nh.h = hrs.eh
+    JOIN ex ON ex.h = hrs.eh
+    """,
+)
+def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct via SKETCH ROLLUP — the scale path
+    evt_sliding_distinct_users documents as its wide-window
+    alternative: one HLL sketch per hour (DataSketches hll_sketch_agg,
+    the agg_hll_sketch_union machinery), then each 6-hour window is a
+    UNION OF 6 HOURLY SKETCHES — the ×W replication happens on the
+    few-KB-per-hour rollup, never on the raw events, so a 30-day
+    window over a year of 100 TB telemetry merges 720 sketches per
+    window instead of replicating every event 720×.  Estimates are
+    engine-specific, so (the established convention) each window
+    emits the ≤5% tolerance claim as a boolean the oracle asserts,
+    alongside the exact count and the window's merged-hour arity that
+    keep the hash sensitive to the windowing itself.
+
+    Scale notes: events are touched ONCE (hourly sketch agg,
+    map-side combinable); the window explode is |hours| × 6 rollup
+    rows; the exact side is the EVAL leg, dropped in production."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("eh"), "user_id"
+    )
+    hourly = e.groupBy("eh").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    wins = hourly.select(
+        F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h"),
+        "sk",
+    )
+    est = wins.groupBy("h").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_hours_merged"),
+    )
+    exact = (
+        e.select(
+            F.explode(
+                F.sequence(F.col("eh"), F.col("eh") + 5)
+            ).alias("h"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_exact_users"))
+    )
+    return (
+        hourly.select("eh")
+        .join(est, est.h == F.col("eh"))
+        .drop("h")
+        .join(exact, exact.h == F.col("eh"))
+        .select(
+            F.col("eh").alias("epoch_hour"),
+            F.col("n_hours_merged").cast("long").alias("n_hours_merged"),
+            F.col("n_exact_users").cast("long").alias("n_exact_users"),
+            (
+                F.abs(F.col("est") - F.col("n_exact_users"))
+                <= F.col("n_exact_users") * F.lit(0.05)
+            ).alias("est_within_5pct"),
+        )
+    )
+
+
+@_q(
     "agg_hll_sketch_union",
     """
     WITH e AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
@@ -14349,29 +14430,85 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DCW_W, _DCW_S = 32, 24  # window / stride (8-token overlap)
 
 
-@_q(
-    "doc_chunk_windows",
-    f"""
-    WITH t AS (SELECT doc_id,
+def _chunk_ctes(source: str = "documents") -> list[str]:
+    """CTE chain of the sliding token-window chunker, ending in
+    ``cw_e`` = one row per (doc, chunk) carrying (toks, n, chunk_idx,
+    start_tok).  ``source`` must yield (doc_id, text).  Shared by the
+    standalone doc_chunk_windows oracle and the curation-v7
+    composition, so both stay in lockstep by construction."""
+    return [
+        f"""cw_t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '),
                                   x -> x <> '') AS toks
-               FROM documents),
-    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-    c AS (SELECT doc_id, toks, n,
+               FROM {source})""",
+        "cw_n AS (SELECT doc_id, toks, len(toks) AS n FROM cw_t "
+        "WHERE len(toks) > 0)",
+        f"""cw_c AS (SELECT doc_id, toks, n,
                  CASE WHEN n <= {_DCW_W} THEN 1
                       ELSE (n - {_DCW_W} + {_DCW_S} - 1) // {_DCW_S} + 1
                  END AS nc
-          FROM n),
-    e AS (SELECT doc_id, toks, n,
+          FROM cw_n)""",
+        f"""cw_e AS (SELECT doc_id, toks, n,
                  CAST(i.i AS BIGINT) AS chunk_idx,
                  CAST(i.i * {_DCW_S} AS BIGINT) AS start_tok
-          FROM c, unnest(range(0, nc)) AS i(i)),
+          FROM cw_c, unnest(range(0, nc)) AS i(i))""",
+    ]
+
+
+def _chunk_rows(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_chunk_ctes``: per-chunk rows (doc_id,
+    chunk_idx, start_tok, n, chunk_text) for any (doc_id, text)
+    frame.  Embarrassingly parallel — split → closed-form chunk count
+    → sequence + posexplode → slice; zero shuffles."""
+    W, S = _DCW_W, _DCW_S
+    d = spread(docs).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = d.select("doc_id", "toks", F.size("toks").alias("n")).where(
+        F.col("n") > 0
+    )
+    c = n.withColumn(
+        "nc",
+        F.when(F.col("n") <= W, F.lit(1)).otherwise(
+            F.expr(f"(n - {W} + {S} - 1) DIV {S} + 1")
+        ),
+    )
+    e = c.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.expr("sequence(0, nc - 1)")).alias(
+            "chunk_idx", "_i"
+        ),
+    ).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("_i") * S).cast("long").alias("start_tok"),
+    )
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@_q(
+    "doc_chunk_windows",
+    f"""
+    WITH {", ".join(_chunk_ctes())},
     s AS (SELECT doc_id, chunk_idx, start_tok, n,
                  array_to_string(
                      list_slice(toks, CAST(start_tok + 1 AS INTEGER),
                                 CAST(start_tok + {_DCW_W} AS INTEGER)),
                      ' ') AS chunk_text
-          FROM e)
+          FROM cw_e)
     SELECT doc_id, chunk_idx, start_tok,
            CAST(least({_DCW_W}, n - start_tok) AS BIGINT)
                AS n_chunk_tokens,
@@ -14401,42 +14538,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice), zero shuffles, zero joins, zero windows; chunk explosion
     is bounded by n/S per doc.  WholeStageCodegen end-to-end."""
     W, S = _DCW_W, _DCW_S
-    d = spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
-    )
-    n = d.select("doc_id", "toks", F.size("toks").alias("n")).where(
-        F.col("n") > 0
-    )
-    c = n.withColumn(
-        "nc",
-        F.when(F.col("n") <= W, F.lit(1)).otherwise(
-            F.expr(f"(n - {W} + {S} - 1) DIV {S} + 1")
-        ),
-    )
-    e = c.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.posexplode(F.expr("sequence(0, nc - 1)")).alias(
-            "chunk_idx", "_i"
-        ),
-    ).select(
-        "doc_id",
-        "toks",
-        "n",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("_i") * S).cast("long").alias("start_tok"),
-    )
-    s = e.select(
-        "doc_id",
-        "chunk_idx",
-        "start_tok",
-        "n",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
-        ).alias("chunk_text"),
-    )
+    s = _chunk_rows(_t(spark, sf_dir, "documents"))
     return s.select(
         "doc_id",
         "chunk_idx",
@@ -15963,6 +16065,164 @@ def pipeline_corpus_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_v7_oracle() -> str:
+    """Composition oracle: the MinHash-LSH pair family (shared
+    constants), the holdout-split labeling, and the chunking CTEs
+    (shared builder) joined into the v7 publication rollup."""
+    ctes = [
+        _SHINGLE_CTE.strip(),
+        f"sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id)",
+        f"bands AS ({_MINHASH_BANDS})",
+        """pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id)""",
+        """v7_sp AS (SELECT doc_id, lang, doc_id % 5 = 0 AS is_test
+           FROM documents)""",
+        "v7_dup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)",
+        """v7_leak AS (SELECT DISTINCT CASE WHEN sa.is_test THEN p.doc_a
+                                    ELSE p.doc_b END AS doc_id
+            FROM pairs p
+            JOIN v7_sp sa ON sa.doc_id = p.doc_a
+            JOIN v7_sp sb ON sb.doc_id = p.doc_b
+            WHERE sa.is_test <> sb.is_test)""",
+        """v7_lab AS (SELECT d.doc_id, d.text, sp.lang, sp.is_test,
+                  CASE WHEN sp.is_test AND lk.doc_id IS NOT NULL
+                           THEN 'leaked_holdout'
+                       WHEN du.doc_id IS NOT NULL THEN 'near_dup'
+                       ELSE 'kept' END AS status
+           FROM documents d
+           JOIN v7_sp sp USING (doc_id)
+           LEFT JOIN v7_leak lk ON lk.doc_id = d.doc_id
+           LEFT JOIN v7_dup du ON du.doc_id = d.doc_id)""",
+        "v7_kept AS (SELECT doc_id, text FROM v7_lab "
+        "WHERE status = 'kept')",
+        *_chunk_ctes(source="v7_kept"),
+        f"""v7_ch AS (SELECT doc_id, count(*) AS n_chunks,
+                  sum(least({_DCW_W}, n - start_tok)) AS n_chunk_tokens
+           FROM cw_e GROUP BY doc_id)""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + """ SELECT CASE WHEN is_test THEN 'test' ELSE 'train' END
+                 AS split,
+             lang, status,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(n_chunks, 0)) AS BIGINT) AS n_chunks,
+             CAST(sum(coalesce(n_chunk_tokens, 0)) AS BIGINT)
+                 AS n_chunk_tokens
+         FROM v7_lab LEFT JOIN v7_ch USING (doc_id)
+         GROUP BY 1, 2, 3"""
+    )
+
+
+@_q("pipeline_corpus_curation_v7", _curation_v7_oracle())
+def pipeline_corpus_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v7 — the late-round-9 operators composed into ONE
+    holdout-safe publication plan: MinHash-LSH near-dup pairs drive
+    BOTH the dedup rule (a doc with a smaller-id near-twin is
+    'near_dup' — the pair-minimum convention, no CC pass needed in the
+    composed plan) AND the evaluation-integrity rule (a held-out test
+    doc with a train near-twin is 'leaked_holdout', the
+    doc_holdout_leakage_rate gate; leak beats dup on the test side —
+    a leaked doc must NOT silently re-enter via dedup bookkeeping);
+    the surviving 'kept' docs are then chunked by the shared sliding-
+    window builder (doc_chunk_windows machinery) and the rollup prices
+    each (split, lang, status) cell in docs, chunks, and chunk tokens
+    — what a retrieval-corpus publisher ships alongside the data.
+
+    Scale notes (100 TB): band-bucket equi-join pairs (never
+    all-pairs, one lazy-checkpointed build feeding both rules),
+    doc_id-keyed label joins, embarrassingly-parallel chunking of the
+    kept slice only, one final hash aggregation.  No windows."""
+    docs = _t(spark, sf_dir, "documents")
+    # one pair build feeds both the dedup and the leakage rule
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    ).localCheckpoint(eager=False)
+    sp = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % 5 == 0).alias("is_test")
+    )
+    dup = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    leak = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("is_test").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("is_test").alias("tb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("ta"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_l", F.lit(1))
+    )
+    lab = (
+        docs.select("doc_id", "text")
+        .join(sp, "doc_id")
+        .join(leak, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "is_test",
+            F.when(
+                F.col("is_test") & F.col("_l").isNotNull(),
+                "leaked_holdout",
+            )
+            .when(F.col("_d").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    ch = (
+        _chunk_rows(
+            lab.where(F.col("status") == "kept").select("doc_id", "text")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.least(F.lit(_DCW_W), F.col("n") - F.col("start_tok"))
+            ).alias("n_chunk_tokens"),
+        )
+    )
+    return (
+        lab.join(ch, "doc_id", "left")
+        .groupBy(
+            F.when(F.col("is_test"), "test").otherwise("train").alias(
+                "split"
+            ),
+            "lang",
+            "status",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_chunks"), F.lit(0)))
+            .cast("long")
+            .alias("n_chunks"),
+            F.sum(F.coalesce(F.col("n_chunk_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def _importance_model_oracle() -> str:
     """DuckDB mirror of the DENSE full-corpus importance count model —
     what the shard-merge must reproduce exactly."""
@@ -17271,6 +17531,8 @@ _CHECK_FIRST = [
     "evt_sliding_distinct_users",
     "doc_holdout_leakage_rate",
     "mm_keyframe_select",
+    "evt_sliding_hll_users",
+    "pipeline_corpus_curation_v7",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
