@@ -1517,6 +1517,74 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_quality_quantile_norm",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+    r AS (SELECT doc_id, source, score,
+                 rank() OVER (PARTITION BY source ORDER BY score) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST((rk - 1) * 10000 // greatest(n - 1, 1) AS BIGINT)
+               AS pct_rank_bp
+    FROM r
+    """,
+)
+def doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score — the
+    cross-source comparability step before mixing corpora: raw scores
+    (here ``n_chars``) are incomparable across sources with different
+    scales, so each doc gets its PERCENT RANK within its own source
+    (×10⁴; ties share the min rank, the SQL ``percent_rank``
+    convention) and a single threshold then means the same thing in
+    every source.
+
+    The oracle is the window form; the ENGINE plan is the groupwise
+    decomposition that survives a source with 10¹⁰ docs (where a
+    window PARTITIONED BY source is one straggler task per source):
+    rollup to (source, score) counts, ONE distributed global prefix
+    sum ordered by (source, score) (``with_global_prefix`` — range
+    shuffle + ≤P-row offset rollup), per-source offsets off the
+    bounded |sources| rollup, then count-of-smaller = global_cum −
+    cnt − source_offset joins back by (source, score).  Values are
+    window-identical.
+
+    Scale notes (100 TB): two hash aggs + the prefix machinery + one
+    equi-join back; no per-source serialization point anywhere."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    )
+    r1 = d.groupBy("source", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    r2 = with_global_prefix(
+        r1,
+        [F.col("source"), F.col("score")],
+        rn_col="_rn",
+        cum_cols=["cnt"],
+    )
+    off = r2.groupBy("source").agg(
+        F.min(F.col("cnt_cum") - F.col("cnt")).alias("src_off"),
+        F.sum("cnt").alias("n_src"),
+    )
+    m = r2.join(F.broadcast(off), "source").select(
+        "source",
+        "score",
+        (F.col("cnt_cum") - F.col("cnt") - F.col("src_off")).alias(
+            "cum_smaller"
+        ),
+        "n_src",
+    )
+    return d.join(m, ["source", "score"]).select(
+        "doc_id",
+        "source",
+        F.col("score").cast("long").alias("score"),
+        F.expr(
+            "CAST(cum_smaller * 10000 DIV greatest(n_src - 1, 1) "
+            "AS BIGINT)"
+        ).alias("pct_rank_bp"),
+    )
+
+
+@_q(
     "text_tokenizer_fertility",
     """
     WITH d AS (SELECT doc_id, lang, length(text) AS n_chars,
@@ -17533,6 +17601,7 @@ _CHECK_FIRST = [
     "mm_keyframe_select",
     "evt_sliding_hll_users",
     "pipeline_corpus_curation_v7",
+    "doc_quality_quantile_norm",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
