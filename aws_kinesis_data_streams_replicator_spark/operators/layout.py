@@ -366,3 +366,117 @@ def compaction_step(
         "last_key",
     )
     return closed, new_pending
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve: the locality-better alternative to the Morton interleave.
+# Same portability rule as zvalue_sql: pure div/mod/multiply/CASE, no bit
+# intrinsics, so the IDENTICAL construction (modulo the integer-division
+# token) runs on Spark and DuckDB, and a pure-Python twin pins both.
+# --------------------------------------------------------------------------
+
+
+def hilbert_index(n: int, x: int, y: int) -> int:
+    """Pure-Python Hilbert xy→d (the canonical flip-on-(n−1) variant):
+    the test reference both engine forms must match, self-verified by
+    the adjacency property (consecutive d ⇒ Manhattan-adjacent cells)
+    in tests/test_hilbert_layout.py."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x // s) % 2 else 0
+        ry = 1 if (y // s) % 2 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_round_exprs(
+    s: int, n: int, px: str, py: str, pd: str, div: str
+) -> tuple[str, str, str]:
+    """(new_x, new_y, new_d) SQL for one Hilbert round at block size
+    ``s``: quadrant index (3·rx)⊕ry spelled as a CASE (no xor
+    intrinsic), then the conditional flip+swap rotation."""
+    rx = f"(({px}) {div} {s}) % 2"
+    ry = f"(({py}) {div} {s}) % 2"
+    quad = (
+        f"CASE WHEN {rx} = 1 THEN CASE WHEN {ry} = 1 THEN 2 ELSE 3 END "
+        f"ELSE CASE WHEN {ry} = 1 THEN 1 ELSE 0 END END"
+    )
+    new_d = f"({pd}) + {s * s} * ({quad})"
+    new_x = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - ({py}) ELSE ({py}) END) "
+        f"ELSE ({px}) END"
+    )
+    new_y = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - ({px}) ELSE ({px}) END) "
+        f"ELSE ({py}) END"
+    )
+    return new_x, new_y, new_d
+
+
+def with_hilbert(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    out: str = "hv",
+    bits: int = 8,
+) -> DataFrame:
+    """Add ``out`` = Hilbert index of (``x_col``, ``y_col``) — inputs
+    must already be folded into [0, 2^bits).  One chained projection
+    per round (all JVM-side CASE arithmetic, fused by whole-stage
+    codegen into a single stage — no shuffle, no UDF)."""
+    n = 1 << bits
+    cur = df.withColumn("_hx", F.col(x_col).cast("long")).withColumn(
+        "_hy", F.col(y_col).cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for j in range(bits - 1, -1, -1):
+        s = 1 << j
+        ex, ey, ed = _hilbert_round_exprs(s, n, "_hx", "_hy", "_hd", "DIV")
+        keep = [c for c in cur.columns if c not in ("_hx", "_hy", "_hd")]
+        cur = cur.select(
+            *keep,
+            F.expr(ex).alias("_hx"),
+            F.expr(ey).alias("_hy"),
+            F.expr(ed).alias("_hd"),
+        )
+    return cur.withColumn(out, F.col("_hd").cast("long")).drop(
+        "_hx", "_hy", "_hd"
+    )
+
+
+def hilbert_ctes(
+    source: str, bits: int = 8, prefix: str = "hb"
+) -> tuple[list[str], str]:
+    """DuckDB mirror of ``with_hilbert``: CTE chain unrolling the
+    rounds (``source`` must yield pass-through columns plus hx, hy;
+    the final CTE exposes everything plus ``hv``).  Returns (ctes,
+    final_cte_name)."""
+    n = 1 << bits
+    ctes = [
+        f"{prefix}0 AS (SELECT *, CAST(0 AS BIGINT) AS hd0 FROM ({source}))"
+    ]
+    px, py, pd = "hx", "hy", "hd0"
+    step = 0
+    for j in range(bits - 1, -1, -1):
+        s = 1 << j
+        step += 1
+        ex, ey, ed = _hilbert_round_exprs(s, n, px, py, pd, "//")
+        ctes.append(
+            f"{prefix}{step} AS (SELECT * EXCLUDE ({px}, {py}, {pd}), "
+            f"{ex} AS hx{step}, {ey} AS hy{step}, {ed} AS hd{step} "
+            f"FROM {prefix}{step - 1})"
+        )
+        px, py, pd = f"hx{step}", f"hy{step}", f"hd{step}"
+    ctes.append(
+        f"{prefix}f AS (SELECT *, CAST({pd} AS BIGINT) AS hv "
+        f"FROM {prefix}{step})"
+    )
+    return ctes, f"{prefix}f"

@@ -60,6 +60,7 @@ _BNLJ_OK = {
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
+    "files_hilbert_pruning",  # 1-row ingestion-bucket denominator cross
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
     "doc_holdout_leakage_rate",  # three 1-row summary aggregates crossed
