@@ -90,6 +90,22 @@ def key_cms_grid(
     )
 
 
+def cms_join_bound(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
+    """ONE-ROW upper bound on |A ⋈_k B| from two key grids: min over
+    sketch rows of the bucket-wise inner product Σ_b cntA·cntB — the
+    agg_join_size_estimate arithmetic as a reusable planning
+    primitive (join-order enumeration calls it once per candidate
+    intermediate).  ≤ depth·width cells a side, any fact size."""
+    return (
+        grid_a.join(
+            grid_b.withColumnRenamed("cnt", "cnt_b"), ["r", "bucket"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+        .agg(F.min("s").alias("est"))
+    )
+
+
 def join_plan_stats(
     grid_a: DataFrame, grid_b: DataFrame, broadcast_threshold_rows: int
 ) -> DataFrame:

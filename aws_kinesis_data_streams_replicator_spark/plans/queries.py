@@ -15831,6 +15831,146 @@ def plan_join_strategy_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return costmodel.join_plan_stats(ga, gb, broadcast_threshold_rows=5000)
 
 
+def _cms_grid_ctes(name: str, source: str) -> str:
+    """DuckDB CTE text for a 4×1024 count-min key grid over ``source``
+    (must yield a string column ``k``) — the key_cms_grid twin."""
+    legs = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(r, 'k', 1024)} AS bucket "
+        f"FROM {source}"
+        for r in range(4)
+    )
+    return (
+        f"{name} AS (SELECT r, bucket, count(*) AS cnt FROM ({legs}) "
+        f"GROUP BY r, bucket)"
+    )
+
+
+@_q(
+    "plan_join_order_3way",
+    f"""
+    WITH kc AS (SELECT CAST(c_custkey AS STRING) AS k FROM customer
+                WHERE c_acctbal > 5000),
+    ko1 AS (SELECT CAST(o_custkey AS STRING) AS k FROM orders),
+    ko2 AS (SELECT CAST(o_orderkey AS STRING) AS k FROM orders),
+    kl AS (SELECT CAST(l_orderkey AS STRING) AS k FROM lineitem
+           WHERE year(l_shipdate) = 1996),
+    {_cms_grid_ctes("gc", "kc")},
+    {_cms_grid_ctes("go1", "ko1")},
+    {_cms_grid_ctes("go2", "ko2")},
+    {_cms_grid_ctes("gl", "kl")},
+    eco AS (SELECT min(s) AS est_co FROM (
+        SELECT gc.r, sum(gc.cnt * go1.cnt) AS s
+        FROM gc JOIN go1 ON go1.r = gc.r AND go1.bucket = gc.bucket
+        GROUP BY gc.r)),
+    eol AS (SELECT min(s) AS est_ol FROM (
+        SELECT go2.r, sum(go2.cnt * gl.cnt) AS s
+        FROM go2 JOIN gl ON gl.r = go2.r AND gl.bucket = go2.bucket
+        GROUP BY go2.r)),
+    xco AS (SELECT count(*) AS ex_co
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal > 5000),
+    xol AS (SELECT count(*) AS ex_ol
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE year(l.l_shipdate) = 1996),
+    fin AS (SELECT count(*) AS final_size
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_acctbal > 5000 AND year(l.l_shipdate) = 1996)
+    SELECT join_order,
+           CAST(est_intermediate AS BIGINT) AS est_intermediate,
+           CAST(exact_intermediate AS BIGINT) AS exact_intermediate,
+           est_intermediate >= exact_intermediate AS bound_holds,
+           chosen,
+           CAST(final_size AS BIGINT) AS final_size
+    FROM (
+      SELECT 'c_join_o_first' AS join_order, est_co AS est_intermediate,
+             ex_co AS exact_intermediate, est_co <= est_ol AS chosen,
+             final_size
+      FROM eco, eol, xco, fin
+      UNION ALL
+      SELECT 'o_join_l_first', est_ol, ex_ol, est_ol < est_co, final_size
+      FROM eco, eol, xol, fin)
+    """,
+)
+def plan_join_order_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven JOIN-ORDER enumeration — the step after
+    plan_join_strategy_hook's broadcast-vs-shuffle choice: for the
+    3-relation chain  customer(filtered) ⋈ orders ⋈ lineitem(filtered)
+    both left-deep orders are costed by their intermediate-result
+    upper bound (``costmodel.cms_join_bound`` — min-of-inner-products
+    over the key grids, one per candidate), the smaller bound wins
+    (tie → first), and the oracle checks the one-sided guarantee
+    against BOTH exact intermediates plus the (order-invariant) final
+    size.  This is the classical Selinger enumeration with sketch
+    cardinalities instead of table stats — the decision a 100-TB
+    optimizer must make before any byte shuffles, here auditable
+    because every estimate is deterministic integer arithmetic.
+
+    Scale notes: four ≤4096-cell grids (one map-side rollup each),
+    bounds are grid⋈grid inner products; the exact legs are the EVAL
+    side (dropped in production, where the chosen order just runs).
+    1-row crosses are the allowlisted scalar-broadcast shape."""
+    from ..operators import costmodel
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1996)
+    gc = costmodel.key_cms_grid(c, "c_custkey")
+    go1 = costmodel.key_cms_grid(o, "o_custkey")
+    go2 = costmodel.key_cms_grid(o, "o_orderkey")
+    gl = costmodel.key_cms_grid(li, "l_orderkey")
+    est_co = costmodel.cms_join_bound(gc, go1).withColumnRenamed(
+        "est", "est_co"
+    )
+    est_ol = costmodel.cms_join_bound(go2, gl).withColumnRenamed(
+        "est", "est_ol"
+    )
+    ex_co = c.join(o, c.c_custkey == o.o_custkey).agg(
+        F.count(F.lit(1)).alias("ex_co")
+    )
+    ex_ol = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("ex_ol")
+    )
+    fin = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("final_size"))
+    )
+    one = (
+        est_co.crossJoin(F.broadcast(est_ol))
+        .crossJoin(F.broadcast(ex_co))
+        .crossJoin(F.broadcast(ex_ol))
+        .crossJoin(F.broadcast(fin))
+    )
+    rows = one.select(
+        F.expr(
+            "inline(array("
+            "struct('c_join_o_first' AS join_order, "
+            "       est_co AS est_intermediate, "
+            "       ex_co AS exact_intermediate, "
+            "       est_co <= est_ol AS chosen), "
+            "struct('o_join_l_first' AS join_order, "
+            "       est_ol AS est_intermediate, "
+            "       ex_ol AS exact_intermediate, "
+            "       est_ol < est_co AS chosen)))"
+        ),
+        "final_size",
+    )
+    return rows.select(
+        "join_order",
+        F.col("est_intermediate").cast("long").alias("est_intermediate"),
+        F.col("exact_intermediate")
+        .cast("long")
+        .alias("exact_intermediate"),
+        (F.col("est_intermediate") >= F.col("exact_intermediate")).alias(
+            "bound_holds"
+        ),
+        "chosen",
+        F.col("final_size").cast("long").alias("final_size"),
+    )
+
+
 @_q(
     "files_compaction_plan",
     """
@@ -17700,6 +17840,7 @@ _CHECK_FIRST = [
     "pipeline_corpus_curation_v7",
     "doc_quality_quantile_norm",
     "files_hilbert_pruning",
+    "plan_join_order_3way",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

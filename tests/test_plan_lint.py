@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "evt_selfjoin_size_estimate",  # 1-row exact-F2 x 1-row CMS estimate
     "agg_join_size_estimate",  # 1-row exact-size x 1-row CMS estimate
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
+    "plan_join_order_3way",  # five 1-row planning scalars crossed
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
     "files_hilbert_pruning",  # 1-row ingestion-bucket denominator cross
