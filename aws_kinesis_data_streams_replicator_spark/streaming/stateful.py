@@ -723,11 +723,25 @@ def _hll_estimate(regs: list[int]) -> int:
     return int(raw)
 
 
+def _hll_fold(regs: list[int], ids: Iterable) -> None:
+    """Fold ids into HLL registers in place (md5 family, max-merge —
+    replay-idempotent).  Shared by the running and sliding variants."""
+    import hashlib
+
+    for uid in ids:
+        h = int.from_bytes(
+            hashlib.md5(str(int(uid)).encode()).digest()[:8], "big"
+        )
+        idx = h & (_HLL_M - 1)
+        w = h >> 8  # remaining 56 bits
+        rank = 56 - w.bit_length() + 1  # leading zeros + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+
+
 def _hll_update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    import hashlib
-
     if state.exists:
         regs, n = state.get
         regs = list(regs)
@@ -737,15 +751,7 @@ def _hll_update(
         if not len(pdf):
             continue
         n += len(pdf)
-        for uid in pdf["user_id"]:
-            h = int.from_bytes(
-                hashlib.md5(str(int(uid)).encode()).digest()[:8], "big"
-            )
-            idx = h & (_HLL_M - 1)
-            w = h >> 8  # remaining 56 bits
-            rank = 56 - w.bit_length() + 1  # leading zeros + 1
-            if rank > regs[idx]:
-                regs[idx] = rank
+        _hll_fold(regs, pdf["user_id"])
     state.update(([int(r) for r in regs], int(n)))
     yield pd.DataFrame(
         {
@@ -780,6 +786,84 @@ def streaming_distinct_estimate(events_stream: DataFrame) -> DataFrame:
         _hll_update,
         outputStructType=HLL_OUT_SCHEMA,
         stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SLIDING_HLL_OUT_SCHEMA = (
+    "event_type string, window_end_eh long, n_hours_merged long, "
+    "est_distinct_window long, n_state_hours long"
+)
+SLIDING_HLL_STATE_SCHEMA = "hours array<long>, regs array<array<int>>"
+_SLIDING_HLL_W = 6  # window = 6 hours ending at the latest seen hour
+
+
+def _sliding_hll_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        hours, regs = state.get
+        hmap = {int(h): list(r) for h, r in zip(hours, regs)}
+    else:
+        hmap = {}
+    saw = False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        saw = True
+        for eh, grp in pdf.groupby("eh"):
+            _hll_fold(
+                hmap.setdefault(int(eh), [0] * _HLL_M), grp["user_id"]
+            )
+    if not saw and not hmap:
+        return
+    mx = max(hmap)
+    # evict hours that can never fall inside a future window ending at
+    # ≥ mx (event time is monotone-ish; late data older than the window
+    # is dropped exactly like a watermark would drop it)
+    hmap = {h: r for h, r in hmap.items() if h > mx - _SLIDING_HLL_W}
+    merged = [0] * _HLL_M
+    for h, r in hmap.items():
+        for i, v in enumerate(r):
+            if v > merged[i]:
+                merged[i] = v
+    keys = sorted(hmap)
+    state.update(
+        (
+            [int(h) for h in keys],
+            [[int(v) for v in hmap[h]] for h in keys],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "window_end_eh": [mx],
+            "n_hours_merged": [len(keys)],
+            "est_distinct_window": [_hll_estimate(merged)],
+            "n_state_hours": [len(keys)],
+        }
+    )
+
+
+def streaming_sliding_distinct(events_stream: DataFrame) -> DataFrame:
+    """Sliding-window distinct-user estimate per event type in BOUNDED
+    keyed state — the streaming twin of the batch
+    ``evt_sliding_hll_users`` rollup: one 256-register HLL per (type,
+    hour) held in state, the emitted estimate the register UNION of
+    the ≤6 hours ending at the latest hour seen, hours older than the
+    window EVICTED every batch, so state is O(W·m) ints per key
+    forever (``n_state_hours`` is the oracle-checkable boundedness
+    witness).  Register folds and unions are max operations →
+    replay-idempotent after an at-least-once restart; eviction is
+    monotone in the max hour, so replay cannot resurrect an evicted
+    hour.  Input must carry ``eh`` (epoch-hour) and ``user_id``."""
+    return events_stream.select("event_type", "eh", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _sliding_hll_update,
+        outputStructType=SLIDING_HLL_OUT_SCHEMA,
+        stateStructType=SLIDING_HLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
