@@ -2510,6 +2510,12 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the byte windows and the L1 arithmetic in char
     space and must match the flag bit-for-bit.
 
+    Precondition (like the BPE sentinel): payloads are nonempty —
+    a 0-byte payload would emit 8 zero-delta frames here but only
+    frame 0 in the oracle (its position ranges are empty), so a
+    corpus with empty docs must filter them first (the fixtures
+    guarantee nonempty text).
+
     Scale notes (100 TB): one Arrow crossing for the scoring, one
     window PARTITIONED by doc_id (≤ 8 rows per key) for the top-2 —
     no frame payload shuffle, no global window."""
