@@ -288,6 +288,11 @@ _BCAST_OK: dict[str, str] = {
     # is an external bounded query list, modeled at fixture scale as a
     # 1% vec_id sample of the corpus
     "emb_filtered_ann_topk": "bounded query-set broadcast",
+    # every broadcast side is a 1-row planning scalar: the two CMS
+    # intermediate bounds come from costmodel.cms_join_bound (whose
+    # collapsing .agg() over ≤4096-cell grids the lexical resolver
+    # can't see through), the rest are global count aggregates
+    "plan_join_order_3way": "1-row CMS bounds + 1-row exact counts",
     # every broadcast arg here is a 1-row frame: coverage_radius's
     # global max-of-min aggregate and the three radius aggregates —
     # the first is built inside similarity.coverage_radius, whose
