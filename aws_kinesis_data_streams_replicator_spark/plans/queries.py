@@ -17173,6 +17173,117 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "part_copurchase_topk",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+               FROM lineitem),
+    marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+             FROM b GROUP BY 1),
+    pr AS (SELECT a.item AS item_a, c.item AS item_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM b a JOIN b c ON a.g = c.g AND a.item < c.item
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT item_a AS item, item_b AS neighbor, n_both FROM pr
+            UNION ALL
+            SELECT item_b, item_a, n_both FROM pr),
+    sc AS (SELECT s.item, s.neighbor, s.n_both,
+                  mi.n_item AS n_item, mn.n_item AS n_neighbor,
+                  CAST(s.n_both * 10000
+                       // (mi.n_item + mn.n_item - s.n_both) AS BIGINT)
+                      AS jaccard_bp
+           FROM sym s
+           JOIN marg mi ON mi.item = s.item
+           JOIN marg mn ON mn.item = s.neighbor),
+    rk AS (SELECT *, row_number() OVER (
+               PARTITION BY item
+               ORDER BY jaccard_bp DESC, n_both DESC, neighbor) AS rnk
+           FROM sc)
+    SELECT item, neighbor, CAST(rnk AS BIGINT) AS rnk,
+           n_both, jaccard_bp
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: the top-3 most-similar parts
+    per part by basket Jaccard (co-orders / orders-with-either, ×10⁴)
+    — the "customers also bought" primitive, and the NORMALIZED
+    complement to part_association_rules' directional confidence/lift
+    (Jaccard is symmetric and popularity-damped: a part co-occurring
+    with everything scores low against every specific neighbor).
+    Support floor ≥ 2 co-orders; ties break by co-count then smaller
+    neighbor id.
+
+    Scale notes (100 TB): pair generation inherits the Σ basket²
+    bound of the association pass (baskets are order-sized, bounded);
+    marginals are one item rollup joined back; the per-item top-3 is a
+    window PARTITIONED by item over its co-item rows — never global.
+    At catalog scale the pair rollup is the classic item-item
+    co-occurrence matrix build."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    marg = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pr = (
+        a.join(
+            c,
+            (F.col("a.g") == F.col("c.g"))
+            & (F.col("a.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    sym = pr.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_both",
+    ).unionByName(
+        pr.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_both",
+        )
+    )
+    sc = (
+        sym.join(marg.withColumnRenamed("n_item", "n_i"), "item")
+        .join(
+            marg.select(
+                F.col("item").alias("neighbor"),
+                F.col("n_item").alias("n_n"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 10000 DIV (n_i + n_n - n_both) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("jaccard_bp"), F.desc("n_both"), F.asc("neighbor")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "item",
+            "neighbor",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("n_both").cast("long").alias("n_both"),
+            "jaccard_bp",
+        )
+    )
+
+
+@_q(
     "evt_changepoint_cusum",
     """
     WITH hr AS (
@@ -17847,6 +17958,7 @@ _CHECK_FIRST = [
     "doc_quality_quantile_norm",
     "files_hilbert_pruning",
     "plan_join_order_3way",
+    "part_copurchase_topk",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
