@@ -17284,6 +17284,104 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_touch_attribution",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    p AS (SELECT event_id, user_id, ts, cents FROM e
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM e
+          WHERE event_type = 'click'),
+    lt AS (SELECT p.event_id, p.cents,
+                  CAST(epoch_us(c.ts) AS BIGINT) // 3600000000
+                      AS click_eh
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.ts >= c.ts),
+    fc AS (SELECT user_id, min(ts) AS first_ts FROM c GROUP BY 1),
+    ft AS (SELECT p.event_id, p.cents,
+                  CASE WHEN fc.first_ts IS NOT NULL
+                            AND fc.first_ts <= p.ts
+                       THEN CAST(epoch_us(fc.first_ts) AS BIGINT)
+                            // 3600000000 END AS click_eh
+           FROM p LEFT JOIN fc ON fc.user_id = p.user_id),
+    lab AS (SELECT 'last_touch' AS model, click_eh, cents FROM lt
+            UNION ALL
+            SELECT 'first_touch', click_eh, cents FROM ft)
+    SELECT model, click_eh,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM lab GROUP BY model, click_eh
+    """,
+)
+def evt_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing touch attribution, both canonical models side by
+    side: every purchase's revenue attributed to the user's LAST
+    prior-or-simultaneous click (the as-of join —
+    operators/joins.as_of_join, union+window, no pair explosion) and
+    to their FIRST-ever click if it precedes the purchase (one
+    per-user min rollup + equi-join — first-touch needs no as-of).
+    Rolled up per (model, click hour); purchases with no prior click
+    land in the NULL-hour bucket, so the two models account for
+    identical totals by construction — the dashboard that shows how
+    much credit moves between acquisition and conversion channels
+    when the attribution rule changes.
+
+    Scale notes (100 TB): last-touch is the as-of union+window
+    (partitioned per user — bounded per-key rows); first-touch is a
+    hash rollup + equi-join; the final rollup is map-side-combinable.
+    Tie-break on equal timestamps: the as-of takes the latest click
+    with ts ≤ purchase, matching DuckDB's ASOF (>=) exactly."""
+    from ..operators.joins import as_of_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "cents"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id")
+    )
+    lt = as_of_join(
+        p,
+        c,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts"],
+        tie_break="c_event_id",
+    ).select(
+        F.lit("last_touch").alias("model"),
+        F.expr("unix_micros(asof_ts) DIV 3600000000").alias("click_eh"),
+        "cents",
+    )
+    fc = c.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    ft = p.join(fc, "user_id", "left").select(
+        F.lit("first_touch").alias("model"),
+        F.when(
+            F.col("first_ts").isNotNull()
+            & (F.col("first_ts") <= F.col("ts")),
+            F.expr("unix_micros(first_ts) DIV 3600000000"),
+        ).alias("click_eh"),
+        "cents",
+    )
+    return (
+        lt.unionByName(ft)
+        .groupBy("model", "click_eh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@_q(
     "evt_changepoint_cusum",
     """
     WITH hr AS (
@@ -17959,6 +18057,7 @@ _CHECK_FIRST = [
     "files_hilbert_pruning",
     "plan_join_order_3way",
     "part_copurchase_topk",
+    "evt_touch_attribution",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
