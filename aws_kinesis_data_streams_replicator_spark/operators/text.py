@@ -1221,3 +1221,56 @@ def merge_importance_models(model_a: DataFrame, model_b: DataFrame) -> DataFrame
         (F.col("src_tot") + F.col("_src_tot_b")).cast("long").alias("src_tot"),
         (F.col("tgt_tot") + F.col("_tgt_tot_b")).cast("long").alias("tgt_tot"),
     )
+
+
+CHUNK_W, CHUNK_S = 32, 24  # sliding-window chunking: window / stride
+
+
+def chunk_rows(docs: DataFrame) -> DataFrame:
+    """Sliding token-window chunker: per-chunk rows (doc_id,
+    chunk_idx, start_tok, n, chunk_text) for any (doc_id, text) frame
+    — chunk count is closed-form ``max(1, ⌈(n−W)/S⌉+1)`` so the last
+    window always reaches the doc end and no fully-contained tail is
+    emitted.  Shared by the doc_chunk_windows oracle query, the
+    curation-v7 composition, and the streaming chunk gate.
+
+    Scale notes: embarrassingly parallel — split → closed-form chunk
+    count → sequence + posexplode → slice; zero shuffles, zero
+    windows; fan-out bounded by n/S per doc."""
+    W, S = CHUNK_W, CHUNK_S
+    d = spread(docs).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = d.select("doc_id", "toks", F.size("toks").alias("n")).where(
+        F.col("n") > 0
+    )
+    c = n.withColumn(
+        "nc",
+        F.when(F.col("n") <= W, F.lit(1)).otherwise(
+            F.expr(f"(n - {W} + {S} - 1) DIV {S} + 1")
+        ),
+    )
+    e = c.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.expr("sequence(0, nc - 1)")).alias(
+            "chunk_idx", "_i"
+        ),
+    ).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("_i") * S).cast("long").alias("start_tok"),
+    )
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
+        ).alias("chunk_text"),
+    )

@@ -14598,7 +14598,9 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DCW_W, _DCW_S = 32, 24  # window / stride (8-token overlap)
+from ..operators.text import CHUNK_S as _DCW_S  # noqa: E402
+from ..operators.text import CHUNK_W as _DCW_W  # noqa: E402
+from ..operators.text import chunk_rows as _chunk_rows  # noqa: E402
 
 
 def _chunk_ctes(source: str = "documents") -> list[str]:
@@ -14624,50 +14626,6 @@ def _chunk_ctes(source: str = "documents") -> list[str]:
                  CAST(i.i * {_DCW_S} AS BIGINT) AS start_tok
           FROM cw_c, unnest(range(0, nc)) AS i(i))""",
     ]
-
-
-def _chunk_rows(docs: DataFrame) -> DataFrame:
-    """Spark twin of ``_chunk_ctes``: per-chunk rows (doc_id,
-    chunk_idx, start_tok, n, chunk_text) for any (doc_id, text)
-    frame.  Embarrassingly parallel — split → closed-form chunk count
-    → sequence + posexplode → slice; zero shuffles."""
-    W, S = _DCW_W, _DCW_S
-    d = spread(docs).select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
-    )
-    n = d.select("doc_id", "toks", F.size("toks").alias("n")).where(
-        F.col("n") > 0
-    )
-    c = n.withColumn(
-        "nc",
-        F.when(F.col("n") <= W, F.lit(1)).otherwise(
-            F.expr(f"(n - {W} + {S} - 1) DIV {S} + 1")
-        ),
-    )
-    e = c.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.posexplode(F.expr("sequence(0, nc - 1)")).alias(
-            "chunk_idx", "_i"
-        ),
-    ).select(
-        "doc_id",
-        "toks",
-        "n",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("_i") * S).cast("long").alias("start_tok"),
-    )
-    return e.select(
-        "doc_id",
-        "chunk_idx",
-        "start_tok",
-        "n",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
-        ).alias("chunk_text"),
-    )
 
 
 @_q(

@@ -852,6 +852,50 @@ def streaming_phash_gate(
     return gated.select(*cols)
 
 
+def streaming_chunk_gate(
+    docs_batch: DataFrame, chunk_hash_index: DataFrame
+) -> DataFrame:
+    """Streaming chunker + chunk-level dedup gate: split each incoming
+    document into the standard sliding token windows
+    (operators/text.py ``chunk_rows`` — the doc_chunk_windows
+    machinery, W=32/S=24) and drop chunks whose text hash already
+    exists in the static corpus index — the retrieval-ingest path
+    that keeps re-crawled boilerplate from re-entering a chunk store
+    while NEW passages of a known document still land.
+
+    ``chunk_hash_index`` is the corpus snapshot's chunk-hash set
+    (e.g. doc_chunk_windows' ``chunk_hash`` projection), re-resolved
+    per micro-batch like the phash/linkage gates.  Stateless: the
+    chunk fan-out is a bounded per-row explode, the dedup is one
+    LEFT join against the DISTINCT index (at most one match, no
+    fan-out) — offsets-only WAL restart.
+
+    OUTPUT is one row per SURVIVING chunk (doc_id, chunk_idx,
+    start_tok, chunk_hash, chunk_text) — the unit a retrieval store
+    ingests."""
+    from ..operators.text import chunk_rows
+
+    chunks = chunk_rows(docs_batch.select("doc_id", "text")).select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        "chunk_text",
+    )
+    idx = (
+        chunk_hash_index.select("chunk_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        chunks.join(idx, "chunk_hash", "left")
+        .where(F.col("_hit").isNull())
+        .select(
+            "doc_id", "chunk_idx", "start_tok", "chunk_hash", "chunk_text"
+        )
+    )
+
+
 def streaming_compaction_maintenance(
     files_stream: DataFrame,
     work_dir: str,
