@@ -14489,21 +14489,29 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ok") + 1).alias("mo"), (F.max("k") + 1).alias("mk")
     )
     base = li.crossJoin(F.broadcast(s))
+    # one scan: both layouts' file assignments explode from the same
+    # row (a UNION of two selects would scan lineitem twice)
     fkd = (
         base.select(
-            F.lit("ingestion").alias("layout"),
-            F.expr(
-                layout.range_bucket_sql("ok", "mo", _FBP_FILES)
-            ).alias("file_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("ingestion").alias("layout"),
+                        F.expr(
+                            layout.range_bucket_sql("ok", "mo", _FBP_FILES)
+                        ).alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("key_range").alias("layout"),
+                        F.expr(
+                            layout.range_bucket_sql("k", "mk", _FBP_FILES)
+                        ).alias("file_id"),
+                    ),
+                )
+            ).alias("lf"),
             "k",
         )
-        .union(
-            base.select(
-                F.lit("key_range"),
-                F.expr(layout.range_bucket_sql("k", "mk", _FBP_FILES)),
-                "k",
-            )
-        )
+        .select("lf.layout", "lf.file_id", "k")
         .distinct()
     )
     nf = fkd.groupBy("layout").agg(
