@@ -132,6 +132,37 @@ def write_zordered(
     )
 
 
+def write_hilbert_ordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out along the HILBERT curve of
+    (col_x, col_y) — the physical half whose payoff
+    ``files_hilbert_pruning`` prices against Z-order and ingestion
+    order.  Same shape as ``write_zordered`` (min-max grid
+    normalization, range-partitioned total sort on the curve value),
+    but the curve index comes from the broadcast ``hilbert_lookup``
+    join (see its docstring — the per-row expression form explodes
+    under projection collapse), so Hilbert's tighter every-step
+    adjacency buys tighter per-file boxes at unaligned file counts
+    with the identical write cost."""
+    gridded = df.withColumn(
+        "_hgx", _grid_normalize(df, col_x, bits)
+    ).withColumn("_hgy", _grid_normalize(df, col_y, bits))
+    hed = with_hilbert(gridded, "_hgx", "_hgy", out="_h", bits=bits)
+    (
+        hed.repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_hgx", "_hgy", "_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def layout_pruning_stats(
     df: DataFrame,
     assignments: list[tuple[str, str, Column, Column]],
