@@ -323,7 +323,11 @@ def _outermost_key(seg: str):
 
 
 def _broadcast_hits():
-    hits = []
+    """(fn_name, message) for every broadcast() whose build-side
+    lineage the resolver cannot prove bounded — UNFILTERED, so the
+    allowlist test below can assert each _BCAST_OK entry still trips
+    (self-pruning, like the BNLJ / global-window allowlists)."""
+    raw = []
     for path in sorted(_PKG.rglob("*.py")):
         src = path.read_text()
         if "broadcast(" not in src:
@@ -374,16 +378,16 @@ def _broadcast_hits():
                     and node.args
                 ):
                     problem = resolve(node.args[0])
-                    if problem and fn.name not in _BCAST_OK:
-                        hits.append(
+                    if problem:
+                        raw.append((fn.name, (
                             f"{path.relative_to(_PKG.parent)}:"
                             f"{node.lineno} ({fn.name}) broadcasts {problem}"
-                        )
-    return hits
+                        )))
+    return raw
 
 
 def test_no_unbounded_broadcast_hints():
-    hits = _broadcast_hits()
+    hits = [msg for fn, msg in _broadcast_hits() if fn not in _BCAST_OK]
     assert not hits, (
         "explicit broadcast() of a build side that grows with the data "
         "(driver OOM at scale) — drop the hint and let AQE decide, or "
@@ -518,3 +522,17 @@ def test_bnlj_allowlist_entry_still_has_bnlj(spark, sf_dir, name):
 def test_allowlists_reference_only_live_queries():
     assert sorted(set(_GLOBAL_WINDOW_OK) - set(QUERIES)) == []
     assert sorted(_BNLJ_OK - set(QUERIES)) == []
+
+
+def test_bcast_allowlist_entries_still_trip():
+    """Anti-rot (the _BNLJ_OK / _GLOBAL_WINDOW_OK discipline): every
+    _BCAST_OK function must still contain a broadcast() the lineage
+    resolver flags — an entry whose function was rewritten (or
+    deleted) no longer needs its exemption, and keeping it could mask
+    a future real unbounded broadcast under the same name."""
+    tripped = {fn for fn, _ in _broadcast_hits()}
+    stale = set(_BCAST_OK) - tripped
+    assert not stale, (
+        f"stale _BCAST_OK entries (no flagged broadcast remains): "
+        f"{sorted(stale)} — prune them"
+    )
