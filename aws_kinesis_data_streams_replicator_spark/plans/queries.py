@@ -7000,6 +7000,132 @@ def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_stationary_oracle(rounds: int = 8, scale: int = 10**12) -> str:
+    """DuckDB mirror of evt_markov_stationary: the power iteration
+    unrolled (bounded |types|, the BPE/kcenter chain convention) with
+    per-term floor division — both engines floor identically, so the
+    iterate is bit-exact."""
+    ctes = [
+        """ms_s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)""",
+        """ms_t AS (SELECT event_type AS f, next_type AS t, count(*) AS n
+          FROM ms_s WHERE next_type IS NOT NULL GROUP BY 1, 2)""",
+        "ms_r AS (SELECT f, sum(n) AS rn FROM ms_t GROUP BY 1)",
+        "ms_k AS (SELECT count(*) AS nt FROM ms_r)",
+        f"ms_v0 AS (SELECT f AS ty, {scale} // nt AS v FROM ms_r, ms_k)",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"""ms_v{j} AS (
+            SELECT ms_t.t AS ty,
+                   sum(ms_v{j - 1}.v * ms_t.n // ms_r.rn) AS v
+            FROM ms_v{j - 1}
+            JOIN ms_t ON ms_t.f = ms_v{j - 1}.ty
+            JOIN ms_r ON ms_r.f = ms_v{j - 1}.ty
+            GROUP BY 1)"""
+        )
+    ctes.append(
+        f"ms_sum AS (SELECT sum(v) AS sv FROM ms_v{rounds})"
+    )
+    ctes.append(
+        f"""ms_prev AS (SELECT ty, v AS v_prev FROM ms_v{rounds - 1})"""
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT ms_v{rounds}.ty AS event_type,
+               CAST(ms_v{rounds}.v AS BIGINT) AS v_scaled,
+               CAST(ms_v{rounds}.v * 1000000 // ms_sum.sv AS BIGINT)
+                   AS stationary_ppm,
+               CAST(abs(ms_v{rounds}.v - ms_prev.v_prev) AS BIGINT)
+                   AS delta_last_round
+        FROM ms_v{rounds}
+        JOIN ms_prev ON ms_prev.ty = ms_v{rounds}.ty
+        CROSS JOIN ms_sum"""
+    )
+
+
+@_q("evt_markov_stationary", _markov_stationary_oracle())
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — the
+    long-run fraction of time a session spends in each event type,
+    i.e. PageRank on the behavior graph: 8 power-iteration rounds of
+    v·P over the evt_markov_transitions matrix, entirely in integers
+    (iterate scaled to 10¹², per-term ``v·c DIV rowsum`` floors
+    identically in both engines, so even the rounding is bit-exact).
+    Emits the scaled iterate, the ppm-normalized stationary share, and
+    the last-round L1 delta per type — the convergence witness that
+    says 8 rounds sufficed (oracle-checked, so it cannot silently go
+    stale).
+
+    Scale notes (100 TB): ONE windowed pass over events builds the
+    |types|² transition matrix (bounded domain); the 8 iteration
+    rounds then run on ≤|types|-row frames — broadcast-scale joins
+    regardless of corpus size, the bounded-domain sibling of the
+    iterative PageRank operator (graph.py) which must shuffle real
+    vertex sets."""
+    ROUNDS, SCALE = 8, 10**12
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    t = s.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = t.localCheckpoint(eager=False)
+    r = t.groupBy("f").agg(F.sum("n").alias("rn"))
+    m = t.join(r, "f")  # (f, t, n, rn) — the bounded matrix
+    m = m.localCheckpoint(eager=False)
+    k = r.agg(F.count(F.lit(1)).alias("nt"))
+    v = r.crossJoin(F.broadcast(k)).select(
+        F.col("f").alias("ty"), F.expr(f"{SCALE} DIV nt").alias("v")
+    )
+    prev = None
+    for _ in range(ROUNDS):
+        prev = v
+        # v·c in DECIMAL(38,0): v ≈ 10¹² and c is a raw transition
+        # count, so int64 would wrap beyond ~9·10⁶-row matrices
+        # (the _IW_RATIO_SQL convention; DuckDB // promotes to HUGEINT
+        # on the same formula)
+        v = (
+            v.join(m, v.ty == m.f)
+            .groupBy(F.col("t").alias("ty2"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(v AS DECIMAL(38,0)) * n DIV rn "
+                        "AS BIGINT)"
+                    )
+                ).alias("v")
+            )
+            .select(F.col("ty2").alias("ty"), "v")
+        )
+    sv = v.agg(F.sum("v").alias("sv"))
+    return (
+        v.join(
+            prev.select(F.col("ty"), F.col("v").alias("v_prev")), "ty"
+        )
+        .crossJoin(F.broadcast(sv))
+        .select(
+            F.col("ty").alias("event_type"),
+            F.col("v").cast("long").alias("v_scaled"),
+            F.expr("CAST(v * 1000000 DIV sv AS BIGINT)").alias(
+                "stationary_ppm"
+            ),
+            F.abs(F.col("v") - F.col("v_prev"))
+            .cast("long")
+            .alias("delta_last_round"),
+        )
+    )
+
+
 @_q(
     "evt_markov_transitions",
     """
@@ -18024,6 +18150,7 @@ _CHECK_FIRST = [
     "plan_join_order_3way",
     "part_copurchase_topk",
     "evt_touch_attribution",
+    "evt_markov_stationary",
     # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",

@@ -140,6 +140,9 @@ _BNLJ_OK = {
     "evt_changepoint_cusum",
     # 2-row dimension cross over the calendar-bounded hourly rollup
     "evt_seasonal_strength_anova",
+    # 1-row type-count cross (uniform init) + 1-row iterate-sum cross
+    # over the bounded |types| stationary vector
+    "evt_markov_stationary",
     # importance totals + 1-row budget scalar crosses
     "doc_token_budget_allocation",
 }
