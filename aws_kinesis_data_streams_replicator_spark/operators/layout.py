@@ -167,6 +167,7 @@ def layout_pruning_stats(
     df: DataFrame,
     assignments: list[tuple[str, str, Column, Column]],
     domains: dict[str, Column],
+    include_rows: bool = False,
 ) -> DataFrame:
     """Min-max pruning effectiveness of competing file layouts, exactly.
 
@@ -181,7 +182,13 @@ def layout_pruning_stats(
     uniform random point predicate must touch is span_sum/domain,
     emitted as ``expected_files_hit_bp`` (×10⁴).  One explode + two
     hash aggregations; no windows, no collects — the measurement
-    itself follows the engine's scale rules."""
+    itself follows the engine's scale rules.
+
+    ``include_rows=True`` appends an ``n_rows`` column (rows assigned
+    per layout/dim) — the conservation witness a lifecycle audit wants
+    (every layout must account for every row; a silent drop in a file
+    assignment shows up as a cross-layout n_rows mismatch).  Off by
+    default so existing advisor schemas stay frozen."""
     stacked = df.select(
         F.explode(
             F.array(
@@ -198,32 +205,36 @@ def layout_pruning_stats(
         ).alias("t")
     ).select("t.*")
     per_file = stacked.groupBy("layout", "dim", "file_id").agg(
-        F.min("val").alias("lo"), F.max("val").alias("hi")
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        F.count(F.lit(1)).alias("nr"),
     )
     per_layout = per_file.groupBy("layout", "dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
         F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("span_sum"),
+        F.sum("nr").cast("long").alias("_n_rows"),
     )
     dom = df.agg(
         *[c.cast("long").alias(f"_dom_{d}") for d, c in domains.items()]
     )
-    return (
-        per_layout.crossJoin(F.broadcast(dom))
-        .select(
-            "layout",
-            "dim",
-            "n_files",
-            "span_sum",
-            F.expr(
-                "CAST(span_sum * 10000 DIV ("
-                + " + ".join(
-                    f"CASE WHEN dim = '{d}' THEN _dom_{d} ELSE 0 END"
-                    for d in domains
-                )
-                + ") AS BIGINT)"
-            ).alias("expected_files_hit_bp"),
-        )
+    out = per_layout.crossJoin(F.broadcast(dom)).select(
+        "layout",
+        "dim",
+        "n_files",
+        "span_sum",
+        F.expr(
+            "CAST(span_sum * 10000 DIV ("
+            + " + ".join(
+                f"CASE WHEN dim = '{d}' THEN _dom_{d} ELSE 0 END"
+                for d in domains
+            )
+            + ") AS BIGINT)"
+        ).alias("expected_files_hit_bp"),
+        F.col("_n_rows").alias("n_rows"),
     )
+    if not include_rows:
+        out = out.drop("n_rows")
+    return out
 
 
 def execute_compaction_bins(
@@ -247,7 +258,16 @@ def execute_compaction_bins(
     * ``partitionBy("bin")`` writes one file per bin directory.
 
     Reads the table once however many bins close; the per-file
-    open/footer cost the small ingest files paid is amortized away."""
+    open/footer cost the small ingest files paid is amortized away.
+
+    CONTRACT: bins must come from ONE planning pass (compaction_plan,
+    or a single flushed compaction_step), where key ranges are
+    globally disjoint.  Bins accumulated across INCREMENTAL epochs can
+    have overlapping [first_key, last_key] ranges (a later epoch's
+    inventory interleaves the carried tail with new keys), and a range
+    join would then assign a row to two bins — use
+    :func:`execute_compaction_filelist` with the per-file work list
+    for the incremental path."""
     b = bins.select("bin", "first_key", "last_key")
     assigned = table.join(
         F.broadcast(b),
@@ -257,6 +277,54 @@ def execute_compaction_bins(
     (
         assigned.repartition("bin")
         .sortWithinPartitions("bin", key_col)
+        .write.mode("overwrite")
+        .partitionBy("bin")
+        .parquet(out_dir)
+    )
+
+
+def execute_compaction_filelist(
+    table: DataFrame,
+    file_bins: DataFrame,
+    key_col: str,
+    out_dir: str,
+    path_col: str = "path",
+) -> None:
+    """Execute an INCREMENTAL compaction work list by exact file
+    membership — the rewrite half of the streaming maintenance job
+    (``compaction_step_detail`` / ``streaming_compaction_maintenance``
+    emit one (file, bin) row per closed file under ``work_dir/files``).
+
+    Unlike :func:`execute_compaction_bins`' key-range join, explicit
+    membership survives overlapping key ranges across emission epochs
+    (the Iceberg/Delta OPTIMIZE shape: rewrite FILE GROUPS, not key
+    predicates): every physical file belongs to exactly one bin, so
+    every row is rewritten exactly once.
+
+    * ``table`` must be a direct parquet scan (the join key is the
+      row's ``_metadata.file_path``); ``file_bins`` is metadata (files
+      closed this maintenance cycle, carrying ``path``, ``bin`` and
+      the file-level ``key_col``) → broadcast equi-join; rows of files
+      still in the open tail simply don't match and are left in place;
+    * hash-repartition on the bin id + ``sortWithinPartitions(bin,
+      file key)`` keeps every output file clustered in file-run
+      order (rows inside each source file were already written
+      curve-sorted);
+    * ``partitionBy("bin")`` writes one directory per bin."""
+    fb = file_bins.select(
+        F.col(path_col).alias("_fb_path"),
+        "bin",
+        F.col(key_col).alias("_fb_key"),
+    )
+    assigned = table.withColumn(
+        "_row_path", F.col("_metadata.file_path")
+    ).join(
+        F.broadcast(fb), F.col("_row_path") == F.col("_fb_path")
+    ).drop("_fb_path", "_row_path")
+    (
+        assigned.repartition("bin")
+        .sortWithinPartitions("bin", "_fb_key")
+        .drop("_fb_key")
         .write.mode("overwrite")
         .partitionBy("bin")
         .parquet(out_dir)
@@ -363,6 +431,38 @@ def compaction_step(
     (operators/prefix.py) over the closed-bin ROLLUP — no
     single-partition window even when a batch replay closes a whole
     table's worth of bins at once."""
+    closed, _files, new_pending = compaction_step_detail(
+        pending,
+        new_files,
+        key_col,
+        size_col,
+        target_bytes,
+        bins_emitted=bins_emitted,
+        flush=flush,
+    )
+    return closed, new_pending
+
+
+def compaction_step_detail(
+    pending: DataFrame,
+    new_files: DataFrame,
+    key_col: str,
+    size_col: str,
+    target_bytes: int,
+    bins_emitted: int = 0,
+    flush: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`compaction_step` plus the per-FILE global-bin assignment
+    — ``(closed_bins, closed_files, new_pending)`` where
+    ``closed_files`` carries every closed input file's columns plus its
+    globally-renumbered ``bin``.  The rewrite executor and the
+    lifecycle advisor need the file→bin map (which small files merge
+    into which compacted file), not just the per-bin work list; both
+    views come from ONE binning pass so they cannot drift.
+
+    Scale notes: identical to compaction_step, plus one metadata-scale
+    join of the closed files against the (local bin → global bin)
+    renumber map — bounded by the bins closed this cycle."""
     inv = new_files if pending is None else pending.unionByName(new_files)
     binned = _binned_files(inv, key_col, size_col, target_bytes).select(
         *inv.columns, "bin"
@@ -373,7 +473,9 @@ def compaction_step(
     else:
         top = binned.agg(F.max("bin").alias("_open_bin"))
         with_top = binned.crossJoin(F.broadcast(top))
-        closed_files = with_top.where(F.col("bin") < F.col("_open_bin"))
+        closed_files = with_top.where(F.col("bin") < F.col("_open_bin")).select(
+            *inv.columns, "bin"
+        )
         new_pending = with_top.where(
             F.col("bin") == F.col("_open_bin")
         ).select(*inv.columns)
@@ -396,7 +498,18 @@ def compaction_step(
         "first_key",
         "last_key",
     )
-    return closed, new_pending
+    binmap = renum.select(
+        F.col("bin").alias("_lbin"),
+        (F.col("_bin_rn") - 1 + F.lit(int(bins_emitted)))
+        .cast("long")
+        .alias("_gbin"),
+    )
+    files_out = (
+        closed_files.join(binmap, closed_files["bin"] == binmap["_lbin"])
+        .drop("bin", "_lbin")
+        .withColumnRenamed("_gbin", "bin")
+    )
+    return closed, files_out, new_pending
 
 
 # --------------------------------------------------------------------------
@@ -501,7 +614,13 @@ def with_hilbert(
     must already be folded into [0, 2^bits).  Implemented as a
     broadcast hash join against the 4^bits-row ``hilbert_lookup``
     table (see its docstring for why the per-row expression form is a
-    trap); no shuffle on the fact side, no UDF."""
+    trap); no shuffle on the fact side, no UDF.
+
+    The join is LEFT OUTER so a precondition violation (NULL or
+    out-of-range coordinate) surfaces as a NULL ``out`` downstream —
+    never as silently dropped rows; a write path ordering on ``out``
+    keeps the row (NULLs sort together), and an advisor dividing by
+    row counts stays honest."""
     lk = hilbert_lookup(df.sparkSession, bits).select(
         F.col("x").alias("_lx"),
         F.col("y").alias("_ly"),
@@ -511,6 +630,7 @@ def with_hilbert(
         F.broadcast(lk),
         (F.col(x_col).cast("long") == F.col("_lx"))
         & (F.col(y_col).cast("long") == F.col("_ly")),
+        "left",
     ).drop("_lx", "_ly")
 
 

@@ -3395,7 +3395,9 @@ def files_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/layout.with_hilbert, the canonical rotate-and-flip
     recursion unrolled to 8 div/mod/CASE rounds — no bit intrinsics,
     so the identical construction runs in DuckDB and a drift in any
-    round hash-fails), 64 range-bucket files per layout, per-file
+    round hash-fails), 48 range-bucket files per layout (deliberately
+    NOT a power of 4, so Hilbert and Morton bucket spans genuinely
+    differ — see tests/test_hilbert_layout.py), per-file
     [min, max] spans per dimension.  The number this advisor exists
     for: Hilbert's every-step-adjacent locality yields tighter per-file
     spans than Morton's quadrant jumps on the SAME data and file
@@ -7021,7 +7023,8 @@ def _markov_stationary_oracle(rounds: int = 8, scale: int = 10**12) -> str:
         ctes.append(
             f"""ms_v{j} AS (
             SELECT ms_t.t AS ty,
-                   sum(ms_v{j - 1}.v * ms_t.n // ms_r.rn) AS v
+                   sum(CAST(ms_v{j - 1}.v AS HUGEINT) * ms_t.n // ms_r.rn)
+                       AS v
             FROM ms_v{j - 1}
             JOIN ms_t ON ms_t.f = ms_v{j - 1}.ty
             JOIN ms_r ON ms_r.f = ms_v{j - 1}.ty
@@ -7092,8 +7095,9 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = v
         # v·c in DECIMAL(38,0): v ≈ 10¹² and c is a raw transition
         # count, so int64 would wrap beyond ~9·10⁶-row matrices
-        # (the _IW_RATIO_SQL convention; DuckDB // promotes to HUGEINT
-        # on the same formula)
+        # (the _IW_RATIO_SQL convention; the oracle CASTs the same
+        # product to HUGEINT explicitly — DuckDB raises on BIGINT
+        # multiply overflow, it does not auto-promote)
         v = (
             v.join(m, v.ty == m.f)
             .groupBy(F.col("t").alias("ty2"))
@@ -8179,7 +8183,7 @@ def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT hrs.eh AS epoch_hour,
            CAST(nh.n_hours_merged AS BIGINT) AS n_hours_merged,
            CAST(ex.n_exact_users AS BIGINT) AS n_exact_users,
-           true AS est_within_5pct
+           true AS est_within_12pct
     FROM hrs
     JOIN nh ON nh.h = hrs.eh
     JOIN ex ON ex.h = hrs.eh
@@ -8195,9 +8199,14 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over a year of 100 TB telemetry merges 720 sketches per
     window instead of replicating every event 720×.  Estimates are
     engine-specific, so (the established convention) each window
-    emits the ≤5% tolerance claim as a boolean the oracle asserts,
-    alongside the exact count and the window's merged-hour arity that
-    keep the hash sensitive to the windowing itself.
+    emits a tolerance claim as a boolean the oracle asserts, alongside
+    the exact count and the window's merged-hour arity that keep the
+    hash sensitive to the windowing itself.  The bound is 12%, not the
+    ~1.6% lgK=12 standard error: a per-window hard assertion must
+    survive the worst window of every future rung, so it is set at
+    ≈7.5σ where a single-window excursion is effectively impossible
+    (small windows are exact — HLL sparse mode — so only the gaussian
+    large-window regime matters).
 
     Scale notes: events are touched ONCE (hourly sketch agg,
     map-side combinable); the window explode is |hours| × 6 rollup
@@ -8238,8 +8247,8 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact_users").cast("long").alias("n_exact_users"),
             (
                 F.abs(F.col("est") - F.col("n_exact_users"))
-                <= F.col("n_exact_users") * F.lit(0.05)
-            ).alias("est_within_5pct"),
+                <= F.col("n_exact_users") * F.lit(0.12)
+            ).alias("est_within_12pct"),
         )
     )
 
@@ -14586,7 +14595,8 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a scattered key is inside almost every file's [min, max]).
     lineitem is laid out twice — 64 ingestion-order files (orderkey
     ranges) vs 64 partkey-range files — and every file publishes a
-    {_FBP_K}-hash/{_FBP_M}-bit Bloom over its distinct partkeys
+    3-hash/4096-bit Bloom (``_FBP_K``/``_FBP_M``) over its distinct
+    partkeys
     (relational: the DISTINCT (file, bit) table IS the filter,
     mergeable by union).  Probes are real part keys (% 29) plus
     guaranteed-absent synthetics (+10⁸), classified by ground-truth
@@ -16247,6 +16257,179 @@ def files_compaction_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2).unionByName(out3)
 
 
+def _lifecycle_oracle() -> str:
+    """Composition oracle for files_lifecycle: the hilbert CTE chain
+    (shared builder), the two-epoch incremental-compaction fold (the
+    files_compaction_incremental arithmetic re-keyed on the curve
+    value), and the min-max span audit over BOTH physical generations."""
+    hb_ctes, hb_final = layout.hilbert_ctes(
+        "SELECT x, y, epoch, x AS hx, y AS hy FROM flsrc", bits=8
+    )
+    return f"""
+    WITH flsrc AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                          l_orderkey % 2 AS epoch
+                   FROM lineitem),
+    {", ".join(hb_ctes)},
+    flr AS (SELECT x, y, epoch, hv,
+                   CAST(hv * 48 // 65536 AS BIGINT) AS fh
+            FROM {hb_final}),
+    flf AS (SELECT epoch, fh,
+                   CAST(count(*) * 100 AS BIGINT) AS size_bytes,
+                   min(hv) * 2 + epoch AS k
+            FROM flr GROUP BY 1, 2),
+    fle1 AS (SELECT *, CAST(coalesce(sum(size_bytes) OVER (
+                 ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS lbin
+             FROM flf WHERE epoch = 0),
+    fle1t AS (SELECT max(lbin) AS open1 FROM fle1),
+    flc1 AS (SELECT epoch, fh,
+                    CAST(dense_rank() OVER (ORDER BY lbin) - 1 AS BIGINT)
+                        AS gbin
+             FROM fle1, fle1t WHERE lbin < open1),
+    fln1 AS (SELECT CAST(count(DISTINCT gbin) AS BIGINT) AS emitted
+             FROM flc1),
+    flu2 AS (SELECT epoch, fh, size_bytes, k FROM fle1, fle1t
+             WHERE lbin = open1
+             UNION ALL
+             SELECT epoch, fh, size_bytes, k FROM flf WHERE epoch = 1),
+    fle2 AS (SELECT *, CAST(coalesce(sum(size_bytes) OVER (
+                 ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS lbin
+             FROM flu2),
+    fle2t AS (SELECT max(lbin) AS open2 FROM fle2),
+    flc2 AS (SELECT epoch, fh,
+                    CAST(dense_rank() OVER (ORDER BY lbin) - 1 AS BIGINT)
+                        + (SELECT emitted FROM fln1) AS gbin
+             FROM fle2, fle2t WHERE lbin < open2),
+    fltl AS (SELECT epoch, fh,
+                    (SELECT emitted FROM fln1)
+                        + (SELECT CAST(count(DISTINCT gbin) AS BIGINT)
+                           FROM flc2) AS gbin
+             FROM fle2, fle2t WHERE lbin = open2),
+    flfb AS (SELECT * FROM flc1 UNION ALL SELECT * FROM flc2
+             UNION ALL SELECT * FROM fltl),
+    flasg AS (SELECT r.x, r.y, r.epoch * 48 + r.fh AS sfile, fb.gbin
+              FROM flr r JOIN flfb fb
+                ON fb.epoch = r.epoch AND fb.fh = r.fh),
+    flst AS (
+      SELECT 'ingest_small' AS layout, 'partkey' AS dim,
+             sfile AS file_id, x AS val FROM flasg
+      UNION ALL SELECT 'ingest_small', 'suppkey', sfile, y FROM flasg
+      UNION ALL SELECT 'compacted', 'partkey', gbin, x FROM flasg
+      UNION ALL SELECT 'compacted', 'suppkey', gbin, y FROM flasg),
+    fldom AS (SELECT max(x) - min(x) + 1 AS dom_partkey,
+                     max(y) - min(y) + 1 AS dom_suppkey FROM flasg),
+    flpf AS (SELECT layout, dim, file_id, min(val) AS lo, max(val) AS hi,
+                    count(*) AS nr
+             FROM flst GROUP BY 1, 2, 3)
+    SELECT layout, dim, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(hi - lo + 1) AS BIGINT) AS span_sum,
+           CAST(sum(hi - lo + 1) * 10000 // (CASE WHEN dim = 'partkey'
+                THEN fldom.dom_partkey ELSE fldom.dom_suppkey END)
+                AS BIGINT) AS expected_files_hit_bp,
+           CAST(sum(nr) AS BIGINT) AS n_rows
+    FROM flpf, fldom
+    GROUP BY layout, dim, fldom.dom_partkey, fldom.dom_suppkey
+    """
+
+
+@_q("files_lifecycle", _lifecycle_oracle())
+def files_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL-LAYOUT LIFECYCLE a 100-TB table runs nightly,
+    composed end-to-end from the round-9 pieces (the r9 verdict ask):
+    two micro-batch ingest epochs land Hilbert-ordered small files
+    (operators/layout.with_hilbert — the broadcast-lookup curve index,
+    48 hv-range files per epoch, exactly what write_hilbert_ordered
+    materializes), the incremental compaction maintenance job folds
+    them through ``layout.compaction_step_detail`` (epoch 1 closes
+    every ~1 MiB bin but its open tail; epoch 2 folds that tail in
+    front of its own inventory and continues the global bin
+    numbering; the final open tail becomes the last file), and the
+    min-max pruning advisor then prices BOTH physical generations —
+    the 96 pre-compaction small files vs the compacted bins — per
+    dimension, with ``n_rows`` as the cross-generation conservation
+    witness (compaction must account for every row; so must the
+    Hilbert join — the left-join regression guard).
+
+    The hash pins the whole lifecycle: the curve index (a hv drift
+    moves file spans), the first-fit fold (a bin-boundary drift moves
+    n_files), the global renumbering, the open-tail carry, and the
+    span arithmetic.
+
+    Scale notes (100 TB): the fact side pays one broadcast-lookup
+    hash join (curve index) + one hash agg (file inventory) + one
+    metadata broadcast join (file→bin map, ≤96 rows here, ≤ files-
+    per-maintenance-cycle in production) + one explode/agg span
+    audit; the compaction fold itself runs entirely on METADATA rows
+    through the distributed prefix decomposition (operators/
+    prefix.py).  1-row count crosses are the allowlisted scalar-
+    broadcast convention.  No windows on fact rows, no collects."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("l_partkey % 256").alias("x"),
+        F.expr("l_suppkey % 256").alias("y"),
+        F.expr("CAST(l_orderkey % 2 AS BIGINT)").alias("epoch"),
+    )
+    h = layout.with_hilbert(li, "x", "y", out="hv", bits=8)
+    r = h.withColumn(
+        "fh", F.expr("CAST(hv * 48 DIV 65536 AS BIGINT)")
+    ).localCheckpoint(eager=False)  # feeds inventory AND span audit
+    inv = (
+        r.groupBy("epoch", "fh")
+        .agg(
+            (F.count(F.lit(1)) * 100).cast("long").alias("size_bytes"),
+            F.min("hv").alias("_mh"),
+        )
+        .withColumn("k", (F.col("_mh") * 2 + F.col("epoch")).cast("long"))
+        .drop("_mh")
+        .localCheckpoint(eager=False)
+    )
+    _c1, files1, pend1 = layout.compaction_step_detail(
+        None, inv.where(F.col("epoch") == 0), "k", "size_bytes", 1 << 20
+    )
+    _c1 = _c1.localCheckpoint(eager=False)
+    _c2, files2, pend2 = layout.compaction_step_detail(
+        pend1, inv.where(F.col("epoch") == 1), "k", "size_bytes", 1 << 20
+    )
+    n1 = _c1.agg(F.count(F.lit(1)).cast("long").alias("_n1"))
+    n2 = _c2.agg(F.count(F.lit(1)).cast("long").alias("_n2"))
+    g1 = files1.select("epoch", "fh", F.col("bin").alias("gbin"))
+    g2 = (
+        files2.crossJoin(F.broadcast(n1))
+        .select("epoch", "fh", (F.col("bin") + F.col("_n1")).alias("gbin"))
+    )
+    gt = (
+        pend2.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("epoch", "fh", (F.col("_n1") + F.col("_n2")).alias("gbin"))
+    )
+    filebin = g1.unionByName(g2).unionByName(gt)
+    asg = r.join(F.broadcast(filebin), ["epoch", "fh"])
+    return layout.layout_pruning_stats(
+        asg,
+        assignments=[
+            (
+                "ingest_small",
+                "partkey",
+                F.col("epoch") * 48 + F.col("fh"),
+                F.col("x"),
+            ),
+            (
+                "ingest_small",
+                "suppkey",
+                F.col("epoch") * 48 + F.col("fh"),
+                F.col("y"),
+            ),
+            ("compacted", "partkey", F.col("gbin"), F.col("x")),
+            ("compacted", "suppkey", F.col("gbin"), F.col("y")),
+        ],
+        domains={
+            "partkey": F.max("x") - F.min("x") + 1,
+            "suppkey": F.max("y") - F.min("y") + 1,
+        },
+        include_rows=True,
+    )
+
+
 def _phash_ctes() -> list[str]:
     """CTE list shared by the mm_image_phash_groups oracle and the
     curation-v6 composition: the closed-form variant-pixel corpus
@@ -16694,51 +16877,71 @@ def _list_dot(a: str, b: str) -> str:
     )
 
 
-def _mmr_oracle(k: int = 10, pool: int = 50, qid: int = 0) -> str:
-    """DuckDB mirror of similarity.mmr_topk — the greedy MMR rounds
-    unrolled (bounded k, the kcenter/BPE chain convention), each m_j
-    MATERIALIZED because it feeds both the next argmax and the next
-    fold."""
+def _mmr_ctes(
+    k: int, pool: int, cand_source: str, prefix: str = ""
+) -> list[str]:
+    """CTE chain of the DuckDB MMR mirror (greedy rounds unrolled to
+    bounded k — the kcenter/BPE chain convention), parameterized over
+    the candidate source so the standalone query and the composed v8
+    retrieval leg stay in lockstep by construction.  ``cand_source``
+    must yield (vec_id, qe, rel); the chain exposes ``{p}sel`` with
+    one row per pick (pick_round, vec_id, rel_q, max_sim_sel_q,
+    mmr_score2x_q).  Each m_j is MATERIALIZED because it feeds both
+    the next argmax and the next fold (the _kcenter_ctes lesson —
+    inlining doubles the chain per round)."""
+    p = prefix
     dot = _list_dot
     ctes = [
-        f"e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings)",
-        f"q AS (SELECT qe AS q_qe FROM e WHERE vec_id = {qid})",
-        f"cand AS MATERIALIZED (SELECT e.vec_id, e.qe, "
-        f"{dot('e.qe', 'q.q_qe')} AS rel FROM e, q "
-        f"WHERE e.vec_id <> {qid} ORDER BY rel DESC, vec_id LIMIT {pool})",
-        "c1 AS (SELECT vec_id, qe, rel FROM cand "
+        f"{p}cand AS MATERIALIZED (SELECT vec_id, qe, rel "
+        f"FROM ({cand_source}) ORDER BY rel DESC, vec_id LIMIT {pool})",
+        f"{p}c1 AS (SELECT vec_id, qe, rel FROM {p}cand "
         "ORDER BY rel DESC, vec_id LIMIT 1)",
-        f"m1 AS MATERIALIZED (SELECT c.vec_id, c.qe, c.rel, "
-        f"{dot('c.qe', 'c1.qe')} AS maxsim, "
-        f"c.vec_id = c1.vec_id AS picked FROM cand c, c1)",
+        f"{p}m1 AS MATERIALIZED (SELECT c.vec_id, c.qe, c.rel, "
+        f"{dot('c.qe', f'{p}c1.qe')} AS maxsim, "
+        f"c.vec_id = {p}c1.vec_id AS picked FROM {p}cand c, {p}c1)",
     ]
     sels = [
         "SELECT CAST(1 AS INTEGER) AS pick_round, vec_id, "
         "CAST(rel AS BIGINT) AS rel_q, CAST(0 AS BIGINT) AS max_sim_sel_q, "
-        "CAST(rel AS BIGINT) AS mmr_score2x_q FROM c1"
+        f"CAST(rel AS BIGINT) AS mmr_score2x_q FROM {p}c1"
     ]
     for j in range(2, k + 1):
         ctes.append(
-            f"c{j} AS (SELECT vec_id, qe, rel, maxsim FROM m{j - 1} "
+            f"{p}c{j} AS (SELECT vec_id, qe, rel, maxsim FROM {p}m{j - 1} "
             f"WHERE NOT picked ORDER BY rel - maxsim DESC, vec_id LIMIT 1)"
         )
         ctes.append(
-            f"m{j} AS MATERIALIZED (SELECT m.vec_id, m.qe, m.rel, "
-            f"greatest(m.maxsim, {dot('m.qe', f'c{j}.qe')}) AS maxsim, "
-            f"m.picked OR m.vec_id = c{j}.vec_id AS picked "
-            f"FROM m{j - 1} m, c{j})"
+            f"{p}m{j} AS MATERIALIZED (SELECT m.vec_id, m.qe, m.rel, "
+            f"greatest(m.maxsim, {dot('m.qe', f'{p}c{j}.qe')}) AS maxsim, "
+            f"m.picked OR m.vec_id = {p}c{j}.vec_id AS picked "
+            f"FROM {p}m{j - 1} m, {p}c{j})"
         )
         sels.append(
             f"SELECT CAST({j} AS INTEGER), vec_id, CAST(rel AS BIGINT), "
             f"CAST(maxsim AS BIGINT), CAST(rel - maxsim AS BIGINT) "
-            f"FROM c{j}"
+            f"FROM {p}c{j}"
         )
+    ctes.append(f"{p}sel AS (" + " UNION ALL ".join(sels) + ")")
+    return ctes
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50, qid: int = 0) -> str:
+    """DuckDB mirror of similarity.mmr_topk over the full embedding
+    corpus (the standalone query's shape), built on the shared
+    ``_mmr_ctes`` chain."""
+    dot = _list_dot
+    head = [
+        f"e AS (SELECT vec_id, {_QUANT_SQL} AS qe FROM embeddings)",
+        f"q AS (SELECT qe AS q_qe FROM e WHERE vec_id = {qid})",
+    ]
+    cand_source = (
+        f"SELECT e.vec_id, e.qe, {dot('e.qe', 'q.q_qe')} AS rel "
+        f"FROM e, q WHERE e.vec_id <> {qid}"
+    )
     return (
         "WITH "
-        + ", ".join(ctes)
-        + " SELECT * FROM ("
-        + " UNION ALL ".join(sels)
-        + ")"
+        + ", ".join(head + _mmr_ctes(k, pool, cand_source))
+        + " SELECT * FROM sel"
     )
 
 
@@ -16950,6 +17153,261 @@ ORACLE_SQL["emb_coreset_ivf_recall_eval"] = ORACLE_SQL[
     exact=ORACLE_SQL["emb_ann_topk"],
     approx=ORACLE_SQL["emb_ann_ivf_coreset_topk"],
 )
+
+
+def _curation_v8_oracle() -> str:
+    """Composition oracle for pipeline_corpus_curation_v8: the
+    MinHash-LSH pair family, the embedding near-dup gate, the chunking
+    CTEs, the k-center/IVF retrieval chain, and the MMR rerank — every
+    leg from its SHARED builder so the composed pipeline cannot drift
+    from the standalone queries."""
+    dot = _list_dot
+    head = [
+        _SHINGLE_CTE.strip(),
+        f"sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id)",
+        f"bands AS ({_MINHASH_BANDS})",
+        """pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id)""",
+        "v8_sp AS (SELECT doc_id, doc_id % 5 = 0 AS is_test "
+        "FROM documents)",
+        "v8_dupt AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)",
+        """v8_leak AS (SELECT DISTINCT CASE WHEN sa.is_test THEN p.doc_a
+                                    ELSE p.doc_b END AS doc_id
+            FROM pairs p
+            JOIN v8_sp sa ON sa.doc_id = p.doc_a
+            JOIN v8_sp sb ON sb.doc_id = p.doc_b
+            WHERE sa.is_test <> sb.is_test)""",
+        f"v8_eq AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS qe "
+        "FROM embeddings)",
+        f"""v8_dupe AS (SELECT DISTINCT b.vec_id AS doc_id
+            FROM v8_eq a, v8_eq b
+            WHERE a.vec_id < b.vec_id
+              AND {dot('a.qe', 'b.qe')} >= 950000000000)""",
+        """v8_lab AS (SELECT d.doc_id, sp.is_test,
+                  CASE WHEN sp.is_test AND lk.doc_id IS NOT NULL
+                           THEN 'leaked_holdout'
+                       WHEN dt.doc_id IS NOT NULL THEN 'near_dup_text'
+                       WHEN de.doc_id IS NOT NULL THEN 'near_dup_emb'
+                       ELSE 'kept' END AS status
+           FROM documents d
+           JOIN v8_sp sp USING (doc_id)
+           LEFT JOIN v8_leak lk ON lk.doc_id = d.doc_id
+           LEFT JOIN v8_dupt dt ON dt.doc_id = d.doc_id
+           LEFT JOIN v8_dupe de ON de.doc_id = d.doc_id)""",
+        "v8_pub AS (SELECT doc_id FROM v8_lab "
+        "WHERE NOT is_test AND status = 'kept')",
+        "v8_pd AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN v8_pub USING (doc_id))",
+        *_chunk_ctes(source="v8_pd"),
+        f"""v8_sum AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM v8_pub)
+                AS n_published_docs,
+            (SELECT CAST(count(*) AS BIGINT) FROM cw_e)
+                AS n_published_chunks,
+            (SELECT CAST(coalesce(sum(least({_DCW_W}, n - start_tok)), 0)
+                    AS BIGINT) FROM cw_e) AS n_chunk_tokens,
+            (SELECT CAST(count(*) AS BIGINT) FROM v8_lab
+             WHERE status = 'near_dup_text') AS n_dropped_text_dup,
+            (SELECT CAST(count(*) AS BIGINT) FROM v8_lab
+             WHERE status = 'near_dup_emb') AS n_dropped_emb_dup,
+            (SELECT CAST(count(*) AS BIGINT) FROM v8_lab
+             WHERE status = 'leaked_holdout') AS n_leaked_holdout)""",
+        *_kcenter_ctes(
+            8,
+            prefix="v8",
+            source="SELECT e.vec_id, e.qe FROM v8_eq e "
+            "JOIN v8_pub p ON p.doc_id = e.vec_id",
+        ),
+        "v8_cs AS (SELECT e.vec_id AS cell, e.qe AS c_qe FROM v8e e "
+        "JOIN v8sel s ON s.vec_id = e.vec_id)",
+        f"v8_fa AS (SELECT e.vec_id, e.qe, c.cell, "
+        f"{dot('e.qe', 'c.c_qe')} AS cd FROM v8e e, v8_cs c)",
+        "v8_far AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cd DESC, cell ASC) AS r FROM v8_fa)",
+        "v8_cand AS (SELECT vec_id, qe, cell FROM v8_far WHERE r = 1)",
+        f"v8_q AS (SELECT vec_id AS query_id, {_QUANT_SQL} AS q_qe "
+        "FROM embeddings WHERE vec_id = 0)",
+        f"""v8_qa AS (SELECT q.query_id, q.q_qe, c.cell,
+            row_number() OVER (ORDER BY {dot('q.q_qe', 'c.c_qe')} DESC,
+                               c.cell ASC) AS r
+            FROM v8_q q, v8_cs c)""",
+        "v8_qc AS (SELECT query_id, q_qe, cell FROM v8_qa WHERE r <= 2)",
+        f"""v8_sc AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+            {dot('q.q_qe', 'c.qe')} AS dot_q
+            FROM v8_qc q JOIN v8_cand c USING (cell)
+            WHERE c.vec_id <> q.query_id)""",
+        "v8_sl AS (SELECT neighbor_id FROM v8_sc "
+        "ORDER BY dot_q DESC, neighbor_id ASC LIMIT 20)",
+        *_mmr_ctes(
+            5,
+            20,
+            f"SELECT e.vec_id, e.qe, {dot('e.qe', 'q.q_qe')} AS rel "
+            "FROM v8e e JOIN v8_sl s ON s.neighbor_id = e.vec_id, v8_q q",
+            prefix="v8r",
+        ),
+    ]
+    return (
+        "WITH "
+        + ", ".join(head)
+        + """ SELECT s.pick_round, s.vec_id, s.rel_q, s.max_sim_sel_q,
+                 s.mmr_score2x_q,
+                 m.n_published_docs, m.n_published_chunks,
+                 m.n_chunk_tokens, m.n_dropped_text_dup,
+                 m.n_dropped_emb_dup, m.n_leaked_holdout
+          FROM v8rsel s CROSS JOIN v8_sum m"""
+    )
+
+
+@_q("pipeline_corpus_curation_v8", _curation_v8_oracle())
+def pipeline_corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v8 — RAG PUBLICATION (the r9 verdict ask): every
+    late-r9 retrieval operator composed into ONE plan.  Documents gate
+    through the v7 rules (MinHash-LSH near-dup pairs drive both the
+    pair-minimum text dedup and the holdout leakage gate; leak beats
+    dup on the test side) PLUS the embedding near-dup gate
+    (sign-LSH-bucketed exact cosine ≥ 0.95, the emb_neardup_pairs
+    machinery — text dup beats embedding dup, a doc failing both
+    bills to the earlier stage); the published slice (train ∧ kept)
+    is chunked by the shared sliding-window builder, and the retrieval
+    leg then runs a held-out query (vec 0 — doc 0 is test by the %5
+    split, exactly the eval-time shape) against ONLY the published
+    corpus: greedy k-center coreset seeds the IVF cells
+    (emb_ann_ivf_coreset_topk path), 2-of-8 probing shortlists 20
+    candidates, and MMR (λ=½) reranks them into 5 diversified picks.
+    Output = the 5 picks × the publication manifest (docs/chunks/
+    tokens published, drops per gate) — one row set whose hash pins
+    every stage: a drift in ANY gate changes the manifest counts, a
+    drift in seeding/probing/rerank changes the picks.
+
+    Scale notes (100 TB): band-bucket equi-joins for text pairs,
+    bucketed sign-LSH for embedding pairs (never all-pairs — the
+    brute-force legs live only in the oracle), doc_id-keyed label
+    joins, chunking over the published slice only, k bounded corpus
+    passes for the coreset, tiny-centroid broadcast + cell equi-join
+    for IVF, k bounded rounds on the pinned 20-row frame for MMR.
+    The two 1-row summary crosses are the allowlisted scalar-
+    broadcast convention."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    ).localCheckpoint(eager=False)
+    sp = docs.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_test")
+    )
+    dupt = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dt", F.lit(1))
+    )
+    leak = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("is_test").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("is_test").alias("tb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("ta"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_l", F.lit(1))
+    )
+    dupe = (
+        dedup.embedding_neardup_pairs_lsh(emb, min_dot_q=950_000_000_000)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_de", F.lit(1))
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(sp, "doc_id")
+        .join(leak, "doc_id", "left")
+        .join(dupt, "doc_id", "left")
+        .join(dupe, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_test",
+            F.when(
+                F.col("is_test") & F.col("_l").isNotNull(),
+                "leaked_holdout",
+            )
+            .when(F.col("_dt").isNotNull(), "near_dup_text")
+            .when(F.col("_de").isNotNull(), "near_dup_emb")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .localCheckpoint(eager=False)  # feeds manifest AND published slice
+    )
+    pub = lab.where(~F.col("is_test") & (F.col("status") == "kept")).select(
+        "doc_id"
+    )
+    ch = _chunk_rows(docs.join(pub, "doc_id").select("doc_id", "text"))
+    s_docs = lab.agg(
+        F.sum(
+            (~F.col("is_test") & (F.col("status") == "kept")).cast("long")
+        ).alias("n_published_docs"),
+        F.sum((F.col("status") == "near_dup_text").cast("long")).alias(
+            "n_dropped_text_dup"
+        ),
+        F.sum((F.col("status") == "near_dup_emb").cast("long")).alias(
+            "n_dropped_emb_dup"
+        ),
+        F.sum((F.col("status") == "leaked_holdout").cast("long")).alias(
+            "n_leaked_holdout"
+        ),
+    )
+    s_chunks = ch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_published_chunks"),
+        F.coalesce(
+            F.sum(F.least(F.lit(_DCW_W), F.col("n") - F.col("start_tok"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+    summary = s_docs.crossJoin(F.broadcast(s_chunks))
+    pub_emb = emb.join(
+        pub.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=False)  # feeds coreset, IVF corpus, MMR vectors
+    cent = similarity.coreset_centroids(pub_emb, k=8)
+    shortlist = similarity.ivf_topk(
+        pub_emb,
+        emb.where(F.col("vec_id") == 0),
+        k=20,
+        n_cells=8,
+        n_probe=2,
+        centroids=cent,
+    ).select(F.col("neighbor_id").alias("vec_id"))
+    universe = emb.join(shortlist, "vec_id").unionByName(
+        emb.where(F.col("vec_id") == 0)
+    )
+    picks = similarity.mmr_topk(universe, query_vec_id=0, k=5, pool=20)
+    return picks.crossJoin(F.broadcast(summary)).select(
+        "pick_round",
+        "vec_id",
+        "rel_q",
+        "max_sim_sel_q",
+        "mmr_score2x_q",
+        "n_published_docs",
+        "n_published_chunks",
+        "n_chunk_tokens",
+        "n_dropped_text_dup",
+        "n_dropped_emb_dup",
+        "n_leaked_holdout",
+    )
 
 
 def _coreset_fold_oracle(k: int = 8) -> str:
@@ -18068,8 +18526,67 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-9 window (50): first the 20 late-r8 registrations that
-    # never saw a driver window (NOTES_r9_staging.md item 1, in order) ----
+    # ---- round-10 window (50): first the 2 queries NEW in round 10
+    # (the r9-verdict composition asks), then the 24 late-r9
+    # registrations that never saw a driver window
+    # (NOTES_r10_staging.md item 1, in order — six of them also
+    # carry this round's ADVICE fixes) ----
+    "files_lifecycle",
+    "pipeline_corpus_curation_v8",
+    "emb_ann_ivf_coreset_topk",
+    "emb_coreset_ivf_recall_eval",
+    "files_compaction_incremental",
+    "emb_coreset_fold_maintenance",
+    "cdc_neardup_cluster_maintenance",
+    "emb_hard_negative_mining",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "files_bloom_pruning",
+    "doc_chunk_windows",
+    "emb_mmr_diversified_topk",
+    "text_tokenizer_fertility",
+    "part_skyline_pareto_front",
+    "evt_sliding_distinct_users",
+    "doc_holdout_leakage_rate",
+    "mm_keyframe_select",
+    "evt_sliding_hll_users",
+    "pipeline_corpus_curation_v7",
+    "doc_quality_quantile_norm",
+    "files_hilbert_pruning",
+    "plan_join_order_3way",
+    "part_copurchase_topk",
+    "evt_touch_attribution",
+    "evt_markov_stationary",
+    # ---- remaining 24 slots: staleness refresh — the 21 r3-era
+    # names the r9 window did not reach (ledger-reconstructed; the
+    # staging notes' doc_tfidf_top_terms entry was stale — it went
+    # green again in the r9 window, evt_sessionize_batch had not),
+    # then the 3 oldest r4-era names ----
+    "evt_sessionize_batch",
+    "fn_datetime_suite",
+    "fn_json_suite",
+    "fn_regexp_suite",
+    "fn_string_agg",
+    "fn_try_errors",
+    "fn_variant_suite",
+    "graph_pagerank",
+    "kr_batch_metrics",
+    "mm_frame_sample",
+    "mm_resize",
+    "pipeline_corpus_curation_v3",
+    "set_ops_all_quantifiers",
+    "text_char_bigram_score",
+    "text_gopher_rules",
+    "text_pmi_collocations",
+    "text_repetition_stats",
+    "text_vocab_oov",
+    "udf_arrow_byte_stats",
+    "udtf_analyze_top_tokens",
+    "win_value_functions",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_countif_maxby",
+    # ---- prior windows and rotations, demoted in previous order ----
     "plan_join_strategy_hook",
     "agg_weighted_join_size_estimate",
     "mm_audio_features",
@@ -18090,12 +18607,7 @@ _CHECK_FIRST = [
     "evt_seasonal_strength_anova",
     "doc_token_budget_allocation",
     "geo_grid_dbscan",
-    # ---- then the query whose plan CHANGES in round 9 (costmodel-driven
-    # broadcast decision wired into the static-SMJ debt; VERDICT r8 ask 7) ----
     "tpch_q2_min_cost_supplier",
-    # ---- remaining 29 slots: staleness refresh — the 3 r2-era names the
-    # r8 rotation deferred, then the oldest 26 of the 47 r3-era names
-    # (emb_int8_quantize also carries the r9 dequantize-DIV fix) ----
     "udf_pandas_agg_median",
     "udf_pandas_distinct_words",
     "udtf_bigrams",
@@ -18125,33 +18637,6 @@ _CHECK_FIRST = [
     "evt_gapfill_hourly",
     "evt_range_frame_sum",
     "evt_retention_cohorts",
-    # ---- round-9 late registrations (driver window locked at 50;
-    # these head the r10 rotation — NOTES_r10_staging.md item 1) ----
-    "emb_ann_ivf_coreset_topk",
-    "emb_coreset_ivf_recall_eval",
-    "files_compaction_incremental",
-    "emb_coreset_fold_maintenance",
-    "cdc_neardup_cluster_maintenance",
-    "emb_hard_negative_mining",
-    "dq_l_diversity",
-    "dq_t_closeness",
-    "files_bloom_pruning",
-    "doc_chunk_windows",
-    "emb_mmr_diversified_topk",
-    "text_tokenizer_fertility",
-    "part_skyline_pareto_front",
-    "evt_sliding_distinct_users",
-    "doc_holdout_leakage_rate",
-    "mm_keyframe_select",
-    "evt_sliding_hll_users",
-    "pipeline_corpus_curation_v7",
-    "doc_quality_quantile_norm",
-    "files_hilbert_pruning",
-    "plan_join_order_3way",
-    "part_copurchase_topk",
-    "evt_touch_attribution",
-    "evt_markov_stationary",
-    # ---- prior windows and rotations, demoted in previous order ----
     "dq_record_linkage",
     "cdc_join_view_maintenance",
     "evt_selfjoin_size_estimate",
@@ -18353,7 +18838,6 @@ _CHECK_FIRST = [
     "doc_minhash_jaccard_estimate",
     "emb_matryoshka_staged_topk",
     "evt_markov_transitions",
-    "agg_countif_maxby",
     "pipeline_corpus_curation_v4",
     "fn_higher_order_suite",
     "text_classifier_histogram",
@@ -18369,12 +18853,10 @@ _CHECK_FIRST = [
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
     "gen_replicate_pipeline",
-    "agg_approx_distinct",
     "evt_user_activity_stats",
     "graph_triangle_count",
     "part_cooccurrence_pairs",
     "evt_path_trigrams",
-    "agg_approx_percentile",
     "emb_dim_covariance",
     "cdc_snapshot_diff",
     "evt_conversion_time_stats",
@@ -18384,27 +18866,6 @@ _CHECK_FIRST = [
     "agg_hll_sketch_union",
     "fn_url_suite",
     "evt_range_count_5m",
-    "kr_batch_metrics",
-    "evt_sessionize_batch",
-    "fn_datetime_suite",
-    "set_ops_all_quantifiers",
-    "win_value_functions",
-    "text_vocab_oov",
-    "text_pmi_collocations",
-    "mm_resize",
-    "mm_frame_sample",
-    "udtf_analyze_top_tokens",
-    "pipeline_corpus_curation_v3",
-    "fn_string_agg",
-    "graph_pagerank",
-    "fn_json_suite",
-    "fn_regexp_suite",
-    "udf_arrow_byte_stats",
-    "fn_variant_suite",
-    "fn_try_errors",
-    "text_gopher_rules",
-    "text_char_bigram_score",
-    "text_repetition_stats",
 ]
 
 

@@ -920,7 +920,13 @@ def streaming_compaction_maintenance(
       deterministically;
     * closed bins land at ``work_dir/bins/epoch=<batch_id>`` via full
       directory overwrite, so the replay rewrites byte-identical
-      output instead of duplicating it.
+      output instead of duplicating it;
+    * the per-FILE assignments of the same closed bins land at
+      ``work_dir/files/epoch=<batch_id>`` (every inventory column +
+      the global ``bin``) — the exact-membership work list
+      ``execute_compaction_filelist`` consumes; key ranges of bins
+      from different epochs may overlap, so the rewrite must go by
+      file, not by key range.
 
     Scale notes: inventories are metadata (a few rows per trigger);
     state reads/writes are one tiny parquet each; the only per-trigger
@@ -929,7 +935,7 @@ def streaming_compaction_maintenance(
     import os
     import shutil
 
-    from ..operators.layout import compaction_step
+    from ..operators.layout import compaction_step_detail
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -938,17 +944,15 @@ def streaming_compaction_maintenance(
         pending = None
         bins_emitted = 0
         try:
-            pending = spark.read.parquet(f"{prev}/pending").select(
-                key_col, size_col
-            )
+            pending = spark.read.parquet(f"{prev}/pending")
             bins_emitted = int(
                 spark.read.parquet(f"{prev}/meta").first()["bins_emitted"]
             )
         except AnalysisException:
             pass  # first batch (or fresh work_dir): empty state
-        closed, new_pending = compaction_step(
+        closed, closed_files, new_pending = compaction_step_detail(
             pending,
-            batch_df.select(key_col, size_col),
+            batch_df,
             key_col,
             size_col,
             target_bytes,
@@ -958,6 +962,9 @@ def streaming_compaction_maintenance(
         n_closed = closed.count()
         closed.write.mode("overwrite").parquet(
             f"{work_dir}/bins/epoch={batch_id}"
+        )
+        closed_files.write.mode("overwrite").parquet(
+            f"{work_dir}/files/epoch={batch_id}"
         )
         cur = f"{state}/asof={batch_id}"
         new_pending.write.mode("overwrite").parquet(f"{cur}/pending")

@@ -62,6 +62,10 @@ _BNLJ_OK = {
     "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
     "files_hilbert_pruning",  # 1-row ingestion-bucket denominator cross
+    # 1-row closed-bin-count scalar crosses (the global bin-id
+    # continuation) + 1-row open-tail split maxes + domain scalars —
+    # the files_compaction_incremental shape with the span-audit tail
+    "files_lifecycle",
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
     "doc_holdout_leakage_rate",  # three 1-row summary aggregates crossed
@@ -74,6 +78,9 @@ _BNLJ_OK = {
     # broadcast cross, not a join-key bug
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
+    # the composed RAG-publication plan: the IVF vectors × centroids
+    # cross (rationale above) + two 1-row manifest scalar crosses
+    "pipeline_corpus_curation_v8",
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
     "text_pmi_collocations",  # corpus token total 1-row scalar broadcast

@@ -1,50 +1,62 @@
 """The driver's correctness gate checks the FIRST 50 registered queries,
-so registration order is part of the contract.  Pin the round-9 window
-(the 20 late-r8 registrations that never saw a driver window, then the
-one query whose plan changes in round 9 — tpch_q2_min_cost_supplier,
-costmodel-driven broadcast — then 29 staleness-refresh names: the 3
-r2-era names the r8 rotation deferred plus the oldest 26 r3-era names):
-any refactor that silently reorders the registry fails here before it
-costs a driver round.  Rotating the window is an INTENTIONAL edit to
-both _CHECK_FIRST and this pin.
+so registration order is part of the contract.  Pin the round-10 window
+(the 2 queries NEW in round 10 — the files_lifecycle and curation-v8
+compositions — then the 24 late-r9 registrations that never saw a
+driver window, then 24 staleness-refresh names: the 21 remaining
+r3-era names plus the 3 oldest r4-era names): any refactor that
+silently reorders the registry fails here before it costs a driver
+round.  Rotating the window is an INTENTIONAL edit to both
+_CHECK_FIRST and this pin.
 
 Staleness reconstruction recipe: for each CORRECTNESS_r0*.json in round
 order, record the latest round where a query was fully green
-(rows+schema+hash, no err); sort ascending by that round.  After the r9
-window, the remaining r3-era names (21 of 47) head the r10 refresh."""
+(rows+schema+hash, no err); sort ascending by that round.  After the
+r10 window, the r3 era is exhausted and the remaining 43 r4-era names
+head the r11 refresh.  (The r10 rebuild found one stale line in the
+staging notes: doc_tfidf_top_terms went green again inside the r9
+window, while evt_sessionize_batch had not — always rebuild from the
+artifacts, not the prose.)"""
 
 from __future__ import annotations
 
-# the round-9 window's first three names — a literal canary so a bad
+# the round-10 window's first three names — a literal canary so a bad
 # merge of the _CHECK_FIRST section fails loudly, not just consistently
-_R9_HEAD = ["plan_join_strategy_hook", "agg_weighted_join_size_estimate",
-            "mm_audio_features"]
+_R10_HEAD = [
+    "files_lifecycle",
+    "pipeline_corpus_curation_v8",
+    "emb_ann_ivf_coreset_topk",
+]
 
-# the 21 risk-ordered names at the r9 head (20 never-driver-checked
-# late-r8 registrations + the one r9 plan change) — pinned as a block
+# the 26 risk-ordered names at the r10 head (2 new-in-r10 compositions
+# + 24 never-driver-checked late-r9 registrations) — pinned as a block
 # so a partial rotation (some staged names dropped) fails
-_R9_STAGED_21 = [
-    "plan_join_strategy_hook",
-    "agg_weighted_join_size_estimate",
-    "mm_audio_features",
-    "files_zorder_pruning",
-    "text_bigram_lm_score",
-    "files_compaction_plan",
-    "mm_image_phash_groups",
-    "doc_importance_weights",
-    "cdc_importance_model_maintenance",
-    "pipeline_corpus_curation_v6",
-    "emb_kcenter_coreset",
-    "evt_autocorrelation_lags",
-    "dq_benford_first_digit",
-    "part_association_rules",
-    "evt_changepoint_cusum",
-    "emb_quantization_error_audit",
-    "text_ngram_novelty",
-    "evt_seasonal_strength_anova",
-    "doc_token_budget_allocation",
-    "geo_grid_dbscan",
-    "tpch_q2_min_cost_supplier",
+_R10_STAGED_26 = [
+    "files_lifecycle",
+    "pipeline_corpus_curation_v8",
+    "emb_ann_ivf_coreset_topk",
+    "emb_coreset_ivf_recall_eval",
+    "files_compaction_incremental",
+    "emb_coreset_fold_maintenance",
+    "cdc_neardup_cluster_maintenance",
+    "emb_hard_negative_mining",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "files_bloom_pruning",
+    "doc_chunk_windows",
+    "emb_mmr_diversified_topk",
+    "text_tokenizer_fertility",
+    "part_skyline_pareto_front",
+    "evt_sliding_distinct_users",
+    "doc_holdout_leakage_rate",
+    "mm_keyframe_select",
+    "evt_sliding_hll_users",
+    "pipeline_corpus_curation_v7",
+    "doc_quality_quantile_norm",
+    "files_hilbert_pruning",
+    "plan_join_order_3way",
+    "part_copurchase_topk",
+    "evt_touch_attribution",
+    "evt_markov_stationary",
 ]
 
 from aws_kinesis_data_streams_replicator_spark.plans.queries import (
@@ -56,8 +68,8 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import (
 
 def test_first_50_match_staged_check_order():
     assert list(QUERIES)[:50] == _CHECK_FIRST[:50]
-    assert _CHECK_FIRST[:3] == _R9_HEAD
-    assert _CHECK_FIRST[:21] == _R9_STAGED_21
+    assert _CHECK_FIRST[:3] == _R10_HEAD
+    assert _CHECK_FIRST[:26] == _R10_STAGED_26
 
 
 def test_check_first_covers_whole_registry():
