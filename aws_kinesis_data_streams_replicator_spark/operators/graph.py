@@ -146,3 +146,73 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership by ``rounds`` of iterative
+    peeling: repeatedly drop every node whose degree among SURVIVING
+    nodes is < k; what remains is the k-core — the standard density
+    filter for graph-derived training corpora (nodes outside the core
+    are tree-like periphery; quality-propagation and community stages
+    run on the core).
+
+    Returns one row per surviving node: ``(node, deg_in_core,
+    converged)`` where deg_in_core is the degree restricted to the
+    final survivor set and ``converged`` says the last two survivor
+    sets were identical — the Markov-stationary convention: a fixed
+    round count keeps the plan static and the oracle replayable, and
+    the oracle-checked witness says the rounds sufficed (survivor sets
+    only shrink, so count equality IS set equality).
+
+    Scale notes (100 TB): each round is two hash joins of the
+    symmetric edge list against the survivor frame plus one
+    map-side-combined degree aggregation — the PageRank shuffle shape,
+    co-locatable by bucketing both on the node key; survivor frames
+    are lazily checkpointed so round N reads round N−1, never the full
+    lineage.  No windows, no collects; the convergence witness is one
+    1-row count cross."""
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .localCheckpoint(eager=False)  # scanned twice per round
+    )
+    alive = sym.select("node").distinct()
+    prev = alive
+    for _ in range(rounds):
+        prev = alive
+        deg = (
+            sym.join(prev, "node")
+            .join(prev.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.where(F.col("c") >= k).select("node").localCheckpoint(
+            eager=False
+        )
+    final_deg = (
+        sym.join(alive, "node")
+        .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+    )
+    conv = (
+        prev.agg(F.count(F.lit(1)).alias("_np"))
+        .crossJoin(F.broadcast(alive.agg(F.count(F.lit(1)).alias("_na"))))
+        .select((F.col("_np") == F.col("_na")).alias("converged"))
+    )
+    return final_deg.crossJoin(F.broadcast(conv))

@@ -3343,12 +3343,16 @@ def files_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hilbert_pruning_oracle() -> str:
+def _hilbert_pruning_ctes() -> str:
+    """Shared CTE chain of the Hilbert/Z-order/ingestion span audit —
+    everything through ``hpl`` (per layout × dim: n_files, span_sum)
+    and ``hd`` (dimension domains).  Shared by the standalone pruning
+    advisor and the workload-weighted layout chooser so the two cannot
+    drift."""
     hb_ctes, hb_final = layout.hilbert_ctes(
         "SELECT x, y, ok, x AS hx, y AS hy FROM hli", bits=8
     )
-    return f"""
-    WITH hli AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+    return f"""hli AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
                         l_orderkey AS ok
                  FROM lineitem),
     {", ".join(hb_ctes)},
@@ -3377,7 +3381,12 @@ def _hilbert_pruning_oracle() -> str:
             FROM hst GROUP BY 1, 2, 3),
     hpl AS (SELECT layout, dim, CAST(count(*) AS BIGINT) AS n_files,
                    CAST(sum(hi - lo + 1) AS BIGINT) AS span_sum
-            FROM hpf GROUP BY 1, 2)
+            FROM hpf GROUP BY 1, 2)"""
+
+
+def _hilbert_pruning_oracle() -> str:
+    return f"""
+    WITH {_hilbert_pruning_ctes()}
     SELECT layout, dim, n_files, span_sum,
            CAST(span_sum * 10000 // (CASE WHEN dim = 'partkey'
                 THEN hd.dom_partkey ELSE hd.dom_suppkey END) AS BIGINT)
@@ -3410,6 +3419,13 @@ def files_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar cross for the ingestion bucket denominator (allowlisted
     BNLJ — shared with the zorder advisor's entry).  At scale the same
     hv expression IS the repartitionByRange write key."""
+    return _hilbert_layout_stats(spark, sf_dir)
+
+
+def _hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine half of the shared span audit (``_hilbert_pruning_ctes``
+    twin): per (layout ∈ hilbert/zorder/ingestion, dim ∈ partkey/
+    suppkey) file counts, span sums, and expected-files-hit bp."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.expr("l_partkey % 256").alias("x"),
         F.expr("l_suppkey % 256").alias("y"),
@@ -3439,6 +3455,76 @@ def files_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey": F.max("x") - F.min("x") + 1,
             "suppkey": F.max("y") - F.min("y") + 1,
         },
+    )
+
+
+@_q(
+    "files_workload_layout_advisor",
+    f"""
+    WITH {_hilbert_pruning_ctes()},
+    hbp AS (SELECT layout, dim,
+                   span_sum * 10000 // (CASE WHEN dim = 'partkey'
+                       THEN hd.dom_partkey ELSE hd.dom_suppkey END) AS bp
+            FROM hpl, hd),
+    hpv AS (SELECT layout,
+                   max(CASE WHEN dim = 'partkey' THEN bp END) AS bp_part,
+                   max(CASE WHEN dim = 'suppkey' THEN bp END) AS bp_supp
+            FROM hbp GROUP BY layout),
+    hct AS (SELECT layout, bp_part, bp_supp,
+                   (70 * bp_part + 30 * bp_supp) // 100 AS total
+            FROM hpv),
+    hmn AS (SELECT layout AS m_layout, total AS m_total FROM hct
+            ORDER BY total, layout LIMIT 1)
+    SELECT layout,
+           CAST(bp_part AS BIGINT) AS bp_partkey,
+           CAST(bp_supp AS BIGINT) AS bp_suppkey,
+           CAST(total AS BIGINT) AS total_cost_bp,
+           total = m_total AND layout = m_layout AS chosen
+    FROM hct, hmn
+    """,
+)
+def files_workload_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORKLOAD-AWARE layout choice — the decision layer on top of the
+    span audits: given the measured expected-files-hit bp per (layout,
+    dimension) from the shared Hilbert/Z-order/ingestion audit
+    (`files_hilbert_pruning` machinery, same builder on both engines)
+    and a predicate-mix workload (70% partkey lookups / 30% suppkey —
+    the weights a query-log profiler would supply), price each layout
+    as the weighted expected scan fraction and CHOOSE the argmin
+    (ties → layout name).  This is the advisor a nightly OPTIMIZE job
+    actually consults: not "which curve is prettier" but "which
+    physical order minimizes this table's real scan bill".
+
+    Scale notes (100 TB): inherits the audit's one-pass shape (curve
+    indexes are fused projections + one explode/agg); the weighting
+    and argmin run on the ≤|layouts|-row rollup — a 1-row min-struct
+    broadcast, no windows."""
+    st = _hilbert_layout_stats(spark, sf_dir)
+    pv = st.groupBy("layout").agg(
+        F.max(
+            F.when(F.col("dim") == "partkey", F.col("expected_files_hit_bp"))
+        ).alias("bp_part"),
+        F.max(
+            F.when(F.col("dim") == "suppkey", F.col("expected_files_hit_bp"))
+        ).alias("bp_supp"),
+    )
+    ct = pv.withColumn(
+        "total", F.expr("(70 * bp_part + 30 * bp_supp) DIV 100")
+    )
+    mn = ct.agg(
+        F.min(F.struct(F.col("total"), F.col("layout"))).alias("m")
+    ).select(
+        F.col("m.total").alias("m_total"), F.col("m.layout").alias("m_layout")
+    )
+    return ct.crossJoin(F.broadcast(mn)).select(
+        "layout",
+        F.col("bp_part").cast("long").alias("bp_partkey"),
+        F.col("bp_supp").cast("long").alias("bp_suppkey"),
+        F.col("total").cast("long").alias("total_cost_bp"),
+        (
+            (F.col("total") == F.col("m_total"))
+            & (F.col("layout") == F.col("m_layout"))
+        ).alias("chosen"),
     )
 
 
@@ -7673,6 +7759,71 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _graph_kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """DuckDB mirror of graph.kcore_membership: the peeling rounds
+    unrolled (each survivor set MATERIALIZED — referenced twice by the
+    next round's degree join, the _kcenter_ctes inlining lesson)."""
+    ctes = [
+        """gke AS (SELECT DISTINCT
+               least(l_orderkey % 250, l_partkey % 250) AS u,
+               greatest(l_orderkey % 250, l_partkey % 250) AS v
+           FROM lineitem
+           WHERE l_quantity > 45
+             AND l_orderkey % 250 <> l_partkey % 250)""",
+        "gks AS MATERIALIZED (SELECT u AS node, v AS nbr FROM gke "
+        "UNION ALL SELECT v, u FROM gke)",
+        "gka0 AS MATERIALIZED (SELECT DISTINCT node FROM gks)",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"""gka{j} AS MATERIALIZED (
+            SELECT s.node FROM gks s
+            JOIN gka{j - 1} x ON x.node = s.node
+            JOIN gka{j - 1} y ON y.node = s.nbr
+            GROUP BY s.node HAVING count(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""",
+    gkd AS (SELECT s.node, CAST(count(*) AS BIGINT) AS deg_in_core
+            FROM gks s
+            JOIN gka{rounds} x ON x.node = s.node
+            JOIN gka{rounds} y ON y.node = s.nbr
+            GROUP BY s.node),
+    gkc AS (SELECT (SELECT count(*) FROM gka{rounds - 1})
+                 = (SELECT count(*) FROM gka{rounds}) AS converged)
+    SELECT node, deg_in_core, converged FROM gkd, gkc"""
+    )
+
+
+@_q("graph_kcore_membership", _graph_kcore_oracle())
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the derived order↔part graph —
+    the density filter between raw graph and the community/quality
+    stages (peripheral tree-like nodes leave; the mutually-dense core
+    stays): 8 rounds of iterative peeling via graph.kcore_membership,
+    each round dropping every node with fewer than k surviving
+    neighbors.  Survivors carry their core-restricted degree plus the
+    oracle-checked ``converged`` witness (survivor sets only shrink,
+    so the last-two-rounds count equality IS set equality — the
+    evt_markov_stationary fixed-rounds convention).
+
+    Scale notes (100 TB): per round two node-keyed hash joins + one
+    map-side-combined degree agg (the PageRank shuffle shape,
+    bucketing co-locates it); lazily checkpointed survivor frames keep
+    lineage O(1) per round; the witness is a 1-row count cross
+    (allowlisted scalar broadcast)."""
+    from ..operators.graph import kcore_membership
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    edges = li.select(
+        (F.col("l_orderkey") % 250).alias("src"),
+        (F.col("l_partkey") % 250).alias("dst"),
+    )
+    return kcore_membership(edges, k=3, rounds=8)
+
+
 @_q(
     "graph_triangle_count",
     """
@@ -9034,6 +9185,117 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
+    )
+
+
+@_q(
+    "dq_functional_dependencies",
+    """
+    WITH fdc AS (
+      SELECT 'li_pk_part' AS fd,
+             concat_ws(chr(1), CAST(l_orderkey AS VARCHAR),
+                       CAST(l_linenumber AS VARCHAR)) AS lhs_key,
+             CAST(l_partkey AS VARCHAR) AS rhs_val
+      FROM lineitem
+      UNION ALL SELECT 'li_order_flag', CAST(l_orderkey AS VARCHAR),
+                       l_returnflag FROM lineitem
+      UNION ALL SELECT 'li_part_supp', CAST(l_partkey AS VARCHAR),
+                       CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'ord_pk_date', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_orderdate AS VARCHAR) FROM orders
+      UNION ALL SELECT 'ord_cust_priority', CAST(o_custkey AS VARCHAR),
+                       o_orderpriority FROM orders
+      UNION ALL SELECT 'ord_date_status', CAST(o_orderdate AS VARCHAR),
+                       o_orderstatus FROM orders
+    ),
+    g AS (SELECT fd, lhs_key, count(DISTINCT rhs_val) AS cd,
+                 count(*) AS n
+          FROM fdc GROUP BY 1, 2)
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(max(cd) AS BIGINT) AS max_distinct_rhs,
+           CAST(sum(CASE WHEN cd > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_violating_rows,
+           sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM g GROUP BY fd
+    """,
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency MINING — profiling's schema-discovery
+    half (dq_check/dq_profile validate values; this validates
+    STRUCTURE): six candidate FDs over lineitem and orders, each
+    scored by exact violation counts (groups with >1 distinct RHS,
+    rows inside them, worst-case RHS multiplicity) and a ``holds``
+    verdict.  The fixture set mixes true dependencies (the two primary
+    keys) with violated ones (order→returnflag, part→supplier,
+    customer→priority, date→status), so a counting drift in either
+    direction hash-fails.
+
+    The grouping keys are injective string encodings (chr(1)
+    separator) and never appear in the output, so cross-engine string
+    formatting cannot matter — only group/distinct CARDINALITIES do.
+
+    Scale notes (100 TB): one scan per table exploding each row into
+    its candidate rows, one (fd, lhs)-keyed hash agg (single-distinct,
+    no Expand rewrite), one ≤|fd|-group rollup.  No windows, no
+    joins."""
+    sep = "\x01"
+
+    def cands(df, specs):
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(fd).alias("fd"),
+                            F.concat_ws(
+                                sep,
+                                *[F.col(c).cast("string") for c in lhs],
+                            ).alias("lhs_key"),
+                            F.col(rhs).cast("string").alias("rhs_val"),
+                        )
+                        for fd, lhs, rhs in specs
+                    ]
+                )
+            ).alias("t")
+        ).select("t.*")
+
+    li = cands(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("li_pk_part", ["l_orderkey", "l_linenumber"], "l_partkey"),
+            ("li_order_flag", ["l_orderkey"], "l_returnflag"),
+            ("li_part_supp", ["l_partkey"], "l_suppkey"),
+        ],
+    )
+    o = cands(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("ord_pk_date", ["o_orderkey"], "o_orderdate"),
+            ("ord_cust_priority", ["o_custkey"], "o_orderpriority"),
+            ("ord_date_status", ["o_orderdate"], "o_orderstatus"),
+        ],
+    )
+    g = (
+        li.unionByName(o)
+        .groupBy("fd", "lhs_key")
+        .agg(
+            F.countDistinct("rhs_val").alias("cd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("cd") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.max("cd").cast("long").alias("max_distinct_rhs"),
+        F.sum(F.when(F.col("cd") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_violating_rows"),
+        (F.sum((F.col("cd") > 1).cast("long")) == 0).alias("holds"),
     )
 
 
@@ -17391,8 +17653,13 @@ def pipeline_corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         centroids=cent,
     ).select(F.col("neighbor_id").alias("vec_id"))
-    universe = emb.join(shortlist, "vec_id").unionByName(
-        emb.where(F.col("vec_id") == 0)
+    universe = (
+        emb.join(shortlist, "vec_id")
+        .unionByName(emb.where(F.col("vec_id") == 0))
+        # lazy pin: the 21-row universe feeds BOTH the MMR query-vector
+        # extraction and the candidate pool — without it each consumer
+        # re-runs the whole coreset→IVF shortlist chain
+        .localCheckpoint(eager=False)
     )
     picks = similarity.mmr_topk(universe, query_vec_id=0, k=5, pool=20)
     return picks.crossJoin(F.broadcast(summary)).select(
@@ -18526,13 +18793,17 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-10 window (50): first the 2 queries NEW in round 10
-    # (the r9-verdict composition asks), then the 24 late-r9
+    # ---- round-10 window (50): first the 5 queries NEW in round 10
+    # (two r9-verdict composition asks + k-core peeling + FD mining
+    # + the workload-weighted layout chooser), then the 24 late-r9
     # registrations that never saw a driver window
     # (NOTES_r10_staging.md item 1, in order — six of them also
     # carry this round's ADVICE fixes) ----
     "files_lifecycle",
     "pipeline_corpus_curation_v8",
+    "graph_kcore_membership",
+    "dq_functional_dependencies",
+    "files_workload_layout_advisor",
     "emb_ann_ivf_coreset_topk",
     "emb_coreset_ivf_recall_eval",
     "files_compaction_incremental",
@@ -18557,11 +18828,10 @@ _CHECK_FIRST = [
     "part_copurchase_topk",
     "evt_touch_attribution",
     "evt_markov_stationary",
-    # ---- remaining 24 slots: staleness refresh — the 21 r3-era
+    # ---- remaining 21 slots: staleness refresh — the 21 r3-era
     # names the r9 window did not reach (ledger-reconstructed; the
     # staging notes' doc_tfidf_top_terms entry was stale — it went
-    # green again in the r9 window, evt_sessionize_batch had not),
-    # then the 3 oldest r4-era names ----
+    # green again in the r9 window, evt_sessionize_batch had not) ----
     "evt_sessionize_batch",
     "fn_datetime_suite",
     "fn_json_suite",
@@ -18583,10 +18853,10 @@ _CHECK_FIRST = [
     "udf_arrow_byte_stats",
     "udtf_analyze_top_tokens",
     "win_value_functions",
+    # ---- prior windows and rotations, demoted in previous order ----
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_countif_maxby",
-    # ---- prior windows and rotations, demoted in previous order ----
     "plan_join_strategy_hook",
     "agg_weighted_join_size_estimate",
     "mm_audio_features",

@@ -66,6 +66,11 @@ _BNLJ_OK = {
     # continuation) + 1-row open-tail split maxes + domain scalars —
     # the files_compaction_incremental shape with the span-audit tail
     "files_lifecycle",
+    # 1-row convergence-witness count cross (survivor-set equality)
+    "graph_kcore_membership",
+    # 1-row argmin-struct cross over the ≤|layouts|-row cost rollup
+    # + the shared span-audit domain scalar
+    "files_workload_layout_advisor",
     "dq_linkage_blocking_eval",  # 1-row entity-count scalar broadcast
     "dq_t_closeness",  # 1-row global sensitive-distribution broadcast
     "doc_holdout_leakage_rate",  # three 1-row summary aggregates crossed

@@ -11,8 +11,10 @@ _CHECK_FIRST and this pin.
 Staleness reconstruction recipe: for each CORRECTNESS_r0*.json in round
 order, record the latest round where a query was fully green
 (rows+schema+hash, no err); sort ascending by that round.  After the
-r10 window, the r3 era is exhausted and the remaining 43 r4-era names
-head the r11 refresh.  (The r10 rebuild found one stale line in the
+r10 window, the r3 era is exhausted and the 46 r4-era names head the
+r11 refresh (the 3 oldest — agg_approx_distinct, agg_approx_percentile,
+agg_countif_maxby — sit at positions 50-52, displaced from the r10
+window by the three late-r10 registrations).  (The r10 rebuild found one stale line in the
 staging notes: doc_tfidf_top_terms went green again inside the r9
 window, while evt_sessionize_batch had not — always rebuild from the
 artifacts, not the prose.)"""
@@ -24,15 +26,19 @@ from __future__ import annotations
 _R10_HEAD = [
     "files_lifecycle",
     "pipeline_corpus_curation_v8",
-    "emb_ann_ivf_coreset_topk",
+    "graph_kcore_membership",
 ]
 
-# the 26 risk-ordered names at the r10 head (2 new-in-r10 compositions
-# + 24 never-driver-checked late-r9 registrations) — pinned as a block
-# so a partial rotation (some staged names dropped) fails
-_R10_STAGED_26 = [
+# the 29 risk-ordered names at the r10 head (5 new-in-r10 queries —
+# two verdict-ask compositions, k-core, FD mining, the workload layout
+# chooser — + 24 never-driver-checked late-r9 registrations) — pinned
+# as a block so a partial rotation (some staged names dropped) fails
+_R10_STAGED_29 = [
     "files_lifecycle",
     "pipeline_corpus_curation_v8",
+    "graph_kcore_membership",
+    "dq_functional_dependencies",
+    "files_workload_layout_advisor",
     "emb_ann_ivf_coreset_topk",
     "emb_coreset_ivf_recall_eval",
     "files_compaction_incremental",
@@ -69,7 +75,7 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import (
 def test_first_50_match_staged_check_order():
     assert list(QUERIES)[:50] == _CHECK_FIRST[:50]
     assert _CHECK_FIRST[:3] == _R10_HEAD
-    assert _CHECK_FIRST[:26] == _R10_STAGED_26
+    assert _CHECK_FIRST[:29] == _R10_STAGED_29
 
 
 def test_check_first_covers_whole_registry():
