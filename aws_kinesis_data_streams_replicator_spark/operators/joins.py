@@ -199,3 +199,58 @@ def grid_distance_join(
         .select("id_a", "id_b", dist_sq.alias("dist_sq"))
         .where(F.col("dist_sq") <= radius * radius)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval–interval OVERLAP join (``l_start <= r_end AND r_start
+    <= l_end``, closed intervals in the same integer unit) as a
+    bucketed equi-join — the temporal join behind "which sessions ran
+    during which incidents": a raw theta join is a cartesian product,
+    so both sides explode to the ``bucket_width``-sized cells their
+    interval covers, candidates meet on the cell id, the exact overlap
+    predicate filters, and a distinct pass collapses the multi-cell
+    matches.
+
+    Returns every (left row ∪ right row) combination that overlaps —
+    callers aggregate; column collisions are the caller's to alias.
+
+    Scale notes (100 TB): replication factor per row = its interval
+    length / bucket_width (pick the width near the TYPICAL interval —
+    cells per row stay O(1)); the join is a hash equi-join on the cell
+    id, never a cartesian.  A pathological long interval replicates
+    proportionally — cap or split such outliers upstream (the
+    hot-shingle-DF-cap convention); the exact predicate keeps results
+    correct under ANY width choice, width tunes only cost."""
+    w = int(bucket_width)
+    l = left.withColumn(
+        "_lcell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / w).cast("long"),
+                F.floor(F.col(l_end) / w).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_rcell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / w).cast("long"),
+                F.floor(F.col(r_end) / w).cast("long"),
+            )
+        ),
+    )
+    joined = l.join(r, l["_lcell"] == r["_rcell"]).where(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    return joined.drop("_lcell", "_rcell").dropDuplicates(
+        left.columns + right.columns
+    )

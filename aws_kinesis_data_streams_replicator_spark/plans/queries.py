@@ -3422,10 +3422,107 @@ def files_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hilbert_layout_stats(spark, sf_dir)
 
 
-def _hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine half of the shared span audit (``_hilbert_pruning_ctes``
-    twin): per (layout ∈ hilbert/zorder/ingestion, dim ∈ partkey/
-    suppkey) file counts, span sums, and expected-files-hit bp."""
+@_q(
+    "files_overlap_depth",
+    f"""
+    WITH {{ctes}},
+    od AS (SELECT layout, dim, lo AS p, 1 AS dl FROM hpf
+           UNION ALL SELECT layout, dim, hi + 1, -1 FROM hpf),
+    og AS (SELECT layout, dim, p, sum(dl) AS d FROM od GROUP BY 1, 2, 3),
+    oc AS (SELECT layout, dim,
+                  sum(d) OVER (PARTITION BY layout, dim ORDER BY p)
+                      AS depth
+           FROM og),
+    omx AS (SELECT layout, dim, CAST(max(depth) AS BIGINT)
+                       AS max_overlap_depth
+            FROM oc GROUP BY 1, 2),
+    onf AS (SELECT layout, dim, CAST(count(*) AS BIGINT) AS n_files
+            FROM hpf GROUP BY 1, 2)
+    SELECT omx.layout, omx.dim, onf.n_files, omx.max_overlap_depth
+    FROM omx JOIN onf ON onf.layout = omx.layout AND onf.dim = omx.dim
+    """,
+)
+def files_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the WORST-CASE companion to the span
+    advisors (span_sum prices the AVERAGE point lookup;
+    ``max_overlap_depth`` is the most files any single point predicate
+    can hit, the metric Delta-style clustering health checks report):
+    per (layout, dimension), sweep every file's [min, max] key span as
+    (+1 at lo, −1 at hi+1) deltas and take the running-sum maximum —
+    the interval-stabbing depth of the file set, exactly (the
+    evt_peak_concurrency sweep applied to file METADATA instead of
+    session intervals).
+
+    Scale notes (100 TB): the fact side pays the same one-pass
+    explode/agg as the span audit; the sweep itself runs on ≤
+    |files|·2 metadata rows per (layout, dim), window-partitioned by
+    (layout, dim) — never global over data rows."""
+    e = _hilbert_layout_frame(spark, sf_dir)
+    stacked = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(layout_name).alias("layout"),
+                        F.lit(dim).alias("dim"),
+                        fcol.cast("long").alias("file_id"),
+                        vcol.cast("long").alias("val"),
+                    )
+                    for layout_name, dim, fcol, vcol in [
+                        ("hilbert", "partkey", F.col("fh"), F.col("x")),
+                        ("hilbert", "suppkey", F.col("fh"), F.col("y")),
+                        ("zorder", "partkey", F.col("fz"), F.col("x")),
+                        ("zorder", "suppkey", F.col("fz"), F.col("y")),
+                        ("ingestion", "partkey", F.col("fn"), F.col("x")),
+                        ("ingestion", "suppkey", F.col("fn"), F.col("y")),
+                    ]
+                ]
+            )
+        ).alias("t")
+    ).select("t.*")
+    per_file = stacked.groupBy("layout", "dim", "file_id").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    ).localCheckpoint(eager=False)  # feeds the sweep AND the file count
+    deltas = per_file.select(
+        "layout",
+        "dim",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("p"), F.lit(1).alias("dl")),
+                F.struct(
+                    (F.col("hi") + 1).alias("p"), F.lit(-1).alias("dl")
+                ),
+            )
+        ).alias("t"),
+    ).select("layout", "dim", "t.p", "t.dl")
+    grouped = deltas.groupBy("layout", "dim", "p").agg(
+        F.sum("dl").alias("d")
+    )
+    w = Window.partitionBy("layout", "dim").orderBy("p")
+    depth = grouped.select(
+        "layout", "dim", F.sum("d").over(w).alias("depth")
+    )
+    mx = depth.groupBy("layout", "dim").agg(
+        F.max("depth").cast("long").alias("max_overlap_depth")
+    )
+    nf = per_file.groupBy("layout", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    return mx.join(nf, ["layout", "dim"]).select(
+        "layout", "dim", "n_files", "max_overlap_depth"
+    )
+
+
+ORACLE_SQL["files_overlap_depth"] = ORACLE_SQL["files_overlap_depth"].format(
+    ctes=_hilbert_pruning_ctes()
+)
+
+
+def _hilbert_layout_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-row layout frame: (x, y) coordinates plus the
+    row's file id under each of the three layouts (fh = hilbert,
+    fz = z-order, fn = ingestion) — the engine twin of the
+    ``_hilbert_pruning_ctes`` ``he`` CTE."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.expr("l_partkey % 256").alias("x"),
         F.expr("l_suppkey % 256").alias("y"),
@@ -3434,13 +3531,20 @@ def _hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = layout.with_hilbert(li, "x", "y", out="hv", bits=8)
     z = h.withColumn("zv", layout.zvalue("x", "y", bits=8))
     s = z.agg((F.max("ok") + 1).alias("mo"))
-    e = z.crossJoin(F.broadcast(s)).select(
+    return z.crossJoin(F.broadcast(s)).select(
         "x",
         "y",
         F.expr("CAST(hv * 48 DIV 65536 AS BIGINT)").alias("fh"),
         F.expr("CAST(zv * 48 DIV 65536 AS BIGINT)").alias("fz"),
         F.expr(layout.range_bucket_sql("ok", "mo", 48)).alias("fn"),
     )
+
+
+def _hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine half of the shared span audit (``_hilbert_pruning_ctes``
+    twin): per (layout ∈ hilbert/zorder/ingestion, dim ∈ partkey/
+    suppkey) file counts, span sums, and expected-files-hit bp."""
+    e = _hilbert_layout_frame(spark, sf_dir)
     return layout.layout_pruning_stats(
         e,
         assignments=[
@@ -8400,6 +8504,250 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("est") - F.col("n_exact_users"))
                 <= F.col("n_exact_users") * F.lit(0.12)
             ).alias("est_within_12pct"),
+        )
+    )
+
+
+@_q(
+    "evt_incident_session_overlap",
+    """
+    WITH iu AS (SELECT user_id,
+                       min(epoch_us(CAST(ts AS TIMESTAMP))) AS ls,
+                       max(epoch_us(CAST(ts AS TIMESTAMP))) AS le
+                FROM events
+                GROUP BY user_id,
+                         date_trunc('day', CAST(ts AS TIMESTAMP))),
+    ii AS (SELECT event_type,
+                  min(epoch_us(CAST(ts AS TIMESTAMP))) AS rs,
+                  min(epoch_us(CAST(ts AS TIMESTAMP))) + 7200000000 AS re
+           FROM events
+           GROUP BY event_type,
+                    date_trunc('day', CAST(ts AS TIMESTAMP))),
+    ov AS (SELECT ii.event_type, iu.user_id
+           FROM iu JOIN ii ON iu.ls <= ii.re AND ii.rs <= iu.le)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ov GROUP BY event_type
+    """,
+)
+def evt_incident_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval–interval OVERLAP join (operators/joins.py
+    interval_overlap_join) — the temporal join class the as-of and
+    bounded-range joins don't cover: which user activity spans (per
+    user per day, [first event, last event]) overlapped which incident
+    windows (per event type per day, [first occurrence, +2h])?  The
+    raw predicate is a theta join; the operator turns it into a hash
+    equi-join by exploding both interval sets to 1-hour cells, meeting
+    on the cell id, exact-filtering, and de-duplicating multi-cell
+    matches — counted per incident type in overlapping pairs and
+    distinct affected users.
+
+    Scale notes (100 TB): replication factor = interval length / cell
+    width on the per-day ROLLUPS (never raw events — both sides are
+    pre-aggregated); the incident side is tiny (types × days) and
+    broadcasts; the exact predicate keeps any width choice correct,
+    width only tunes cost.  The oracle runs the direct theta join."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("date_trunc('day', ts)").alias("d"),
+    )
+    iu = ev.groupBy("user_id", "d").agg(
+        F.min("us").alias("ls"), F.max("us").alias("le")
+    ).drop("d")
+    ii = (
+        ev.groupBy("event_type", "d")
+        .agg(F.min("us").alias("rs"))
+        .withColumn("re", F.col("rs") + F.lit(7_200_000_000))
+        .drop("d")
+    )
+    ov = interval_overlap_join(
+        iu, ii, "ls", "le", "rs", "re", bucket_width=3_600_000_000
+    )
+    return ov.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@_q(
+    "evt_sliding_value_quantiles",
+    """
+    WITH qe AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                           // 3600000000 AS eh,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       event_id
+                FROM events),
+    qr AS (SELECT eh, cents, event_id,
+                  row_number() OVER (PARTITION BY eh
+                                     ORDER BY cents, event_id) AS rn,
+                  count(*) OVER (PARTITION BY eh) AS n_h
+           FROM qe),
+    qb AS (SELECT eh, cents, rn FROM qr
+           WHERE (32 * rn) // n_h > (32 * (rn - 1)) // n_h),
+    qp AS (SELECT eh, cents AS v,
+                  rn - coalesce(lag(rn) OVER (PARTITION BY eh
+                                              ORDER BY rn), 0) AS w
+           FROM qb),
+    qw AS (SELECT eh + o.o AS h, v, w
+           FROM qp, unnest(range(0, 6)) AS o(o)),
+    qv AS (SELECT h, v, CAST(sum(w) AS BIGINT) AS w FROM qw GROUP BY 1, 2),
+    qc AS (SELECT h, v,
+                  sum(w) OVER (PARTITION BY h ORDER BY v) AS cumw,
+                  sum(w) OVER (PARTITION BY h) AS totw
+           FROM qv),
+    qest AS (SELECT h,
+                    CAST(min(CASE WHEN 100 * cumw >= 50 * totw THEN v END)
+                         AS BIGINT) AS p50_est,
+                    CAST(min(CASE WHEN 100 * cumw >= 95 * totw THEN v END)
+                         AS BIGINT) AS p95_est,
+                    CAST(max(totw) AS BIGINT) AS n_events
+             FROM qc GROUP BY h),
+    qnh AS (SELECT eh2 + o.o AS h, count(*) AS n_hours_merged
+            FROM (SELECT DISTINCT eh AS eh2 FROM qe),
+                 unnest(range(0, 6)) AS o(o)
+            GROUP BY 1),
+    qx AS (SELECT eh + o.o AS h, cents, event_id
+           FROM qe, unnest(range(0, 6)) AS o(o)),
+    qxr AS (SELECT h, cents,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY h) AS n
+            FROM qx),
+    qex AS (SELECT h,
+                   CAST(min(CASE WHEN 100 * rn >= 50 * n THEN cents END)
+                        AS BIGINT) AS p50_exact,
+                   CAST(min(CASE WHEN 100 * rn >= 95 * n THEN cents END)
+                        AS BIGINT) AS p95_exact
+            FROM qxr GROUP BY h)
+    SELECT hrs.eh AS epoch_hour,
+           CAST(qnh.n_hours_merged AS BIGINT) AS n_hours_merged,
+           qest.n_events,
+           qex.p50_exact, qex.p95_exact, qest.p50_est, qest.p95_est
+    FROM (SELECT DISTINCT eh FROM qe) hrs
+    JOIN qnh ON qnh.h = hrs.eh
+    JOIN qest ON qest.h = hrs.eh
+    JOIN qex ON qex.h = hrs.eh
+    """,
+)
+def evt_sliding_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window QUANTILES via equi-depth summary rollup — the
+    quantile sibling of evt_sliding_hll_users (sliding distinct) and
+    the SLO-latency shape every ops dashboard runs: p50/p95 of event
+    value over a trailing 6-hour window, per hour.  Each hour is
+    summarized ONCE into a ≤32-point weighted equi-depth summary (the
+    agg_quantile_sketch_merge machinery keyed by hour instead of
+    shard); each window then merges 6 summaries — the ×W replication
+    happens on the ≤32-row-per-hour rollup, never on the raw events,
+    so a 30-day window over a year of 100 TB telemetry merges 720
+    summaries instead of replicating every event 720×.
+
+    Unlike the HLL sibling there is NO tolerance boolean: the summary
+    is relationally defined (boundary ranks + rank-gap weights), so
+    the oracle replays the ESTIMATE bit-for-bit — both the exact and
+    the estimated percentiles ride the value hash, and the estimate's
+    rank error is bounded by W·n_h/32 by construction.
+
+    Scale notes: events are touched once per leg (hourly summary agg;
+    the exact side is the EVAL leg, dropped in production — its ×6
+    event replication is the documented bounded-window rewrite);
+    every window function is hour-partitioned, never global."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("eh"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w_rn = Window.partitionBy("eh").orderBy("cents", "event_id")
+    w_n = Window.partitionBy("eh")
+    r = e.select(
+        "eh",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n_h"),
+    )
+    b = r.where(
+        F.expr("(32 * rn) DIV n_h > (32 * (rn - 1)) DIV n_h")
+    )
+    w_lag = Window.partitionBy("eh").orderBy("rn")
+    pts = b.select(
+        "eh",
+        F.col("cents").alias("v"),
+        (F.col("rn") - F.coalesce(F.lag("rn").over(w_lag), F.lit(0))).alias(
+            "w"
+        ),
+    )
+    wins = pts.select(
+        F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h"),
+        "v",
+        "w",
+    )
+    pv = wins.groupBy("h", "v").agg(F.sum("w").alias("w"))
+    w_cum = Window.partitionBy("h").orderBy("v")
+    w_tot = Window.partitionBy("h")
+    cum = pv.select(
+        "h",
+        "v",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
+    )
+    est = cum.groupBy("h").agg(
+        F.min(F.when(100 * F.col("cumw") >= 50 * F.col("totw"), F.col("v")))
+        .cast("long")
+        .alias("p50_est"),
+        F.min(F.when(100 * F.col("cumw") >= 95 * F.col("totw"), F.col("v")))
+        .cast("long")
+        .alias("p95_est"),
+        F.max("totw").cast("long").alias("n_events"),
+    )
+    nh = (
+        e.select("eh")
+        .distinct()
+        .select(
+            F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_hours_merged"))
+    )
+    ex = e.select(
+        F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h"),
+        "cents",
+        "event_id",
+    )
+    w_xrn = Window.partitionBy("h").orderBy("cents", "event_id")
+    w_xn = Window.partitionBy("h")
+    xr = ex.select(
+        "h",
+        "cents",
+        F.row_number().over(w_xrn).alias("rn"),
+        F.count(F.lit(1)).over(w_xn).alias("n"),
+    )
+    exq = xr.groupBy("h").agg(
+        F.min(F.when(100 * F.col("rn") >= 50 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p50_exact"),
+        F.min(F.when(100 * F.col("rn") >= 95 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p95_exact"),
+    )
+    hrs = e.select("eh").distinct()
+    return (
+        hrs.join(nh, nh.h == F.col("eh"))
+        .drop("h")
+        .join(est, est.h == F.col("eh"))
+        .drop("h")
+        .join(exq, exq.h == F.col("eh"))
+        .select(
+            F.col("eh").alias("epoch_hour"),
+            F.col("n_hours_merged").cast("long").alias("n_hours_merged"),
+            "n_events",
+            "p50_exact",
+            "p95_exact",
+            "p50_est",
+            "p95_est",
         )
     )
 
@@ -18853,6 +19201,12 @@ _CHECK_FIRST = [
     "udf_arrow_byte_stats",
     "udtf_analyze_top_tokens",
     "win_value_functions",
+    # ---- round-10 LATE registrations (registered after the r10
+    # window filled; they head the r11 rotation —
+    # NOTES_r11_staging.md item 1) ----
+    "evt_incident_session_overlap",
+    "evt_sliding_value_quantiles",
+    "files_overlap_depth",
     # ---- prior windows and rotations, demoted in previous order ----
     "agg_approx_distinct",
     "agg_approx_percentile",
