@@ -219,8 +219,13 @@ def interval_overlap_join(
     predicate filters, and a distinct pass collapses the multi-cell
     matches.
 
-    Returns every (left row ∪ right row) combination that overlaps —
-    callers aggregate; column collisions are the caller's to alias.
+    Returns every (left row, right row) PAIR that overlaps — true theta
+    -join bag semantics: duplicate input rows yield duplicate pairs
+    (each side is tagged with a per-execution row id before the cell
+    explode, and the final distinct collapses only multi-cell matches
+    of the SAME input pair, never pairs arising from genuinely
+    duplicate rows).  Callers aggregate; column collisions are the
+    caller's to alias.
 
     Scale notes (100 TB): replication factor per row = its interval
     length / bucket_width (pick the width near the TYPICAL interval —
@@ -228,29 +233,32 @@ def interval_overlap_join(
     id, never a cartesian.  A pathological long interval replicates
     proportionally — cap or split such outliers upstream (the
     hot-shingle-DF-cap convention); the exact predicate keeps results
-    correct under ANY width choice, width tunes only cost."""
+    correct under ANY width choice, width tunes only cost.  Cell ids
+    are exact BIGINT floor divisions — ``F.floor(col / w)`` would round
+    through a double and mis-cell endpoints beyond 2^53 (nanosecond
+    epochs), silently dropping candidate pairs."""
     w = int(bucket_width)
-    l = left.withColumn(
-        "_lcell",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(l_start) / w).cast("long"),
-                F.floor(F.col(l_end) / w).cast("long"),
-            )
-        ),
+
+    def _cell(c: str):
+        # exact floor division on BIGINTs: subtract the non-negative
+        # remainder, then integer-DIV the exactly-divisible numerator
+        return F.expr(f"CAST(({c} - ((({c} % {w}) + {w}) % {w})) DIV {w} AS BIGINT)")
+
+    l = (
+        left.withColumn("_lrid", F.monotonically_increasing_id())
+        .withColumn(
+            "_lcell", F.explode(F.sequence(_cell(l_start), _cell(l_end)))
+        )
     )
-    r = right.withColumn(
-        "_rcell",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(r_start) / w).cast("long"),
-                F.floor(F.col(r_end) / w).cast("long"),
-            )
-        ),
+    r = (
+        right.withColumn("_rrid", F.monotonically_increasing_id())
+        .withColumn(
+            "_rcell", F.explode(F.sequence(_cell(r_start), _cell(r_end)))
+        )
     )
     joined = l.join(r, l["_lcell"] == r["_rcell"]).where(
         (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     )
-    return joined.drop("_lcell", "_rcell").dropDuplicates(
-        left.columns + right.columns
+    return joined.dropDuplicates(["_lrid", "_rrid"]).drop(
+        "_lcell", "_rcell", "_lrid", "_rrid"
     )

@@ -950,6 +950,23 @@ def streaming_compaction_maintenance(
             )
         except AnalysisException:
             pass  # first batch (or fresh work_dir): empty state
+        if pending is not None:
+            # state-layout guard: before r10 the pending state carried
+            # only (key_col, size_col); it now persists EVERY inventory
+            # column so the files/ work list is exact-membership.
+            # Resuming a legacy work_dir would make compaction_step's
+            # unionByName raise deep inside a plan — fail loudly here
+            # with a migration hint instead.
+            missing = [c for c in batch_df.columns if c not in pending.columns]
+            if missing:
+                raise ValueError(
+                    "streaming_compaction_maintenance: state at "
+                    f"{prev}/pending is a legacy layout missing columns "
+                    f"{missing}; the state format changed to persist "
+                    "all inventory columns. Start a fresh work_dir (and "
+                    "checkpoint_dir), or backfill the missing columns "
+                    "into the pending parquet before resuming."
+                )
         closed, closed_files, new_pending = compaction_step_detail(
             pending,
             batch_df,

@@ -377,6 +377,26 @@ def main() -> None:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as e:  # bench numbers still printed; artifact is extra
         print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
+    # FINAL stdout line: a compact summary that fits entirely inside the
+    # driver's ~2000-char tail capture (the full payload line above is
+    # ~40 KB and truncates mid-JSON — BENCH_r10.json came back with
+    # parsed:null).  Top-25-by-cost timings only; everything else is in
+    # BENCH_FULL.json.
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    compact = {
+        "metric": "total_seconds_all_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 3) for k, v in top.items()},
+        "queries_note": "top 25 by cost; all %d in BENCH_FULL.json"
+        % len(timings),
+        "streaming_records_per_sec": stream_rps,
+        "streaming_eos_records_per_sec": eos_rps,
+        "streaming_floor_ok": floor_ok,
+    }
+    print(json.dumps(compact))
     if not floor_ok:
         print(
             f"bench: STREAMING FLOOR VIOLATED at sf={sf}: "
