@@ -8753,6 +8753,142 @@ def evt_sliding_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_sliding_loghist_quantiles",
+    """
+    WITH e AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          // 3600000000 AS eh,
+                      greatest(CAST(floor(value * 100) AS BIGINT), 0) AS v
+               FROM events),
+    b AS (SELECT eh,
+                 CASE WHEN v < 8 THEN v
+                      ELSE 4 * length(bin(v))
+                           + ((v >> (length(bin(v)) - 3)) & 3)
+                 END AS bid
+          FROM e),
+    hourly AS (SELECT eh, bid, count(*) AS cnt FROM b GROUP BY 1, 2),
+    hrs AS (SELECT DISTINCT eh FROM e),
+    wins AS (SELECT eh + o.o AS h, bid, cnt
+             FROM hourly, unnest(range(0, 6)) AS o(o)),
+    hb AS (SELECT h, bid, sum(cnt) AS cnt FROM wins GROUP BY 1, 2),
+    cum AS (SELECT h, bid,
+                   sum(cnt) OVER (PARTITION BY h ORDER BY bid) AS cumc,
+                   sum(cnt) OVER (PARTITION BY h) AS tot
+            FROM hb),
+    est AS (SELECT h,
+                   min(CASE WHEN 100 * cumc >= 50 * tot THEN bid END)
+                       AS p50_bid,
+                   min(CASE WHEN 100 * cumc >= 95 * tot THEN bid END)
+                       AS p95_bid,
+                   CAST(max(tot) AS BIGINT) AS n_events
+            FROM cum GROUP BY 1),
+    nh AS (SELECT h2.eh + o.o AS h, count(*) AS n_hours_merged
+           FROM hrs h2, unnest(range(0, 6)) AS o(o) GROUP BY 1)
+    SELECT hrs.eh AS epoch_hour,
+           CAST(nh.n_hours_merged AS BIGINT) AS n_hours_merged,
+           est.n_events,
+           CAST(CASE WHEN p50_bid < 8 THEN p50_bid
+                     ELSE (4 + p50_bid % 4) << ((p50_bid // 4) - 3)
+                END AS BIGINT) AS p50_hist,
+           CAST(CASE WHEN p95_bid < 8 THEN p95_bid
+                     ELSE (4 + p95_bid % 4) << ((p95_bid // 4) - 3)
+                END AS BIGINT) AS p95_hist
+    FROM hrs
+    JOIN nh ON nh.h = hrs.eh
+    JOIN est ON est.h = hrs.eh
+    """,
+)
+def evt_sliding_loghist_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window p50/p95 via BOUNDED LOG-BUCKET HISTOGRAM rollup —
+    the batch twin of streaming/stateful.py
+    ``streaming_sliding_value_quantiles`` and the constant-state
+    variant of ``evt_sliding_value_quantiles``: each hour folds to a
+    ≤256-bucket integer histogram (identity below 8, then
+    exponent + 2-bit mantissa — ≤25% relative bucket width), each
+    6-hour window is a COUNT-MERGE of 6 hourly histograms, and the
+    reported percentile is the lower bound of the first bucket whose
+    cumulative count crosses the rank.  Every step is integer-exact
+    and order-independent, so (a) DuckDB replays the estimate
+    bit-for-bit — full value oracle, no tolerance boolean — and (b)
+    the streaming twin emits the IDENTICAL row per window regardless
+    of micro-batch boundaries, which tests/test_streaming_sliding_
+    quantiles.py asserts directly against this query.
+
+    Scale notes: events are touched ONCE (hour+bucket hash agg,
+    map-side combinable); the window explode replicates only the
+    ≤256-row hourly histograms — a 30-day window over a year of
+    100 TB telemetry merges 720 tiny histograms per window, and the
+    per-hour state a streaming job carries is a constant few KB.
+    Window functions are hour-partitioned, never global."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("eh"),
+        F.expr(
+            "greatest(CAST(floor(value * 100) AS BIGINT), CAST(0 AS BIGINT))"
+        ).alias("v"),
+    )
+    b = e.select(
+        "eh",
+        F.expr(
+            "CASE WHEN v < 8 THEN v ELSE 4 * length(bin(v)) "
+            "+ (shiftright(v, length(bin(v)) - 3) & 3) END"
+        ).alias("bid"),
+    )
+    hourly = b.groupBy("eh", "bid").agg(F.count(F.lit(1)).alias("cnt"))
+    wins = hourly.select(
+        F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h"),
+        "bid",
+        "cnt",
+    )
+    hb = wins.groupBy("h", "bid").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.partitionBy("h").orderBy("bid")
+    w_tot = Window.partitionBy("h")
+    cum = hb.select(
+        "h",
+        "bid",
+        F.sum("cnt").over(w_cum).alias("cumc"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    def _lo(c: str) -> str:
+        return (
+            f"CAST(CASE WHEN {c} < 8 THEN {c} "
+            f"ELSE shiftleft(4 + {c} % 4, CAST({c} DIV 4 AS INT) - 3) "
+            f"END AS BIGINT)"
+        )
+    est = cum.groupBy("h").agg(
+        F.min(
+            F.when(100 * F.col("cumc") >= 50 * F.col("tot"), F.col("bid"))
+        ).alias("p50_bid"),
+        F.min(
+            F.when(100 * F.col("cumc") >= 95 * F.col("tot"), F.col("bid"))
+        ).alias("p95_bid"),
+        F.max("tot").cast("long").alias("n_events"),
+    )
+    nh = (
+        e.select("eh")
+        .distinct()
+        .select(
+            F.explode(F.sequence(F.col("eh"), F.col("eh") + 5)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_hours_merged"))
+    )
+    hrs = e.select("eh").distinct()
+    return (
+        hrs.join(nh, nh.h == F.col("eh"))
+        .drop("h")
+        .join(est, est.h == F.col("eh"))
+        .select(
+            F.col("eh").alias("epoch_hour"),
+            F.col("n_hours_merged").cast("long").alias("n_hours_merged"),
+            "n_events",
+            F.expr(_lo("p50_bid")).alias("p50_hist"),
+            F.expr(_lo("p95_bid")).alias("p95_hist"),
+        )
+    )
+
+
+@_q(
     "agg_hll_sketch_union",
     """
     WITH e AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
@@ -19141,197 +19277,167 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-10 window (50): first the 5 queries NEW in round 10
-    # (two r9-verdict composition asks + k-core peeling + FD mining
-    # + the workload-weighted layout chooser), then the 24 late-r9
-    # registrations that never saw a driver window
-    # (NOTES_r10_staging.md item 1, in order — six of them also
-    # carry this round's ADVICE fixes) ----
-    "files_lifecycle",
-    "pipeline_corpus_curation_v8",
-    "graph_kcore_membership",
-    "dq_functional_dependencies",
-    "files_workload_layout_advisor",
-    "emb_ann_ivf_coreset_topk",
-    "emb_coreset_ivf_recall_eval",
-    "files_compaction_incremental",
-    "emb_coreset_fold_maintenance",
-    "cdc_neardup_cluster_maintenance",
-    "emb_hard_negative_mining",
-    "dq_l_diversity",
-    "dq_t_closeness",
-    "files_bloom_pruning",
-    "doc_chunk_windows",
-    "emb_mmr_diversified_topk",
-    "text_tokenizer_fertility",
-    "part_skyline_pareto_front",
-    "evt_sliding_distinct_users",
-    "doc_holdout_leakage_rate",
-    "mm_keyframe_select",
-    "evt_sliding_hll_users",
-    "pipeline_corpus_curation_v7",
-    "doc_quality_quantile_norm",
-    "files_hilbert_pruning",
-    "plan_join_order_3way",
-    "part_copurchase_topk",
-    "evt_touch_attribution",
-    "evt_markov_stationary",
-    # ---- remaining 21 slots: staleness refresh — the 21 r3-era
-    # names the r9 window did not reach (ledger-reconstructed; the
-    # staging notes' doc_tfidf_top_terms entry was stale — it went
-    # green again in the r9 window, evt_sessionize_batch had not) ----
-    "evt_sessionize_batch",
-    "fn_datetime_suite",
-    "fn_json_suite",
-    "fn_regexp_suite",
-    "fn_string_agg",
-    "fn_try_errors",
-    "fn_variant_suite",
-    "graph_pagerank",
-    "kr_batch_metrics",
-    "mm_frame_sample",
-    "mm_resize",
-    "pipeline_corpus_curation_v3",
-    "set_ops_all_quantifiers",
-    "text_char_bigram_score",
-    "text_gopher_rules",
-    "text_pmi_collocations",
-    "text_repetition_stats",
-    "text_vocab_oov",
-    "udf_arrow_byte_stats",
-    "udtf_analyze_top_tokens",
-    "win_value_functions",
-    # ---- round-10 LATE registrations (registered after the r10
-    # window filled; they head the r11 rotation —
-    # NOTES_r11_staging.md item 1) ----
+    # ---- round-11 window (50): the 3 late-r10 registrations that
+    # never saw a driver window (NOTES_r11_staging.md item 1), then
+    # queries NEW in round 11, then the r4-era staleness cohort
+    # (46 names, ledger-reconstructed from CORRECTNESS_r01-r10) ----
     "evt_incident_session_overlap",
     "evt_sliding_value_quantiles",
     "files_overlap_depth",
-    # ---- prior windows and rotations, demoted in previous order ----
+    "evt_sliding_loghist_quantiles",
+    # ---- staleness ladder: every checked query ascending by its
+    # latest driver-green round (r4 era first), name-alphabetical
+    # within a round ----
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_countif_maxby",
-    "plan_join_strategy_hook",
-    "agg_weighted_join_size_estimate",
-    "mm_audio_features",
-    "files_zorder_pruning",
-    "text_bigram_lm_score",
-    "files_compaction_plan",
-    "mm_image_phash_groups",
-    "doc_importance_weights",
-    "cdc_importance_model_maintenance",
-    "pipeline_corpus_curation_v6",
-    "emb_kcenter_coreset",
-    "evt_autocorrelation_lags",
-    "dq_benford_first_digit",
-    "part_association_rules",
-    "evt_changepoint_cusum",
-    "emb_quantization_error_audit",
-    "text_ngram_novelty",
-    "evt_seasonal_strength_anova",
-    "doc_token_budget_allocation",
-    "geo_grid_dbscan",
-    "tpch_q2_min_cost_supplier",
-    "udf_pandas_agg_median",
-    "udf_pandas_distinct_words",
-    "udtf_bigrams",
-    "agg_exact_median_2x",
-    "agg_grouping_sets",
-    "cdc_merge_upsert",
-    "cdc_position_deletes",
-    "cdc_scd2_intervals",
-    "corr_lateral_topn",
-    "doc_balanced_sample",
-    "doc_curriculum_phases",
-    "doc_dup_spans",
-    "doc_kfold_assign",
-    "doc_mixture_weights",
-    "doc_pack_sequences",
-    "doc_reservoir_sample",
-    "doc_simhash_neardup_pairs",
-    "doc_tfidf_top_terms",
-    "doc_weighted_sample",
-    "dq_check_orders",
-    "dq_profile_orders",
-    "dq_referential_orders_customer",
-    "emb_group_centroids",
-    "emb_int8_quantize",
-    "evt_anomaly_sigma",
-    "evt_funnel_ordered",
-    "evt_gapfill_hourly",
-    "evt_range_frame_sum",
-    "evt_retention_cohorts",
-    "dq_record_linkage",
-    "cdc_join_view_maintenance",
-    "evt_selfjoin_size_estimate",
-    "cdc_join_view_zset_deletes",
-    "agg_join_size_estimate",
-    "dq_linkage_blocking_eval",
-    "evt_count_min_deletes",
-    "tpch_q10_returned_items",
-    "evt_timeseries_similarity",
-    "evt_user_rfm_segments",
-    "part_abc_pareto",
-    "text_vocab_coverage_curve",
-    "text_zipf_curve",
-    "evt_decile_lift_table",
-    "text_classifier_calibration",
-    "doc_bm25_search",
-    "doc_hybrid_rrf",
-    "text_bpe_merge_step",
-    "text_bpe_apply",
-    "text_bpe_encode_stats",
-    "pipeline_corpus_curation_v5",
-    "agg_salted_event_type",
-    "corr_subquery_cheapest_item",
-    "doc_contamination_check",
-    "doc_lsh_levenshtein_verify",
-    "doc_neardup_clusters",
-    "doc_ngram_jaccard_pairs",
-    "doc_stratified_sample",
-    "emb_neardup_pairs",
-    "evt_asof_join_signup",
-    "evt_multires_rollup",
-    "fn_date_parts",
-    "fn_map_suite",
-    "fn_scalar_suite",
-    "kr_active_region_gate",
-    "kr_checkpoint",
-    "kr_payload_decode",
-    "kr_replicated_records",
-    "kr_stream_name_extract",
-    "pipeline_corpus_curation",
-    "pipeline_corpus_curation_v2",
-    "text_lang_stats",
-    "text_token_counts",
-    "tpch_q12_late_priority",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "udf_broadcast_lookup",
-    "udf_grouped_user_stats",
-    "tpch_q3_top_orders",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    "mm_feature_extract",
-    "doc_chargram_dup_coverage",
-    "doc_url_canonical_dedup",
-    "agg_quantile_sketch_merge",
-    "text_heavy_hitters_bounds",
-    "doc_url_host_profile",
-    "text_count_min_estimate",
-    "text_bloom_membership",
+    "agg_hll_sketch_union",
+    "agg_pivot_events",
+    "cdc_point_in_time_join",
+    "cdc_snapshot_at_time",
+    "cdc_snapshot_diff",
+    "doc_chunk_overlap",
+    "doc_dedup_normalized",
+    "doc_domain_cap",
+    "doc_dup_span_fraction",
+    "doc_length_percentiles",
+    "doc_minhash_jaccard_estimate",
+    "doc_source_mix_report",
+    "emb_ann_ivf_kmeans_topk",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk",
+    "emb_ann_pq_topk",
+    "emb_dim_covariance",
+    "emb_knn_label_classify",
+    "emb_matryoshka_staged_topk",
+    "emb_semantic_dedup",
+    "evt_conversion_time_stats",
+    "evt_cumulative_new_users",
+    "evt_dau_wau_stickiness",
+    "evt_first_touch_attribution",
+    "evt_hour_type_heatmap",
+    "evt_markov_transitions",
+    "evt_path_trigrams",
+    "evt_range_count_5m",
+    "evt_rolling_7d_active_users",
+    "evt_user_activity_stats",
+    "files_layout_lineitem",
+    "files_schema_evolution",
+    "fn_bitwise_suite",
+    "fn_higher_order_suite",
+    "fn_recursive_date_spine",
+    "fn_url_suite",
+    "gen_replicate_pipeline",
+    "graph_triangle_count",
+    "kr_replication_reconcile",
+    "part_cooccurrence_pairs",
+    "pipeline_corpus_curation_v4",
+    "text_classifier_histogram",
+    "text_quality_classifier",
+    "agg_bitmap_distinct",
+    "agg_equidepth_histogram",
+    "agg_exact_covariance",
+    "agg_exact_mode",
+    "agg_exact_regression",
+    "agg_hll_overlap_estimate",
+    "agg_mad_outliers",
+    "agg_winsorized_mean",
+    "cdc_incremental_agg_maintenance",
+    "doc_lsh_band_sweep",
+    "doc_lsh_precision_eval",
+    "doc_neardup_cluster_size_hist",
+    "doc_quality_dup_crosstab",
+    "doc_shingle_containment_pairs",
+    "doc_split_leakage_audit",
+    "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap_pairs",
+    "dq_skew_profile",
+    "emb_ann_recall_eval",
+    "evt_activity_streaks",
+    "evt_bounce_rate_by_entry",
+    "evt_cohort_ltv_triangle",
+    "evt_funnel_within_7d",
+    "evt_late_arrival_profile",
+    "evt_path_to_purchase_length",
+    "evt_pattern_match_cep",
+    "evt_peak_concurrency",
+    "evt_session_window_native",
+    "evt_type_overlap",
+    "evt_user_concentration_gini",
+    "fn_aes_roundtrip",
+    "fn_collation_suite",
+    "fn_sql_udf_suite",
+    "fn_xml_suite",
+    "geo_grid_distance_join",
+    "sql_parameterized_query",
+    "text_lang_confusion_matrix",
+    "text_stopword_discovery",
+    "text_typo_variant_pairs",
+    "tpch_fulfillment_latency",
+    "tpch_repeat_purchase_cohorts",
+    "tpch_revenue_mom_growth",
+    "tpch_running_backlog",
+    "udf_arrow_grouped_stats",
+    "win_ratio_to_report",
+    "agg_weighted_median",
+    "doc_epochs_to_budget",
+    "doc_neardup_rate_by_source",
+    "doc_phrase_search",
+    "doc_source_overlap_matrix",
+    "dq_distribution_drift",
+    "dq_k_anonymity",
+    "dq_referential_suite",
+    "dq_unreferenced_dims",
+    "emb_between_class_scatter",
+    "emb_centroid_distance_profile",
+    "emb_exact_dup_groups",
+    "emb_filtered_ann_topk",
+    "emb_incremental_topk_maintenance",
+    "emb_ivf_probe_sweep",
+    "emb_power_iteration_matvec",
+    "evt_ab_test_chisq",
+    "evt_channel_ltv",
+    "evt_error_budget_burn",
+    "evt_interarrival_profile",
+    "evt_multitouch_attribution",
+    "evt_rolling_corr",
+    "evt_seasonal_naive_backtest",
+    "evt_survival_risk_table",
+    "evt_training_set_assembly",
+    "evt_transition_conformance",
+    "files_partitioned_write_layout",
+    "fn_interval_arithmetic",
+    "fn_str_to_map_suite",
+    "graph_degree_histogram",
+    "kr_ops_dashboard",
+    "pipeline_event_analytics",
+    "text_bpe_pair_counts",
+    "text_word_bigram_familiarity",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q5_revenue_by_nation",
+    "tpch_q9_product_profit",
+    "tpch_supplier_scorecard",
+    "udtf_table_arg_user_summary",
     "agg_collect_sorted",
+    "agg_cube_orders",
+    "agg_percentiles_disc",
     "agg_pivot_event_types",
+    "agg_quantile_sketch_merge",
     "agg_rollup_nation_acctbal",
     "agg_unpivot_lineitem",
     "agg_value_histogram",
+    "doc_chargram_dup_coverage",
     "doc_dedup_exact",
     "doc_fingerprint",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
+    "doc_url_canonical_dedup",
+    "doc_url_host_profile",
     "emb_ann_topk",
     "evt_dedup_exact",
     "evt_session_windows",
@@ -19344,152 +19450,176 @@ _CHECK_FIRST = [
     "fn_posexplode",
     "join_anti_semi",
     "mm_binary_meta",
+    "mm_feature_extract",
     "set_ops_customer_cohorts",
     "sql_interface_region_revenue",
+    "text_bloom_membership",
+    "text_count_min_estimate",
+    "text_heavy_hitters_bounds",
     "text_lang_id",
     "text_pii_scrub",
     "text_quality_stats",
     "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q3_top_orders",
     "tpch_q4_order_priority",
     "tpch_q6_revenue_delta",
     "udf_cogrouped_counts",
     "win_rank_suite",
     "win_running_totals",
     "win_top_customers_per_nation",
-    "agg_cube_orders",
-    "agg_percentiles_disc",
-    "doc_neardup_rate_by_source",
-    "text_bpe_pair_counts",
-    "graph_degree_histogram",
-    "fn_interval_arithmetic",
-    "evt_multitouch_attribution",
-    "agg_weighted_median",
-    "dq_k_anonymity",
-    "doc_phrase_search",
-    "evt_ab_test_chisq",
-    "evt_rolling_corr",
-    "doc_epochs_to_budget",
-    "emb_between_class_scatter",
-    "emb_power_iteration_matvec",
-    "dq_referential_suite",
-    "files_partitioned_write_layout",
-    "emb_incremental_topk_maintenance",
-    "evt_survival_risk_table",
-    "dq_distribution_drift",
-    "udtf_table_arg_user_summary",
-    "pipeline_event_analytics",
-    "fn_str_to_map_suite",
-    "evt_channel_ltv",
-    "emb_filtered_ann_topk",
-    "evt_seasonal_naive_backtest",
-    "kr_ops_dashboard",
-    "evt_transition_conformance",
-    "emb_centroid_distance_profile",
-    "evt_interarrival_profile",
-    "text_word_bigram_familiarity",
-    "emb_exact_dup_groups",
-    "evt_error_budget_burn",
-    "doc_source_overlap_matrix",
-    "dq_unreferenced_dims",
-    "emb_ivf_probe_sweep",
-    "evt_training_set_assembly",
-    "tpch_supplier_scorecard",
-    "tpch_q5_revenue_by_nation",
-    "tpch_q9_product_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_important_stock",
-    "emb_ann_recall_eval",
-    "doc_lsh_precision_eval",
-    "doc_lsh_band_sweep",
-    "evt_cohort_ltv_triangle",
-    "evt_path_to_purchase_length",
-    "doc_winnowing_fingerprints",
-    "doc_winnowing_overlap_pairs",
-    "evt_peak_concurrency",
-    "evt_pattern_match_cep",
-    "text_typo_variant_pairs",
-    "fn_sql_udf_suite",
-    "sql_parameterized_query",
-    "fn_xml_suite",
-    "fn_collation_suite",
-    "evt_session_window_native",
-    "cdc_incremental_agg_maintenance",
-    "agg_equidepth_histogram",
-    "evt_late_arrival_profile",
-    "agg_winsorized_mean",
-    "evt_type_overlap",
-    "tpch_fulfillment_latency",
-    "win_ratio_to_report",
-    "agg_mad_outliers",
-    "dq_skew_profile",
-    "geo_grid_distance_join",
-    "evt_funnel_within_7d",
-    "tpch_running_backlog",
-    "text_lang_confusion_matrix",
-    "udf_arrow_grouped_stats",
-    "agg_exact_mode",
-    "agg_exact_covariance",
-    "tpch_repeat_purchase_cohorts",
-    "doc_split_leakage_audit",
-    "doc_neardup_cluster_size_hist",
-    "evt_bounce_rate_by_entry",
-    "agg_bitmap_distinct",
-    "fn_aes_roundtrip",
-    "doc_quality_dup_crosstab",
-    "evt_user_concentration_gini",
-    "doc_shingle_containment_pairs",
-    "text_stopword_discovery",
-    "agg_exact_regression",
-    "evt_activity_streaks",
-    "tpch_revenue_mom_growth",
-    "agg_hll_overlap_estimate",
-    "files_layout_lineitem",
-    "fn_bitwise_suite",
-    "doc_dup_span_fraction",
-    "doc_chunk_overlap",
-    "doc_domain_cap",
-    "doc_dedup_normalized",
-    "emb_semantic_dedup",
-    "agg_pivot_events",
-    "text_quality_classifier",
-    "emb_ann_pq_topk",
-    "cdc_point_in_time_join",
-    "fn_recursive_date_spine",
-    "doc_minhash_jaccard_estimate",
-    "emb_matryoshka_staged_topk",
-    "evt_markov_transitions",
-    "pipeline_corpus_curation_v4",
-    "fn_higher_order_suite",
-    "text_classifier_histogram",
-    "emb_knn_label_classify",
-    "doc_source_mix_report",
-    "cdc_snapshot_at_time",
-    "evt_dau_wau_stickiness",
-    "evt_hour_type_heatmap",
-    "evt_first_touch_attribution",
-    "doc_length_percentiles",
-    "evt_rolling_7d_active_users",
-    "emb_ann_lsh_topk",
-    "emb_ann_ivf_topk",
-    "emb_ann_ivf_kmeans_topk",
-    "gen_replicate_pipeline",
-    "evt_user_activity_stats",
-    "graph_triangle_count",
-    "part_cooccurrence_pairs",
-    "evt_path_trigrams",
-    "emb_dim_covariance",
-    "cdc_snapshot_diff",
-    "evt_conversion_time_stats",
-    "kr_replication_reconcile",
-    "evt_cumulative_new_users",
-    "files_schema_evolution",
-    "agg_hll_sketch_union",
-    "fn_url_suite",
-    "evt_range_count_5m",
+    "agg_join_size_estimate",
+    "agg_salted_event_type",
+    "cdc_join_view_maintenance",
+    "cdc_join_view_zset_deletes",
+    "corr_subquery_cheapest_item",
+    "doc_bm25_search",
+    "doc_contamination_check",
+    "doc_hybrid_rrf",
+    "doc_lsh_levenshtein_verify",
+    "doc_neardup_clusters",
+    "doc_ngram_jaccard_pairs",
+    "doc_stratified_sample",
+    "dq_linkage_blocking_eval",
+    "dq_record_linkage",
+    "emb_neardup_pairs",
+    "evt_asof_join_signup",
+    "evt_count_min_deletes",
+    "evt_decile_lift_table",
+    "evt_multires_rollup",
+    "evt_selfjoin_size_estimate",
+    "evt_timeseries_similarity",
+    "evt_user_rfm_segments",
+    "fn_date_parts",
+    "fn_map_suite",
+    "fn_scalar_suite",
+    "kr_active_region_gate",
+    "kr_checkpoint",
+    "kr_payload_decode",
+    "kr_replicated_records",
+    "kr_stream_name_extract",
+    "part_abc_pareto",
+    "pipeline_corpus_curation",
+    "pipeline_corpus_curation_v2",
+    "pipeline_corpus_curation_v5",
+    "text_bpe_apply",
+    "text_bpe_encode_stats",
+    "text_bpe_merge_step",
+    "text_classifier_calibration",
+    "text_lang_stats",
+    "text_token_counts",
+    "text_vocab_coverage_curve",
+    "text_zipf_curve",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "udf_broadcast_lookup",
+    "udf_grouped_user_stats",
+    "agg_exact_median_2x",
+    "agg_grouping_sets",
+    "agg_weighted_join_size_estimate",
+    "cdc_importance_model_maintenance",
+    "cdc_merge_upsert",
+    "cdc_position_deletes",
+    "cdc_scd2_intervals",
+    "corr_lateral_topn",
+    "doc_balanced_sample",
+    "doc_curriculum_phases",
+    "doc_dup_spans",
+    "doc_importance_weights",
+    "doc_kfold_assign",
+    "doc_mixture_weights",
+    "doc_pack_sequences",
+    "doc_reservoir_sample",
+    "doc_simhash_neardup_pairs",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_allocation",
+    "doc_weighted_sample",
+    "dq_benford_first_digit",
+    "dq_check_orders",
+    "dq_profile_orders",
+    "dq_referential_orders_customer",
+    "emb_group_centroids",
+    "emb_int8_quantize",
+    "emb_kcenter_coreset",
+    "emb_quantization_error_audit",
+    "evt_anomaly_sigma",
+    "evt_autocorrelation_lags",
+    "evt_changepoint_cusum",
+    "evt_funnel_ordered",
+    "evt_gapfill_hourly",
+    "evt_range_frame_sum",
+    "evt_retention_cohorts",
+    "evt_seasonal_strength_anova",
+    "files_compaction_plan",
+    "files_zorder_pruning",
+    "geo_grid_dbscan",
+    "mm_audio_features",
+    "mm_image_phash_groups",
+    "part_association_rules",
+    "pipeline_corpus_curation_v6",
+    "plan_join_strategy_hook",
+    "text_bigram_lm_score",
+    "text_ngram_novelty",
+    "tpch_q2_min_cost_supplier",
+    "udf_pandas_agg_median",
+    "udf_pandas_distinct_words",
+    "udtf_bigrams",
+    "cdc_neardup_cluster_maintenance",
+    "doc_chunk_windows",
+    "doc_holdout_leakage_rate",
+    "doc_quality_quantile_norm",
+    "dq_functional_dependencies",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "emb_ann_ivf_coreset_topk",
+    "emb_coreset_fold_maintenance",
+    "emb_coreset_ivf_recall_eval",
+    "emb_hard_negative_mining",
+    "emb_mmr_diversified_topk",
+    "evt_markov_stationary",
+    "evt_sessionize_batch",
+    "evt_sliding_distinct_users",
+    "evt_sliding_hll_users",
+    "evt_touch_attribution",
+    "files_bloom_pruning",
+    "files_compaction_incremental",
+    "files_hilbert_pruning",
+    "files_lifecycle",
+    "files_workload_layout_advisor",
+    "fn_datetime_suite",
+    "fn_json_suite",
+    "fn_regexp_suite",
+    "fn_string_agg",
+    "fn_try_errors",
+    "fn_variant_suite",
+    "graph_kcore_membership",
+    "graph_pagerank",
+    "kr_batch_metrics",
+    "mm_frame_sample",
+    "mm_keyframe_select",
+    "mm_resize",
+    "part_copurchase_topk",
+    "part_skyline_pareto_front",
+    "pipeline_corpus_curation_v3",
+    "pipeline_corpus_curation_v7",
+    "pipeline_corpus_curation_v8",
+    "plan_join_order_3way",
+    "set_ops_all_quantifiers",
+    "text_char_bigram_score",
+    "text_gopher_rules",
+    "text_pmi_collocations",
+    "text_repetition_stats",
+    "text_tokenizer_fertility",
+    "text_vocab_oov",
+    "udf_arrow_byte_stats",
+    "udtf_analyze_top_tokens",
+    "win_value_functions",
 ]
 
 

@@ -869,6 +869,128 @@ def streaming_sliding_distinct(events_stream: DataFrame) -> DataFrame:
     )
 
 
+SLIDING_LOGQ_OUT_SCHEMA = (
+    "event_type string, window_end_eh long, n_hours_merged long, "
+    "n_events_window long, p50_hist long, p95_hist long, n_state_hours long"
+)
+SLIDING_LOGQ_STATE_SCHEMA = (
+    "hours array<long>, bids array<array<long>>, cnts array<array<long>>"
+)
+_SLIDING_LOGQ_W = 6  # window = 6 hours ending at the latest seen hour
+
+
+def logbucket_id(v: int) -> int:
+    """Integer-exact HDR-style log bucket: identity below 8, then
+    (exponent, 2-bit mantissa) — ≤ 25% relative width, ≤ 4·64 ids over
+    the full BIGINT range, and expressible in both Spark SQL and DuckDB
+    as pure integer ops (``length(bin(v))`` + shifts), so the batch
+    twin query carries a full value oracle with no tolerance boolean.
+    Negative values clamp to 0 (the batch twin clamps identically)."""
+    v = max(int(v), 0)
+    if v < 8:
+        return v
+    e = v.bit_length()
+    return 4 * e + ((v >> (e - 3)) & 3)
+
+
+def logbucket_lo(b: int) -> int:
+    """Lower bound of a :func:`logbucket_id` bucket — the reported
+    quantile representative (both engines report the same bound)."""
+    b = int(b)
+    return b if b < 8 else (4 + b % 4) << (b // 4 - 3)
+
+
+def _sliding_logq_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        hours, bids, cnts = state.get
+        hmap: dict[int, dict[int, int]] = {
+            int(h): dict(zip(map(int, bs), map(int, cs)))
+            for h, bs, cs in zip(hours, bids, cnts)
+        }
+    else:
+        hmap = {}
+    saw = False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        saw = True
+        pdf = pdf.assign(_bid=pdf["cents"].map(logbucket_id))
+        for (eh, bid), n in pdf.groupby(["eh", "_bid"]).size().items():
+            hcnt = hmap.setdefault(int(eh), {})
+            hcnt[int(bid)] = hcnt.get(int(bid), 0) + int(n)
+    if not saw and not hmap:
+        return
+    mx = max(hmap)
+    # same eviction contract as the HLL sibling: hours that can never
+    # fall inside a future window ending at >= mx are dropped
+    hmap = {h: c for h, c in hmap.items() if h > mx - _SLIDING_LOGQ_W}
+    merged: dict[int, int] = {}
+    for h in range(mx - _SLIDING_LOGQ_W + 1, mx + 1):
+        for b, n in hmap.get(h, {}).items():
+            merged[b] = merged.get(b, 0) + n
+    tot = sum(merged.values())
+    cum = 0
+    p50 = p95 = None
+    for b in sorted(merged):
+        cum += merged[b]
+        if p50 is None and 100 * cum >= 50 * tot:
+            p50 = logbucket_lo(b)
+        if p95 is None and 100 * cum >= 95 * tot:
+            p95 = logbucket_lo(b)
+    keys = sorted(hmap)
+    state.update(
+        (
+            [int(h) for h in keys],
+            [[int(b) for b in sorted(hmap[h])] for h in keys],
+            [[int(hmap[h][b]) for b in sorted(hmap[h])] for h in keys],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "window_end_eh": [mx],
+            "n_hours_merged": [len(keys)],
+            "n_events_window": [tot],
+            "p50_hist": [p50],
+            "p95_hist": [p95],
+            "n_state_hours": [len(keys)],
+        }
+    )
+
+
+def streaming_sliding_value_quantiles(events_stream: DataFrame) -> DataFrame:
+    """Sliding-window p50/p95 per event type in BOUNDED keyed state —
+    the streaming twin of the batch ``evt_sliding_loghist_quantiles``
+    rollup (which in turn is the bounded-histogram variant of
+    ``evt_sliding_value_quantiles``): one integer log-bucket histogram
+    per (type, hour) held in state, the emitted percentiles read off
+    the count-merge of the ≤6 hours ending at the latest hour seen,
+    older hours EVICTED every batch — state is O(W · 256) longs per
+    key forever (``n_state_hours`` is the boundedness witness).
+
+    The histogram is a pure COUNT structure over a deterministic
+    bucket function, so the merged window quantile is independent of
+    arrival order and micro-batch boundaries: after any ingest split,
+    the final emitted row per window equals the batch twin's row for
+    that window bit-for-bit — that equivalence (not a tolerance band)
+    is what the pytest asserts, and the batch twin carries the full
+    DuckDB value oracle.  Replay safety comes from the state store's
+    per-batch versioning (exactly-once state updates under WAL
+    restart), same as every applyInPandasWithState op here.  Input
+    must carry ``eh`` (epoch-hour) and ``cents`` (integer value)."""
+    return events_stream.select("event_type", "eh", "cents").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _sliding_logq_update,
+        outputStructType=SLIDING_LOGQ_OUT_SCHEMA,
+        stateStructType=SLIDING_LOGQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 JOINSIZE_OUT_SCHEMA = (
     "event_type string, n_seen long, projected_join_size long, "
     "budget long, alarm boolean"
