@@ -4457,6 +4457,209 @@ ORACLE_SQL["cdc_neardup_cluster_maintenance"] = ORACLE_SQL[
 
 
 @_q(
+    "cdc_corpus_refresh_delta",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip()},
+    sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+    bands AS MATERIALIZED ({_MINHASH_BANDS}),
+    pairs AS MATERIALIZED (
+        -- MATERIALIZED (and on every edge CTE below): inlining would
+        -- recompute the shingle->minhash->band self-join chain once per
+        -- REFERENCE and once per recursive-CC iteration -- measured 78GB
+        -- of DuckDB temp spill at the sf1 rung before these hints
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    bpairs AS (SELECT doc_a, doc_b FROM pairs
+               WHERE doc_a % 10 < 8 AND doc_b % 10 < 8),
+    dpairs AS (SELECT doc_a, doc_b FROM pairs
+               WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8),
+    bedges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM bpairs
+               UNION SELECT doc_b, doc_a FROM bpairs),
+    breach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM bedges) n
+        UNION
+        SELECT e.v, r.lbl FROM breach r JOIN bedges e ON e.u = r.u
+    ),
+    bcc AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+            FROM breach GROUP BY u),
+    aedges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+    areach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM aedges) n
+        UNION
+        SELECT e.v, r.lbl FROM areach r JOIN aedges e ON e.u = r.u
+    ),
+    acc AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+            FROM areach GROUP BY u),
+    blab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS lbl
+             FROM documents d LEFT JOIN bcc c ON c.doc_id = d.doc_id
+             WHERE d.doc_id % 10 < 8),
+    alab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS lbl
+             FROM documents d LEFT JOIN acc c ON c.doc_id = d.doc_id),
+    pb AS (SELECT lbl, min(doc_id) AS doc_id FROM blab
+           WHERE doc_id % 5 <> 0 GROUP BY lbl),
+    pa AS (SELECT lbl, min(doc_id) AS doc_id FROM alab
+           WHERE doc_id % 5 <> 0 GROUP BY lbl),
+    added AS (SELECT a.doc_id, a.lbl FROM pa a
+              LEFT JOIN pb b ON b.doc_id = a.doc_id
+              WHERE b.doc_id IS NULL),
+    retr AS (SELECT b.doc_id, b.lbl FROM pb b
+             LEFT JOIN pa a ON a.doc_id = b.doc_id
+             WHERE a.doc_id IS NULL),
+    delta AS (SELECT doc_id, 'added' AS change, lbl AS cluster_id
+              FROM added
+              UNION ALL
+              SELECT doc_id, 'retracted', lbl FROM retr),
+    summ AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM pb) AS n_published_before,
+        (SELECT CAST(count(*) AS BIGINT) FROM pa) AS n_published_after,
+        (SELECT CAST(count(*) AS BIGINT) FROM added) AS n_added,
+        (SELECT CAST(count(*) AS BIGINT) FROM retr) AS n_retracted,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 10 >= 8) AS n_delta_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM dpairs) AS n_delta_pairs)
+    SELECT d.doc_id, d.change, d.cluster_id,
+           s.n_published_before, s.n_published_after, s.n_added,
+           s.n_retracted, s.n_delta_docs, s.n_delta_pairs
+    FROM delta d CROSS JOIN summ s
+    """,
+)
+def cdc_corpus_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CORPUS REFRESH — the nightly "what changed" job
+    (the r10 verdict ask #8) composing the CDC cluster-maintenance
+    fold with a re-publication delta: the delta shard (doc_id mod 10
+    ≥ 8) probes the stored MinHash band index
+    (cdc_neardup_cluster_maintenance's probe — only pairs touching a
+    delta doc are generated), the new edges fold into the base
+    labeling (clustering.fold_components), and publication — one doc
+    per near-dup cluster: the min non-test member (test = doc_id mod
+    5 = 0, the holdout convention) — is recomputed on the folded
+    labels and DIFFED against the base publication.  Output = one row
+    per publication change ('added' docs newly published — delta docs
+    accepted, or base docs promoted when the fold re-shapes a cluster
+    — and 'retracted' docs a delta near-twin dethroned; cluster_id is
+    the after-label for added rows, the before-label for retracted),
+    crossed with the refresh manifest (published before/after, adds,
+    retracts, delta size, probe-pair count).  The oracle recomputes
+    both labelings from scratch (two recursive-CTE CC passes), so the
+    hash pins fold == scratch AND the diff logic.
+
+    Scale notes (100 TB): signatures + band index computed ONCE and
+    shared by the base-pair derivation and the delta probe (per-doc
+    signatures are corpus-independent, so base pairs = band collisions
+    among base docs); both CC passes run on candidate pairs (band
+    equi-joins, never all-pairs), the fold re-enters history as
+    |nodes| star edges; publication is one hash-agg per labeling and
+    the diff two anti-joins on doc_id.  The manifest cross is the
+    allowlisted 1-row scalar broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 >= 8
+    sig = dedup.minhash_signatures(
+        docs, k_shingle=3, n_hashes=8
+    ).localCheckpoint(eager=False)
+    bands = dedup.minhash_band_buckets(
+        signatures=sig, n_hashes=8, n_bands=4
+    ).localCheckpoint(eager=False)  # shared: base pairs + delta probe
+    bb = bands.where(~is_delta)
+    a, b = bb.alias("a"), bb.alias("b")
+    base_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da, ab = bands.where(is_delta).alias("a"), bands.alias("b")
+    delta_pairs = (
+        da.join(
+            ab,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the fold AND the manifest
+    )
+    base_cc = clustering.connected_components(base_pairs)
+    folded = clustering.fold_components(base_cc, delta_pairs)
+    blab = (
+        docs.where(~is_delta)
+        .select("doc_id")
+        .join(base_cc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("lbl")
+        )
+    )
+    alab = (
+        docs.select("doc_id")
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("lbl")
+        )
+    )
+    pb = (
+        blab.where(F.col("doc_id") % 5 != 0)
+        .groupBy("lbl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)  # feeds diff + manifest count
+    )
+    pa = (
+        alab.where(F.col("doc_id") % 5 != 0)
+        .groupBy("lbl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    added = pa.join(pb.select("doc_id"), "doc_id", "left_anti")
+    retr = pb.join(pa.select("doc_id"), "doc_id", "left_anti")
+    added = added.localCheckpoint(eager=False)
+    retr = retr.localCheckpoint(eager=False)
+    delta = added.select(
+        "doc_id", F.lit("added").alias("change"), F.col("lbl").alias("cluster_id")
+    ).unionByName(
+        retr.select(
+            "doc_id",
+            F.lit("retracted").alias("change"),
+            F.col("lbl").alias("cluster_id"),
+        )
+    )
+    summary = (
+        pb.agg(F.count(F.lit(1)).cast("long").alias("n_published_before"))
+        .crossJoin(
+            pa.agg(
+                F.count(F.lit(1)).cast("long").alias("n_published_after")
+            )
+        )
+        .crossJoin(added.agg(F.count(F.lit(1)).cast("long").alias("n_added")))
+        .crossJoin(
+            retr.agg(F.count(F.lit(1)).cast("long").alias("n_retracted"))
+        )
+        .crossJoin(
+            docs.where(is_delta).agg(
+                F.count(F.lit(1)).cast("long").alias("n_delta_docs")
+            )
+        )
+        .crossJoin(
+            delta_pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_delta_pairs")
+            )
+        )
+    )
+    return delta.crossJoin(F.broadcast(summary))
+
+
+@_q(
     "pipeline_corpus_curation_v2",
     f"""
     WITH RECURSIVE {_SHINGLE_CTE.strip()},
@@ -19285,6 +19488,7 @@ _CHECK_FIRST = [
     "evt_sliding_value_quantiles",
     "files_overlap_depth",
     "evt_sliding_loghist_quantiles",
+    "cdc_corpus_refresh_delta",
     # ---- staleness ladder: every checked query ascending by its
     # latest driver-green round (r4 era first), name-alphabetical
     # within a round ----
@@ -19642,6 +19846,7 @@ PLAN_BUILD_RUNS_JOBS = frozenset(
     {
         "doc_neardup_clusters",
         "cdc_neardup_cluster_maintenance",
+        "cdc_corpus_refresh_delta",
         "geo_grid_dbscan",
         "pipeline_corpus_curation_v2",
         "pipeline_corpus_curation_v4",

@@ -551,3 +551,36 @@ def test_bcast_allowlist_entries_still_trip():
         f"stale _BCAST_OK entries (no flagged broadcast remains): "
         f"{sorted(stale)} — prune them"
     )
+
+
+# --------------------------------------------------------------------------
+# Per-stage lint for checkpointed compositions (the r10 verdict's audit
+# blind spot): localCheckpoint truncates lineage, so the final plan of a
+# composition shows its upstream legs only as "Scan ExistingRDD" — a
+# cartesian introduced INSIDE a checkpointed stage would pass the plan
+# lint above.  Capture every checkpointed stage via the plan_audit
+# recorder and lint each stage's own executed plan.
+# --------------------------------------------------------------------------
+
+_STAGED_COMPOSITIONS = [
+    "pipeline_corpus_curation_v8",
+    "files_lifecycle",
+    "cdc_corpus_refresh_delta",
+]
+
+
+@pytest.mark.parametrize("name", _STAGED_COMPOSITIONS)
+def test_checkpointed_stages_have_no_cartesian(spark, name):
+    from tools.plan_audit import checkpoint_recorder
+
+    rec = checkpoint_recorder()
+    with rec:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.collect()
+    assert rec.stages, f"{name} recorded no checkpointed stages"
+    for label, sdf in rec.stages:
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (
+            f"{name} stage ({label}) builds a cartesian product hidden "
+            "behind a localCheckpoint"
+        )

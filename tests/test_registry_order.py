@@ -31,6 +31,7 @@ _R11_HEAD = [
 # EXTEND this list when registering a new query this round.
 _R11_STAGED = _R11_HEAD + [
     "evt_sliding_loghist_quantiles",
+    "cdc_corpus_refresh_delta",
 ]
 
 from aws_kinesis_data_streams_replicator_spark.plans.queries import (

@@ -85,7 +85,62 @@ HEADLINE = [
     # touched once per leg, windows hour-partitioned)
     "evt_incident_session_overlap",
     "evt_sliding_value_quantiles",
+    # round-11 additions: the bounded log-bucket histogram quantile
+    # rollup (streaming twin in stateful.py) and the CDC corpus-refresh
+    # composition (band-index probe → CC fold → publication diff)
+    "evt_sliding_loghist_quantiles",
+    "cdc_corpus_refresh_delta",
 ]
+
+# Compositions whose plans truncate at localCheckpoint boundaries (the
+# pre-checkpoint legs show up as "Scan ExistingRDD" in the final plan,
+# hiding their joins/shuffles from the audit).  For these, every
+# checkpointed stage is captured via a localCheckpoint hook and audited
+# separately — the r10 verdict's checkpointed-composition blind spot.
+STAGED = [
+    "pipeline_corpus_curation_v8",
+    "files_lifecycle",
+    "cdc_corpus_refresh_delta",
+]
+
+
+class checkpoint_recorder:
+    """Context manager that records every DataFrame passed through
+    DataFrame.localCheckpoint (eager or lazy) together with a
+    caller-site label, without changing behavior."""
+
+    def __init__(self) -> None:
+        self.stages: list[tuple[str, object]] = []
+
+    def __enter__(self):
+        import traceback
+
+        # patch the CLASSIC class: instances resolve localCheckpoint
+        # there, so patching the pyspark.sql.DataFrame parent is a no-op
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        self._df_cls = _DF
+        self._orig = _DF.localCheckpoint
+        rec = self
+
+        def recording(self, eager=True):  # noqa: ANN001
+            label = "?"
+            for fr in reversed(traceback.extract_stack()[:-1]):
+                if "aws_kinesis_data_streams_replicator_spark" in fr.filename:
+                    label = (
+                        f"{os.path.basename(fr.filename)}:{fr.lineno} "
+                        f"in {fr.name}"
+                    )
+                    break
+            rec.stages.append((label, self))
+            return rec._orig(self, eager=eager)
+
+        _DF.localCheckpoint = recording
+        return self
+
+    def __exit__(self, *exc):
+        self._df_cls.localCheckpoint = self._orig
+        return False
 
 
 def facts(plan: str) -> dict:
@@ -119,11 +174,17 @@ def main() -> None:
         "BroadcastNestedLoopJoin only on allowlisted bounded build sides).\n"
     )
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
-        # execute THIS dataframe (count() would wrap it in a different
-        # QueryExecution) so the audited plan is the AQE-final one with
-        # codegen stage markers
-        df.collect()
+        rec = checkpoint_recorder()
+        if name in STAGED:
+            with rec:
+                df = QUERIES[name](spark, sf_dir)
+                df.collect()
+        else:
+            df = QUERIES[name](spark, sf_dir)
+            # execute THIS dataframe (count() would wrap it in a
+            # different QueryExecution) so the audited plan is the
+            # AQE-final one with codegen stage markers
+            df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         # the adaptive plan string appends the pre-AQE "Initial Plan" —
         # audit only the final one or every count doubles
@@ -151,6 +212,34 @@ def main() -> None:
         if len(lines) > 40:
             print(f"... ({len(lines) - 40} more lines)")
         print("```\n")
+        if name in STAGED and rec.stages:
+            print(
+                f"Per-checkpoint stage breakdown ({len(rec.stages)} "
+                "stages; the final plan above sees these legs only as "
+                "Scan ExistingRDD):\n"
+            )
+            agg = {"cartesian": 0, "shuffles": 0}
+            for i, (label, sdf) in enumerate(rec.stages, 1):
+                splan = sdf._jdf.queryExecution().executedPlan().toString()
+                splan = splan.split("+- == Initial Plan ==")[0]
+                sf = facts(splan)
+                agg["cartesian"] += sf["cartesian"]
+                agg["shuffles"] += sf["shuffles"]
+                print(
+                    f"- stage {i} ({label}): "
+                    f"{sf['broadcast_hash_joins']} bhj, "
+                    f"{sf['shuffled_hash_joins']} shj, "
+                    f"{sf['sort_merge_joins']} smj, "
+                    f"{sf['broadcast_nested_loop']} bnlj, "
+                    f"{sf['cartesian']} cartesian, "
+                    f"{sf['shuffles']} shuffles, "
+                    f"{sf['codegen_stages']} codegen"
+                )
+            print(
+                f"\nAll stages combined: {agg['cartesian']} cartesian, "
+                f"{agg['shuffles']} shuffles (lint: "
+                "tests/test_plan_lint.py asserts 0 cartesian per stage)\n"
+            )
 
 
 if __name__ == "__main__":
