@@ -999,3 +999,182 @@ def streaming_compaction_maintenance(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_corpus_refresh(
+    docs_stream: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str | None = None,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    test_mod: int = 5,
+) -> StreamingQuery:
+    """Continuous corpus refresh — the streaming form of the batch
+    composition ``plans/queries.py:cdc_corpus_refresh_delta`` (the
+    nightly "what changed in the corpus" job): every micro-batch of
+    new documents probes the STORED MinHash band index (only pairs
+    touching a new doc are generated — the historical corpus is never
+    re-paired), the new edges fold into the carried cluster labeling
+    (``clustering.fold_components``), publication — the min non-test
+    member per near-dup cluster — is recomputed on the folded labels,
+    and the per-epoch DIFF ('added' / 'retracted' docs) lands in an
+    append-only change log a downstream publisher consumes.
+
+    Exactly-once effective under WAL replay with no stateful operator
+    (the streaming_compaction_maintenance state discipline):
+
+    * per-epoch state — the doc inventory, the band index, the cluster
+      labels, and the published set — lives at
+      ``work_dir/state/asof=<batch_id>``; a replayed batch N re-reads
+      ``asof=N-1`` (never clobbered by N's failure) and recomputes
+      deterministically;
+    * the epoch's publication changes land at
+      ``work_dir/changes/epoch=<batch_id>`` (columns doc_id / change /
+      cluster_id — after-label for added, before-label for retracted)
+      and its 1-row manifest at ``work_dir/manifest/epoch=<batch_id>``,
+      both via full directory overwrite so a replay rewrites
+      byte-identical output instead of duplicating it;
+    * a doc_id already in the inventory is skipped (documents are
+      immutable content here), so re-delivered docs cannot re-pair.
+
+    Streamed two epochs split base/delta on the batch composition's
+    doc_id mod-10 rule, epoch 1's change log and manifest equal the
+    batch query's rows exactly — tests/test_streaming_corpus_refresh.py
+    asserts that, plus a WAL-restart replay.
+
+    Scale notes (100 TB corpus): per trigger the only corpus-sized
+    touch is ONE equi-join of the new docs' band rows against the
+    stored index (partition the index by band_id in a real deployment
+    — the ``streaming_neardup_with_index_maintenance`` layout); the
+    fold re-enters history as |nodes| star edges; publication is one
+    hash-agg over the label table and the diff two anti-joins on
+    doc_id.  State grows with the corpus (it IS the corpus index), not
+    with time."""
+    import os
+    import shutil
+
+    from ..operators import clustering
+    from ..operators.dedup import minhash_band_buckets, minhash_signatures
+
+    def _empty(spark: SparkSession, schema_sql: str) -> DataFrame:
+        return spark.sql(f"SELECT {schema_sql} WHERE false")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = f"{work_dir}/state"
+        prev = f"{state}/asof={batch_id - 1}"
+        try:
+            prev_docs = spark.read.parquet(f"{prev}/docs")
+            prev_bands = spark.read.parquet(f"{prev}/bands")
+            prev_cc = spark.read.parquet(f"{prev}/cc")
+            prev_pub = spark.read.parquet(f"{prev}/pub")
+        except AnalysisException:  # first batch / fresh work_dir
+            prev_docs = _empty(spark, "CAST(NULL AS BIGINT) AS doc_id")
+            prev_bands = _empty(
+                spark,
+                "CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS INT) AS band_id, CAST(NULL AS STRING) AS bucket",
+            )
+            prev_cc = _empty(
+                spark,
+                "CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS cluster_id",
+            )
+            prev_pub = _empty(
+                spark,
+                "CAST(NULL AS BIGINT) AS lbl, CAST(NULL AS BIGINT) AS doc_id",
+            )
+        new_docs = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .join(prev_docs.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)  # feeds bands + inventory
+        )
+        new_bands = minhash_band_buckets(
+            signatures=minhash_signatures(new_docs, k_shingle, n_hashes),
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+        ).localCheckpoint(eager=True)  # feeds probe + index append
+        all_bands = prev_bands.unionByName(
+            new_bands.select(prev_bands.columns)
+        )
+        a, b = new_bands.alias("a"), all_bands.alias("b")
+        delta_pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                    "doc_b"
+                ),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds fold + manifest count
+        )
+        folded = clustering.fold_components(prev_cc, delta_pairs)
+        inventory = prev_docs.select("doc_id").unionByName(
+            new_docs.select("doc_id")
+        )
+        labels = (
+            inventory.join(folded, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("cluster_id", "doc_id").alias("lbl")
+            )
+        )
+        pub = (
+            labels.where(F.col("doc_id") % test_mod != 0)
+            .groupBy("lbl")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint(eager=True)  # feeds diff + state write
+        )
+        added = pub.join(prev_pub.select("doc_id"), "doc_id", "left_anti")
+        retr = prev_pub.join(pub.select("doc_id"), "doc_id", "left_anti")
+        changes = added.select(
+            "doc_id",
+            F.lit("added").alias("change"),
+            F.col("lbl").alias("cluster_id"),
+        ).unionByName(
+            retr.select(
+                "doc_id",
+                F.lit("retracted").alias("change"),
+                F.col("lbl").alias("cluster_id"),
+            )
+        )
+        changes = changes.localCheckpoint(eager=True)
+        changes.write.mode("overwrite").parquet(
+            f"{work_dir}/changes/epoch={batch_id}"
+        )
+        n_added = changes.where(F.col("change") == "added").count()
+        n_retr = changes.where(F.col("change") == "retracted").count()
+        n_pub_prev = prev_pub.count()
+        n_pub = pub.count()
+        n_new = new_docs.count()
+        n_pairs = delta_pairs.count()
+        spark.sql(
+            f"SELECT CAST({n_pub_prev} AS BIGINT) AS n_published_before, "
+            f"CAST({n_pub} AS BIGINT) AS n_published_after, "
+            f"CAST({n_added} AS BIGINT) AS n_added, "
+            f"CAST({n_retr} AS BIGINT) AS n_retracted, "
+            f"CAST({n_new} AS BIGINT) AS n_delta_docs, "
+            f"CAST({n_pairs} AS BIGINT) AS n_delta_pairs"
+        ).write.mode("overwrite").parquet(
+            f"{work_dir}/manifest/epoch={batch_id}"
+        )
+        cur = f"{state}/asof={batch_id}"
+        inventory.write.mode("overwrite").parquet(f"{cur}/docs")
+        all_bands.write.mode("overwrite").parquet(f"{cur}/bands")
+        folded.write.mode("overwrite").parquet(f"{cur}/cc")
+        pub.write.mode("overwrite").parquet(f"{cur}/pub")
+        for d in (f"{state}/asof={batch_id - 2}",):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
+    writer = docs_stream.writeStream.foreachBatch(step)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
