@@ -3099,6 +3099,31 @@ def _lsh_signs_list(p: int, dim: int = 64) -> str:
     )
 
 
+def _lsh_band_rows_sql(
+    src: str, n_bands: int = 8, band_planes: int = 8
+) -> str:
+    """(vec_id, band_id, bucket) banded sign-LSH rows in DuckDB — the
+    byte-identical twin of operators/udfs.sign_lsh_all_bands_udf (band
+    b concatenates the sign bits of planes b*band_planes ..
+    b*band_planes+band_planes-1 of the shared md5 plane family), so an
+    oracle can replay the engine's candidate generation instead of the
+    N^2 brute-force scan (which exhausted DuckDB temp disk at the sf1
+    rung inside the v8 composition)."""
+    selects = []
+    for band in range(n_bands):
+        bits = ", ".join(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> qe[i] * ({_lsh_signs_list(band * band_planes + p)})[i]"
+            f")) >= 0 THEN '1' ELSE '0' END"
+            for p in range(band_planes)
+        )
+        selects.append(
+            f"SELECT vec_id, {band} AS band_id, concat({bits}) AS bucket "
+            f"FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def _ann_rerank_sql(cand_join: str, k: int = 10) -> str:
     """Shared exact-rerank tail: score candidate pairs with the int64
     quantized dot, per-query row_number top-k, ties → lowest id."""
@@ -9087,6 +9112,308 @@ def evt_sliding_loghist_quantiles(
             "n_events",
             F.expr(_lo("p50_bid")).alias("p50_hist"),
             F.expr(_lo("p95_bid")).alias("p95_hist"),
+        )
+    )
+
+
+@_q(
+    "evt_type_value_profile",
+    """
+    WITH e AS (SELECT event_type,
+                      greatest(CAST(floor(value * 100) AS BIGINT), 0) AS v
+               FROM events),
+    b AS (SELECT event_type,
+                 CASE WHEN v < 8 THEN v
+                      ELSE 4 * length(bin(v))
+                           + ((v >> (length(bin(v)) - 3)) & 3)
+                 END AS bid
+          FROM e),
+    h AS (SELECT event_type, bid, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (SELECT event_type, bid,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY bid) AS cumc,
+                   sum(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM h),
+    prof AS (SELECT event_type,
+                    min(CASE WHEN 100 * cumc >= 50 * tot THEN bid END)
+                        AS p50_bid,
+                    min(CASE WHEN 100 * cumc >= 90 * tot THEN bid END)
+                        AS p90_bid,
+                    min(CASE WHEN 100 * cumc >= 99 * tot THEN bid END)
+                        AS p99_bid,
+                    CAST(max(tot) AS BIGINT) AS n_events
+             FROM cum GROUP BY 1)
+    SELECT event_type, n_events,
+           CAST(CASE WHEN p50_bid < 8 THEN p50_bid
+                     ELSE (4 + p50_bid % 4) << ((p50_bid // 4) - 3)
+                END AS BIGINT) AS p50_hist,
+           CAST(CASE WHEN p90_bid < 8 THEN p90_bid
+                     ELSE (4 + p90_bid % 4) << ((p90_bid // 4) - 3)
+                END AS BIGINT) AS p90_hist,
+           CAST(CASE WHEN p99_bid < 8 THEN p99_bid
+                     ELSE (4 + p99_bid % 4) << ((p99_bid // 4) - 3)
+                END AS BIGINT) AS p99_hist
+    FROM prof
+    """,
+)
+def evt_type_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p50/p90/p99 PROFILE via the log-bucket histogram
+    (the evt_sliding_loghist_quantiles machinery regrouped by entity
+    instead of time window) — the per-endpoint / per-event-type SLO
+    scorecard: one hash-agg collapses the fact table to (group,
+    bucket) counts, and the percentile readoff runs entirely on the
+    <=256-row-per-group histogram.  Integer-exact bucket math, so the
+    oracle replays the whole estimate bit-for-bit.
+
+    Scale notes (100 TB): events touched ONCE (group+bucket hash agg,
+    map-side combinable); every window is group-partitioned over the
+    bounded histogram, never over raw events; adding p999 or more
+    groups costs nothing new.  This is the rollup a streaming job
+    would maintain incrementally (count-merge, same as the sliding
+    twin's state)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "greatest(CAST(floor(value * 100) AS BIGINT), CAST(0 AS BIGINT))"
+        ).alias("v"),
+    )
+    b = e.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN v < 8 THEN v ELSE 4 * length(bin(v)) "
+            "+ (shiftright(v, length(bin(v)) - 3) & 3) END"
+        ).alias("bid"),
+    )
+    h = b.groupBy("event_type", "bid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("bid")
+    w_tot = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "bid",
+        F.sum("cnt").over(w_cum).alias("cumc"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+
+    def _pick(pct: int, out: str):
+        return F.min(
+            F.when(100 * F.col("cumc") >= pct * F.col("tot"), F.col("bid"))
+        ).alias(out)
+
+    def _lo(c: str) -> str:
+        return (
+            f"CAST(CASE WHEN {c} < 8 THEN {c} "
+            f"ELSE shiftleft(4 + {c} % 4, CAST({c} DIV 4 AS INT) - 3) "
+            f"END AS BIGINT)"
+        )
+
+    prof = cum.groupBy("event_type").agg(
+        _pick(50, "p50_bid"),
+        _pick(90, "p90_bid"),
+        _pick(99, "p99_bid"),
+        F.max("tot").cast("long").alias("n_events"),
+    )
+    return prof.select(
+        "event_type",
+        "n_events",
+        F.expr(_lo("p50_bid")).alias("p50_hist"),
+        F.expr(_lo("p90_bid")).alias("p90_hist"),
+        F.expr(_lo("p99_bid")).alias("p99_hist"),
+    )
+
+
+# 12 md5 hex digits as a BIGINT: the KMV hash (48 bits -- (k-1)*2^48
+# stays far inside int64, so every estimate below is pure integer
+# division, bit-equal across engines)
+_KMV_HEX12_DUCK = (
+    "(strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[1]) - 1) * 17592186044416 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[2]) - 1) * 1099511627776 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[3]) - 1) * 68719476736 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[4]) - 1) * 4294967296 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[5]) - 1) * 268435456 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[6]) - 1) * 16777216 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[7]) - 1) * 1048576 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[8]) - 1) * 65536 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[9]) - 1) * 4096 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[10]) - 1) * 256 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[11]) - 1) * 16 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[12]) - 1) * 1"
+)
+_KMV_K = 64
+_KMV_DOM = 1 << 48
+
+
+@_q(
+    "agg_kmv_set_operations",
+    f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE event_type IN ('click', 'view')),
+    h AS (SELECT event_type, user_id,
+                 CAST({_KMV_HEX12_DUCK} AS BIGINT) AS h
+          FROM u),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY h, user_id) AS rn
+          FROM h),
+    mk AS (SELECT event_type, user_id, h FROM r WHERE rn <= {_KMV_K}),
+    per AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(max(CASE WHEN rn <= {_KMV_K} THEN h END) AS BIGINT)
+                       AS kth
+            FROM r GROUP BY event_type),
+    pe AS (SELECT event_type, n_exact,
+                  CASE WHEN n_exact <= {_KMV_K} THEN n_exact
+                       ELSE ({_KMV_K - 1} * CAST({_KMV_DOM} AS BIGINT))
+                            // greatest(kth, 1)
+                  END AS n_est
+           FROM per),
+    um AS (SELECT user_id, min(h) AS h FROM mk GROUP BY user_id),
+    ur AS (SELECT *, row_number() OVER (ORDER BY h, user_id) AS rn FROM um),
+    umk AS (SELECT user_id, h FROM ur WHERE rn <= {_KMV_K}),
+    ust AS (SELECT CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(max(h) AS BIGINT) AS kth
+            FROM umk),
+    uest AS (SELECT CASE WHEN n_members < {_KMV_K} THEN n_members
+                         ELSE ({_KMV_K - 1} * CAST({_KMV_DOM} AS BIGINT))
+                              // greatest(kth, 1)
+                    END AS n_union_est
+             FROM ust),
+    bth AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM umk m
+            WHERE EXISTS (SELECT 1 FROM u
+                          WHERE u.event_type = 'click'
+                            AND u.user_id = m.user_id)
+              AND EXISTS (SELECT 1 FROM u
+                          WHERE u.event_type = 'view'
+                            AND u.user_id = m.user_id)),
+    ex AS (SELECT
+        (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM u)
+            AS n_union_exact,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT user_id FROM u GROUP BY user_id HAVING count(*) = 2) t)
+            AS n_inter_exact)
+    SELECT a.n_exact AS n_a_exact, a.n_est AS n_a_est,
+           b.n_exact AS n_b_exact, b.n_est AS n_b_est,
+           ex.n_union_exact, uest.n_union_est,
+           ex.n_inter_exact,
+           CAST(bth.n_both * uest.n_union_est
+                // least({_KMV_K}, ust.n_members) AS BIGINT) AS n_inter_est
+    FROM (SELECT * FROM pe WHERE event_type = 'click') a,
+         (SELECT * FROM pe WHERE event_type = 'view') b,
+         ex, uest, bth, ust
+    """,
+)
+def agg_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch SET OPERATIONS — the
+    sketch family HLL cannot give you: distinct estimates for UNION
+    and INTERSECTION of two cohorts from tiny mergeable summaries.
+    Unlike HLL (engine-specific registers -> tolerance booleans, see
+    evt_sliding_hll_users), a KMV sketch is RELATIONALLY DEFINED — the
+    k smallest 48-bit md5 hashes of the member set — so every estimate
+    here is pure integer arithmetic the oracle replays bit-for-bit:
+    n-hat = (k-1)*2^48 DIV kth_hash, union sketch = k smallest of the
+    merged member sets, intersection via the standard KMV estimator
+    rho*n-hat_union with rho = |union-sketch members in BOTH sets|/k.
+    Exact counts ride alongside (n<=k short-circuits to exact).
+
+    Scale notes (100 TB): the engine computes each cohort's bottom-k
+    TWO-LEVEL — per (cohort, hash-bucket) top-k first, then top-k of
+    the <=256*k survivors — so no executor ever sorts a full cohort
+    (min-k of bucket-wise min-k IS the global min-k); sketch merges
+    touch only k-row summaries.  Window functions partition by cohort
+    / run on <=256*k rows.  The standard-error is ~1/sqrt(k-1) (~13%
+    at k=64); the estimator itself is deterministic, so parity is
+    exact regardless."""
+    k = _KMV_K
+    u = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = u.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), "
+            "16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).localCheckpoint(eager=False)  # feeds sketches + membership probes
+    # two-level bottom-k: per (cohort, 256-way hash bucket) first
+    w_b = Window.partitionBy("event_type", "bkt").orderBy("h", "user_id")
+    lvl1 = (
+        h.withColumn("bkt", F.pmod(F.col("user_id"), F.lit(256)))
+        .withColumn("rn", F.row_number().over(w_b))
+        .where(F.col("rn") <= k)
+        .drop("rn", "bkt")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h", "user_id")
+    r = lvl1.withColumn("rn", F.row_number().over(w_t))
+    mk = r.where(F.col("rn") <= k).localCheckpoint(eager=False)
+    exact = u.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    per = (
+        exact.join(
+            mk.groupBy("event_type").agg(F.max("h").alias("kth")),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            F.when(F.col("n_exact") <= k, F.col("n_exact"))
+            .otherwise(
+                F.expr(f"CAST({k - 1} * {_KMV_DOM}L DIV greatest(kth, 1) "
+                       "AS BIGINT)")
+            )
+            .alias("n_est"),
+        )
+    )
+    um = mk.groupBy("user_id").agg(F.min("h").alias("h"))
+    umk = (
+        um.orderBy("h", "user_id")
+        .limit(k)
+        .localCheckpoint(eager=False)  # union sketch: feeds est + rho
+    )
+    ust = umk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("h").alias("kth"),
+    )
+    uest = ust.select(
+        F.when(F.col("n_members") < k, F.col("n_members"))
+        .otherwise(
+            F.expr(f"CAST({k - 1} * {_KMV_DOM}L DIV greatest(kth, 1) "
+                   "AS BIGINT)")
+        )
+        .alias("n_union_est"),
+        "n_members",
+    )
+    in_a = u.where(F.col("event_type") == "click").select("user_id")
+    in_b = u.where(F.col("event_type") == "view").select("user_id")
+    bth = (
+        umk.join(in_a, "user_id", "left_semi")
+        .join(in_b, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ex = u.groupBy("user_id").count()
+    ex = ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+        F.sum((F.col("count") == 2).cast("long"))
+        .cast("long")
+        .alias("n_inter_exact"),
+    )
+    pa = per.where(F.col("event_type") == "click").select(
+        F.col("n_exact").alias("n_a_exact"), F.col("n_est").alias("n_a_est")
+    )
+    pb = per.where(F.col("event_type") == "view").select(
+        F.col("n_exact").alias("n_b_exact"), F.col("n_est").alias("n_b_est")
+    )
+    return (
+        pa.crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(bth))
+        .select(
+            "n_a_exact",
+            "n_a_est",
+            "n_b_exact",
+            "n_b_est",
+            "n_union_exact",
+            "n_union_est",
+            "n_inter_exact",
+            # rho's denominator is the sketch SIZE: below k members the
+            # sketch is the exact member set and the estimate collapses
+            # to the exact intersection
+            F.expr(
+                f"CAST(n_both * n_union_est DIV least({k}L, n_members) "
+                "AS BIGINT)"
+            ).alias("n_inter_est"),
         )
     )
 
@@ -18131,10 +18458,24 @@ def _curation_v8_oracle() -> str:
             WHERE sa.is_test <> sb.is_test)""",
         f"v8_eq AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS qe "
         "FROM embeddings)",
-        f"""v8_dupe AS (SELECT DISTINCT b.vec_id AS doc_id
-            FROM v8_eq a, v8_eq b
-            WHERE a.vec_id < b.vec_id
-              AND {dot('a.qe', 'b.qe')} >= 950000000000)""",
+        # engine-twin banded sign-LSH candidates + exact verify (the
+        # emb_ann_* oracle convention): the brute-force all-pairs leg
+        # this replaces exhausted DuckDB temp disk at the sf1 rung
+        f"v8_eb AS MATERIALIZED ({_lsh_band_rows_sql('v8_eq')})",
+        """v8_ec AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM v8_eb a JOIN v8_eb b
+              ON a.band_id = b.band_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)""",
+        # verify with native list_inner_product: EXACT here (integer
+        # dots <= ~2^40, far inside double's 2^53 integer range) and
+        # ~100x faster than the interpreted list_transform lambda over
+        # the ~7M sf1 candidates (which spilled 40+ GB and timed out)
+        """v8_dupe AS (SELECT DISTINCT c.vb AS doc_id
+            FROM v8_ec c
+            JOIN v8_eq a ON a.vec_id = c.va
+            JOIN v8_eq b ON b.vec_id = c.vb
+            WHERE CAST(list_inner_product(a.qe, b.qe) AS BIGINT)
+                  >= 950000000000)""",
         """v8_lab AS (SELECT d.doc_id, sp.is_test,
                   CASE WHEN sp.is_test AND lk.doc_id IS NOT NULL
                            THEN 'leaked_holdout'
@@ -19489,6 +19830,8 @@ _CHECK_FIRST = [
     "files_overlap_depth",
     "evt_sliding_loghist_quantiles",
     "cdc_corpus_refresh_delta",
+    "evt_type_value_profile",
+    "agg_kmv_set_operations",
     # ---- staleness ladder: every checked query ascending by its
     # latest driver-green round (r4 era first), name-alphabetical
     # within a round ----

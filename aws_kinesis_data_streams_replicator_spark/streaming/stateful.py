@@ -1092,3 +1092,98 @@ def streaming_join_size_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUT_SCHEMA = (
+    "event_type string, n_seen long, n_sketch long, "
+    "est_distinct long, kth_hash long"
+)
+KMV_STATE_SCHEMA = "hs array<long>, ids array<long>, n_seen long"
+_KMV_K = 64
+_KMV_DOM = 1 << 48
+
+
+def kmv_hash(user_id: int) -> int:
+    """48-bit KMV hash — first 12 md5 hex digits of the decimal id, the
+    byte-identical twin of the batch agg_kmv_set_operations hash (and
+    of its DuckDB oracle's strpos arithmetic)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(str(int(user_id)).encode()).hexdigest()[:12], 16
+    )
+
+
+def _kmv_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        hs, ids, n_seen = state.get
+        sk = dict(zip(map(int, ids), map(int, hs)))
+        n_seen = int(n_seen)
+    else:
+        sk, n_seen = {}, 0
+    saw = False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        saw = True
+        n_seen += len(pdf)
+        for uid in pdf["user_id"].unique():
+            uid = int(uid)
+            if uid not in sk:
+                sk[uid] = kmv_hash(uid)
+    if not saw and not sk:
+        return
+    # keep only the k smallest (h, id): min-k is order-independent and
+    # replay-idempotent (re-folding a member is a no-op), so the sketch
+    # equals the batch bottom-k over everything ever seen
+    keep = sorted(sk.items(), key=lambda kv: (kv[1], kv[0]))[:_KMV_K]
+    sk = dict(keep)
+    kth = keep[-1][1] if keep else 0
+    n_sketch = len(keep)
+    est = (
+        n_sketch
+        if n_sketch < _KMV_K
+        else (_KMV_K - 1) * _KMV_DOM // max(kth, 1)
+    )
+    state.update(
+        (
+            [int(h) for _, h in keep],
+            [int(u) for u, _ in keep],
+            n_seen,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "n_sketch": [n_sketch],
+            "est_distinct": [est],
+            "kth_hash": [kth],
+        }
+    )
+
+
+def streaming_kmv_distinct(events_stream: DataFrame) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct estimate per event type — the
+    streaming twin of the batch ``agg_kmv_set_operations`` sketch legs:
+    the k smallest 48-bit md5 hashes (ties broken by id) of every user
+    ever seen ride in keyed state (O(k) longs per key forever), the
+    emitted estimate is the same ``(k-1)*2^48 DIV kth`` integer
+    arithmetic, and because min-k is order-independent AND a sketch of
+    sketches (min-k of per-batch min-k = global min-k), the final
+    emission equals the batch sketch bit-for-bit regardless of
+    micro-batch boundaries — which the pytest asserts.  Unlike HLL
+    registers, the KMV state doubles as a SAMPLE of member ids, so two
+    keys' sketches support union/intersection estimates offline (the
+    batch query's set-operation report).  Input must carry ``user_id``."""
+    return events_stream.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _kmv_update,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -157,6 +157,10 @@ _BNLJ_OK = {
     "evt_markov_stationary",
     # importance totals + 1-row budget scalar crosses
     "doc_token_budget_allocation",
+    # four 1-row sketch-summary scalars (per-cohort estimates, union
+    # estimate, rho membership count) crossed into the single-row
+    # set-operations report
+    "agg_kmv_set_operations",
 }
 
 

@@ -32,6 +32,8 @@ _R11_HEAD = [
 _R11_STAGED = _R11_HEAD + [
     "evt_sliding_loghist_quantiles",
     "cdc_corpus_refresh_delta",
+    "evt_type_value_profile",
+    "agg_kmv_set_operations",
 ]
 
 from aws_kinesis_data_streams_replicator_spark.plans.queries import (
