@@ -17934,8 +17934,8 @@ def _curation_v7_oracle() -> str:
     ctes = [
         _SHINGLE_CTE.strip(),
         f"sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id)",
-        f"bands AS ({_MINHASH_BANDS})",
-        """pairs AS (
+        f"bands AS MATERIALIZED ({_MINHASH_BANDS})",
+        """pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.bucket = b.bucket
@@ -18441,8 +18441,8 @@ def _curation_v8_oracle() -> str:
     head = [
         _SHINGLE_CTE.strip(),
         f"sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id)",
-        f"bands AS ({_MINHASH_BANDS})",
-        """pairs AS (
+        f"bands AS MATERIALIZED ({_MINHASH_BANDS})",
+        """pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.bucket = b.bucket
@@ -18476,7 +18476,7 @@ def _curation_v8_oracle() -> str:
             JOIN v8_eq b ON b.vec_id = c.vb
             WHERE CAST(list_inner_product(a.qe, b.qe) AS BIGINT)
                   >= 950000000000)""",
-        """v8_lab AS (SELECT d.doc_id, sp.is_test,
+        """v8_lab AS MATERIALIZED (SELECT d.doc_id, sp.is_test,
                   CASE WHEN sp.is_test AND lk.doc_id IS NOT NULL
                            THEN 'leaked_holdout'
                        WHEN dt.doc_id IS NOT NULL THEN 'near_dup_text'
@@ -18487,7 +18487,7 @@ def _curation_v8_oracle() -> str:
            LEFT JOIN v8_leak lk ON lk.doc_id = d.doc_id
            LEFT JOIN v8_dupt dt ON dt.doc_id = d.doc_id
            LEFT JOIN v8_dupe de ON de.doc_id = d.doc_id)""",
-        "v8_pub AS (SELECT doc_id FROM v8_lab "
+        "v8_pub AS MATERIALIZED (SELECT doc_id FROM v8_lab "
         "WHERE NOT is_test AND status = 'kept')",
         "v8_pd AS (SELECT d.doc_id, d.text FROM documents d "
         "JOIN v8_pub USING (doc_id))",
