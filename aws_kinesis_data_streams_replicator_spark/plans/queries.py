@@ -9381,8 +9381,10 @@ def agg_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(in_b, "user_id", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
-    ex = u.groupBy("user_id").count()
-    ex = ex.agg(
+    per_user_n = u.groupBy("user_id").count()
+    # keyless 1-row aggregate of the rollup -- THIS is what broadcasts,
+    # never the per-user rollup itself
+    ex_tot = per_user_n.agg(
         F.count(F.lit(1)).cast("long").alias("n_union_exact"),
         F.sum((F.col("count") == 2).cast("long"))
         .cast("long")
@@ -9396,7 +9398,7 @@ def agg_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pa.crossJoin(F.broadcast(pb))
-        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(ex_tot))
         .crossJoin(F.broadcast(uest))
         .crossJoin(F.broadcast(bth))
         .select(
