@@ -1274,3 +1274,102 @@ def chunk_rows(docs: DataFrame) -> DataFrame:
             F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(W)), " "
         ).alias("chunk_text"),
     )
+
+
+def kneser_ney_bigram_table(
+    documents: DataFrame, top_contexts: int = 20, top_k: int = 3
+) -> DataFrame:
+    """Kneser–Ney smoothed bigram model table — the LM behind
+    CCNet-style corpus quality filtering, in INTEGER-EXACT form: for
+    the ``top_contexts`` most frequent left contexts w1, the ``top_k``
+    continuations w2 by the KN probability
+
+        P_KN(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/NB
+
+    with discount D = 3/4 and NB = distinct bigram types.  Both terms
+    are emitted as micro-probabilities via integer floor division
+    (``main_micro + backoff_micro``), every input an int64 count —
+    so a SQL oracle replays the smoothed probability bit-for-bit, no
+    floating point anywhere.  N1+(·w2) (distinct LEFT contexts of w2)
+    is the continuation count that makes KN the right backoff: a word
+    frequent only inside one collocation ("Francisco") gets a LOW
+    unigram backoff even though its raw count is high.
+
+    Scale notes (100 TB): one tokenized scan; c12/c1/N1+ are map-side
+    combinable hash aggs over bigram TYPES (vocabulary-, not corpus-,
+    sized); NB is the allowlisted 1-row scalar broadcast; the top-k
+    window partitions per context over that context's continuation
+    list (Zipf-bounded).  Overflow discipline: the two probability
+    terms are floored separately so every intermediate stays far
+    inside int64 (main ≤ 4e6·1e6, backoff numerator ≤ 3·|V|²·1e6)."""
+    from pyspark.sql import Window
+
+    toks = (
+        spread(documents)
+        .select("doc_id", word_tokens(F.col("text")).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    bg = toks.select(
+        F.explode(shingles_of_tokens(F.col("t"), 2)).alias("bg")
+    ).select(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)  # feeds c1, nbwd, NB, candidates
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fwd"),
+    )
+    nbwd = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1plus_bwd")
+    )
+    nb = c12.agg(F.count(F.lit(1)).cast("long").alias("nb_types"))
+    ctx = (
+        c1.orderBy(F.col("c1").desc(), F.col("w1").asc())
+        .limit(top_contexts)
+    )
+    cand = (
+        c12.join(ctx, "w1")
+        .join(nbwd, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1plus_fwd",
+            "n1plus_bwd",
+            F.expr(
+                "CAST(greatest(4 * c12 - 3, 0) * 1000000 DIV (4 * c1) "
+                "AS BIGINT)"
+            ).alias("main_micro"),
+            F.expr(
+                "CAST(3 * n1plus_fwd * n1plus_bwd * 1000000 "
+                "DIV (4 * c1 * nb_types) AS BIGINT)"
+            ).alias("backoff_micro"),
+        )
+        .withColumn(
+            "p_kn_micro", F.col("main_micro") + F.col("backoff_micro")
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(
+        F.col("p_kn_micro").desc(), F.col("w2").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1plus_fwd",
+            "n1plus_bwd",
+            "p_kn_micro",
+            "rank",
+        )
+    )

@@ -263,18 +263,28 @@ def kr_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q1_pricing_summary",
     """
+    -- decimal->double goes through VARCHAR: DuckDB's direct cast
+    -- divides the scaled int128 by 10^scale in floating point, which
+    -- double-rounds once the scaled integer exceeds 2^53 (sum_charge
+    -- at the sf1 rung: ...941590 -> ...941593, a 1-ulp hash fail);
+    -- the string parse is correctly rounded, matching Spark's
+    -- BigDecimal.doubleValue()
     SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-            AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
-            AS sum_charge,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))))
+            AS VARCHAR) AS DOUBLE) AS sum_charge,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS avg_qty,
+        CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS avg_disc,
         count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2332,6 +2342,57 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_lm_score
 
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_kneser_ney_bigrams",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM toks,
+                unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+    c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                         FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1plus_fwd
+           FROM c12 GROUP BY 1),
+    nbwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1plus_bwd
+             FROM c12 GROUP BY 1),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nb_types FROM c12),
+    ctx AS (SELECT w1, c1, n1plus_fwd FROM c1
+            ORDER BY c1 DESC, w1 ASC LIMIT 20),
+    cand AS (SELECT c.w1, c.w2, c.c12, x.c1, x.n1plus_fwd, n.n1plus_bwd,
+                    greatest(4 * c.c12 - 3, 0) * 1000000 // (4 * x.c1)
+                        AS main_micro,
+                    3 * x.n1plus_fwd * n.n1plus_bwd * 1000000
+                        // (4 * x.c1 * b.nb_types) AS backoff_micro
+             FROM c12 c
+             JOIN ctx x ON x.w1 = c.w1
+             JOIN nbwd n ON n.w2 = c.w2, nb b),
+    r AS (SELECT *,
+                 CAST(row_number() OVER (
+                     PARTITION BY w1
+                     ORDER BY main_micro + backoff_micro DESC, w2 ASC)
+                 AS INTEGER) AS rank
+          FROM cand)
+    SELECT w1, w2, c12, c1, n1plus_fwd, n1plus_bwd,
+           CAST(main_micro + backoff_micro AS BIGINT) AS p_kn_micro, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM table (operators/text.py
+    kneser_ney_bigram_table) — the smoothing behind CCNet-style LM
+    quality filters, integer-exact: discount 3/4, continuation counts
+    N1+(w1.)/N1+(.w2), both probability terms emitted as floored
+    micro-probabilities so the oracle replays the SMOOTHED estimate
+    bit-for-bit (the raw-count cousin is text_bigram_lm_score).  Top-3
+    continuations for the 20 most frequent contexts."""
+    from ..operators.text import kneser_ney_bigram_table
+
+    return kneser_ney_bigram_table(
+        _t(spark, sf_dir, "documents"), top_contexts=20, top_k=3
+    )
 
 
 @_q(
@@ -19834,6 +19895,7 @@ _CHECK_FIRST = [
     "cdc_corpus_refresh_delta",
     "evt_type_value_profile",
     "agg_kmv_set_operations",
+    "text_kneser_ney_bigrams",
     # ---- staleness ladder: every checked query ascending by its
     # latest driver-green round (r4 era first), name-alphabetical
     # within a round ----

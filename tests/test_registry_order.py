@@ -34,6 +34,7 @@ _R11_STAGED = _R11_HEAD + [
     "cdc_corpus_refresh_delta",
     "evt_type_value_profile",
     "agg_kmv_set_operations",
+    "text_kneser_ney_bigrams",
 ]
 
 from aws_kinesis_data_streams_replicator_spark.plans.queries import (
