@@ -274,13 +274,13 @@ def kr_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS DOUBLE) AS sum_qty,
         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
             AS DOUBLE) AS sum_base_price,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+        CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2))))
-            AS VARCHAR) AS DOUBLE) AS sum_charge,
+            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS sum_charge,
         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
             AS DOUBLE) / count(*) AS avg_qty,
         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
@@ -306,8 +306,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(ep).cast("double").alias("sum_base_price"),
-            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            # ROUND to scale 2 BEFORE the double cast: a scale-4/6
+            # decimal sum over q1's huge groups has an unscaled value
+            # past 2^53 at sf1, where Spark's BigDecimal.doubleValue()
+            # double-rounds (long→double then ÷10^scale) while DuckDB
+            # parses correctly-rounded — a last-ULP hash divergence.
+            # At scale 2 the unscaled value is exactly representable,
+            # so BOTH engines' casts are exact (r11 sf1 red).
+            F.round(F.sum(ep * (one - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(ep * (one - disc) * (one + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

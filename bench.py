@@ -61,6 +61,13 @@ def _plan_hash(df) -> str:
     norm = re.sub(r"#\d+", "#", txt)
     norm = re.sub(r"\[plan_id=\d+\]", "", norm)
     norm = re.sub(r"/tmp/\S*", "/tmp/_", norm)
+    # lambda variables (`lambda x_16#L`) are numbered from a SESSION-
+    # GLOBAL counter: the suffix depends on how many higher-order
+    # functions were planned earlier in the session, so two identical
+    # plans hash differently if another query ran first.  This is what
+    # made the localCheckpoint queries (whose plan construction runs
+    # earlier lambda-bearing stages) un-gateable across rounds.
+    norm = re.sub(r"lambda (\w+?)_\d+#", r"lambda \1_#", norm)
     norm = re.sub(r"\s+", " ", norm)
     return hashlib.md5(norm.encode()).hexdigest()[:16]
 

@@ -161,6 +161,10 @@ _BNLJ_OK = {
     # estimate, rho membership count) crossed into the single-row
     # set-operations report
     "agg_kmv_set_operations",
+    # 1-row NB-types scalar broadcast (vocab size + discount mass) over
+    # the bigram-TYPE table — agg_hll_sketch_union rationale; the build
+    # side is the single Kneser–Ney normalization row (text.py:1338)
+    "text_kneser_ney_bigrams",
 }
 
 
