@@ -19895,67 +19895,14 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ---- round-11 window (50): the 3 late-r10 registrations that
-    # never saw a driver window (NOTES_r11_staging.md item 1), then
-    # queries NEW in round 11, then the r4-era staleness cohort
-    # (46 names, ledger-reconstructed from CORRECTNESS_r01-r10) ----
-    "evt_incident_session_overlap",
-    "evt_sliding_value_quantiles",
-    "files_overlap_depth",
-    "evt_sliding_loghist_quantiles",
-    "cdc_corpus_refresh_delta",
-    "evt_type_value_profile",
-    "agg_kmv_set_operations",
-    "text_kneser_ney_bigrams",
-    # ---- staleness ladder: every checked query ascending by its
-    # latest driver-green round (r4 era first), name-alphabetical
-    # within a round ----
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_countif_maxby",
-    "agg_hll_sketch_union",
-    "agg_pivot_events",
-    "cdc_point_in_time_join",
-    "cdc_snapshot_at_time",
-    "cdc_snapshot_diff",
-    "doc_chunk_overlap",
-    "doc_dedup_normalized",
-    "doc_domain_cap",
-    "doc_dup_span_fraction",
-    "doc_length_percentiles",
-    "doc_minhash_jaccard_estimate",
-    "doc_source_mix_report",
-    "emb_ann_ivf_kmeans_topk",
-    "emb_ann_ivf_topk",
-    "emb_ann_lsh_topk",
-    "emb_ann_pq_topk",
-    "emb_dim_covariance",
-    "emb_knn_label_classify",
-    "emb_matryoshka_staged_topk",
-    "emb_semantic_dedup",
-    "evt_conversion_time_stats",
-    "evt_cumulative_new_users",
-    "evt_dau_wau_stickiness",
-    "evt_first_touch_attribution",
-    "evt_hour_type_heatmap",
-    "evt_markov_transitions",
-    "evt_path_trigrams",
-    "evt_range_count_5m",
-    "evt_rolling_7d_active_users",
-    "evt_user_activity_stats",
-    "files_layout_lineitem",
-    "files_schema_evolution",
-    "fn_bitwise_suite",
-    "fn_higher_order_suite",
-    "fn_recursive_date_spine",
-    "fn_url_suite",
-    "gen_replicate_pipeline",
-    "graph_triangle_count",
-    "kr_replication_reconcile",
+    # ---- round-12 window: queries NEW in round 12 go FIRST (extend
+    # here at registration time), then the staleness ladder below ----
+    # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",
     "text_classifier_histogram",
     "text_quality_classifier",
+    # ---- last driver-green r5 ----
     "agg_bitmap_distinct",
     "agg_equidepth_histogram",
     "agg_exact_covariance",
@@ -20001,6 +19948,7 @@ _CHECK_FIRST = [
     "tpch_running_backlog",
     "udf_arrow_grouped_stats",
     "win_ratio_to_report",
+    # ---- last driver-green r6 ----
     "agg_weighted_median",
     "doc_epochs_to_budget",
     "doc_neardup_rate_by_source",
@@ -20045,6 +19993,7 @@ _CHECK_FIRST = [
     "tpch_q9_product_profit",
     "tpch_supplier_scorecard",
     "udtf_table_arg_user_summary",
+    # ---- last driver-green r7 ----
     "agg_collect_sorted",
     "agg_cube_orders",
     "agg_percentiles_disc",
@@ -20092,6 +20041,7 @@ _CHECK_FIRST = [
     "win_rank_suite",
     "win_running_totals",
     "win_top_customers_per_nation",
+    # ---- last driver-green r8 ----
     "agg_join_size_estimate",
     "agg_salted_event_type",
     "cdc_join_view_maintenance",
@@ -20142,6 +20092,7 @@ _CHECK_FIRST = [
     "tpch_q8_market_share",
     "udf_broadcast_lookup",
     "udf_grouped_user_stats",
+    # ---- last driver-green r9 ----
     "agg_exact_median_2x",
     "agg_grouping_sets",
     "agg_weighted_join_size_estimate",
@@ -20192,6 +20143,7 @@ _CHECK_FIRST = [
     "udf_pandas_agg_median",
     "udf_pandas_distinct_words",
     "udtf_bigrams",
+    # ---- last driver-green r10 ----
     "cdc_neardup_cluster_maintenance",
     "doc_chunk_windows",
     "doc_holdout_leakage_rate",
@@ -20242,6 +20194,57 @@ _CHECK_FIRST = [
     "udf_arrow_byte_stats",
     "udtf_analyze_top_tokens",
     "win_value_functions",
+    # ---- last driver-green r11 ----
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_countif_maxby",
+    "agg_hll_sketch_union",
+    "agg_kmv_set_operations",
+    "agg_pivot_events",
+    "cdc_corpus_refresh_delta",
+    "cdc_point_in_time_join",
+    "cdc_snapshot_at_time",
+    "cdc_snapshot_diff",
+    "doc_chunk_overlap",
+    "doc_dedup_normalized",
+    "doc_domain_cap",
+    "doc_dup_span_fraction",
+    "doc_length_percentiles",
+    "doc_minhash_jaccard_estimate",
+    "doc_source_mix_report",
+    "emb_ann_ivf_kmeans_topk",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk",
+    "emb_ann_pq_topk",
+    "emb_dim_covariance",
+    "emb_knn_label_classify",
+    "emb_matryoshka_staged_topk",
+    "emb_semantic_dedup",
+    "evt_conversion_time_stats",
+    "evt_cumulative_new_users",
+    "evt_dau_wau_stickiness",
+    "evt_first_touch_attribution",
+    "evt_hour_type_heatmap",
+    "evt_incident_session_overlap",
+    "evt_markov_transitions",
+    "evt_path_trigrams",
+    "evt_range_count_5m",
+    "evt_rolling_7d_active_users",
+    "evt_sliding_loghist_quantiles",
+    "evt_sliding_value_quantiles",
+    "evt_type_value_profile",
+    "evt_user_activity_stats",
+    "files_layout_lineitem",
+    "files_overlap_depth",
+    "files_schema_evolution",
+    "fn_bitwise_suite",
+    "fn_higher_order_suite",
+    "fn_recursive_date_spine",
+    "fn_url_suite",
+    "gen_replicate_pipeline",
+    "graph_triangle_count",
+    "kr_replication_reconcile",
+    "text_kneser_ney_bigrams",
 ]
 
 

@@ -1,40 +1,35 @@
 """The driver's correctness gate checks the FIRST 50 registered queries,
-so registration order is part of the contract.  Pin the round-11 window
-(the 3 late-r10 registrations that never saw a driver window, then the
-queries NEW in round 11, then the r4-era staleness cohort): any
-refactor that silently reorders the registry fails here before it
-costs a driver round.  Rotating the window is an INTENTIONAL edit to
-both _CHECK_FIRST and this pin.
+so registration order is part of the contract.  Pin the round-12 window
+(queries NEW in round 12 first, then the 4 r4-era staleness stragglers
+the r11 window could not hold, then the 45-name r5 era): any refactor
+that silently reorders the registry fails here before it costs a
+driver round.  Rotating the window is an INTENTIONAL edit to both
+_CHECK_FIRST and this pin.
 
 Staleness reconstruction recipe: for each CORRECTNESS_r0*.json in round
 order, record the latest round where a query was fully green
-(rows+schema+hash, no err); sort ascending by that round.  After the
-r10 window the r3 era is exhausted; the 46 r4-era names head the r11
-refresh (agg_approx_distinct / agg_approx_percentile /
-agg_countif_maxby lead it, alphabetical within the round).  Always
-rebuild from the artifacts, not the prose — the r10 rebuild caught a
-stale name in the staging notes."""
+(rows+schema+hash, no err); sort ascending by that round, alphabetical
+within a round.  The r11 window came back 50/50 green, so after it the
+ladder is r4×4 (part_cooccurrence_pairs leads — the name the r11
+staging notes omitted; the artifact rebuild caught it, again), r5×45,
+r6×44, r7×47, r8-r11×50 each.  Always rebuild from the artifacts, not
+the prose."""
 
 from __future__ import annotations
 
-# the round-11 window's first three names — a literal canary so a bad
+# the round-12 window's first three names — a literal canary so a bad
 # merge of the _CHECK_FIRST section fails loudly, not just consistently
-_R11_HEAD = [
-    "evt_incident_session_overlap",
-    "evt_sliding_value_quantiles",
-    "files_overlap_depth",
+_R12_HEAD = [
+    "part_cooccurrence_pairs",
+    "pipeline_corpus_curation_v4",
+    "text_classifier_histogram",
 ]
 
-# the risk-ordered block at the r11 head: the 3 never-driver-checked
-# late-r10 registrations + every query NEW in round 11 — pinned as a
-# block so a partial rotation (some staged names dropped) fails.
-# EXTEND this list when registering a new query this round.
-_R11_STAGED = _R11_HEAD + [
-    "evt_sliding_loghist_quantiles",
-    "cdc_corpus_refresh_delta",
-    "evt_type_value_profile",
-    "agg_kmv_set_operations",
-    "text_kneser_ney_bigrams",
+# the risk-ordered block at the r12 head: every query NEW in round 12
+# (PREPEND those at registration time) + the 4 r4-era stragglers —
+# pinned as a block so a partial rotation fails.
+_R12_STAGED = _R12_HEAD + [
+    "text_quality_classifier",
 ]
 
 from aws_kinesis_data_streams_replicator_spark.plans.queries import (
@@ -46,8 +41,8 @@ from aws_kinesis_data_streams_replicator_spark.plans.queries import (
 
 def test_first_50_match_staged_check_order():
     assert list(QUERIES)[:50] == _CHECK_FIRST[:50]
-    assert _CHECK_FIRST[:3] == _R11_HEAD
-    assert _CHECK_FIRST[: len(_R11_STAGED)] == _R11_STAGED
+    assert _CHECK_FIRST[:3] == _R12_HEAD
+    assert _CHECK_FIRST[: len(_R12_STAGED)] == _R12_STAGED
 
 
 def test_check_first_covers_whole_registry():
