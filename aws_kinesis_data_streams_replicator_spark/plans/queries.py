@@ -8738,7 +8738,8 @@ def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT hrs.eh AS epoch_hour,
            CAST(nh.n_hours_merged AS BIGINT) AS n_hours_merged,
            CAST(ex.n_exact_users AS BIGINT) AS n_exact_users,
-           true AS est_within_12pct
+           true AS est_within_12pct,
+           true AS mean_err_within_3pct
     FROM hrs
     JOIN nh ON nh.h = hrs.eh
     JOIN ex ON ex.h = hrs.eh
@@ -8762,6 +8763,16 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈7.5σ where a single-window excursion is effectively impossible
     (small windows are exact — HLL sparse mode — so only the gaussian
     large-window regime matters).
+
+    Sub-band drift signal (r11 verdict ask #8): a second hash-checked
+    claim, `mean_err_within_3pct`, asserts the MEAN relative error
+    across ALL windows ≤ 3%.  A tighter PER-WINDOW band would flake
+    (6% ≈ 3.7σ → a worst-window excursion is expected somewhere
+    across thousands of sf1 windows), but the suite mean concentrates
+    as 1/√N, so 3% vs the ~1.6% healthy per-window σ can never flake
+    — yet a sketch misconfiguration drifting in-band error to ~8%
+    flips parity RED instead of only failing the accuracy pytest.
+    The 1-row mean enters as the allowlisted scalar broadcast cross.
 
     Scale notes: events are touched ONCE (hourly sketch agg,
     map-side combinable); the window explode is |hours| × 6 rollup
@@ -8791,7 +8802,7 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_exact_users"))
     )
-    return (
+    joined = (
         hourly.select("eh")
         .join(est, est.h == F.col("eh"))
         .drop("h")
@@ -8804,8 +8815,20 @@ def evt_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("est") - F.col("n_exact_users"))
                 <= F.col("n_exact_users") * F.lit(0.12)
             ).alias("est_within_12pct"),
+            (
+                F.abs(F.col("est") - F.col("n_exact_users"))
+                / F.col("n_exact_users")
+            ).alias("_rel_err"),
         )
     )
+    # suite mean via a global window over the |hours|-row SUMMARY —
+    # domain-bounded (calendar span), so the single partition holds
+    # thousands of rows at any corpus size; avoids a second pass over
+    # the events subtree that a scalar-agg crossJoin would re-plan
+    return joined.withColumn(
+        "mean_err_within_3pct",
+        F.avg("_rel_err").over(Window.partitionBy()) <= F.lit(0.03),
+    ).drop("_rel_err")
 
 
 @_q(

@@ -189,6 +189,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "evt_error_budget_burn": "running sum over the per-day rollup",
     "evt_peak_concurrency": "running max over the per-day rollup",
     "evt_rolling_corr": "rolling window over the per-day rollup",
+    "evt_sliding_hll_users": "suite-mean accuracy claim over the "
+    "per-window rollup (calendar-bounded |hours| rows)",
     "text_stopword_discovery": "rank over words with df ≥ 60% of docs "
     "(≤ avg distinct words/doc ÷ 0.6 by the df-sum bound)",
     "tpch_revenue_mom_growth": "lag over the per-month rollup",

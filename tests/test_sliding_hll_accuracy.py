@@ -63,3 +63,7 @@ def test_registered_query_still_emits_boolean(spark):
     df = QUERIES["evt_sliding_hll_users"](spark, SF_SMOKE)
     rows = df.collect()
     assert rows and all(r["est_within_12pct"] for r in rows)
+    # the r12 sub-band drift claim: suite-MEAN relative error ≤ 3%
+    # (healthy lgK=12 ≈ 1.6%; a misconfigured sketch at ~8% flips
+    # this parity-red, not just pytest-red)
+    assert all(r["mean_err_within_3pct"] for r in rows)
