@@ -52,11 +52,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # lazy checkpoint: the convergence-check action below materializes it,
-    # so each round costs ONE job (materialize+sum), not two
+    # so a checked round costs ONE job (materialize+sum), not two
     labels = adj.select("u").distinct().withColumn("lbl", F.col("u"))
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             adj.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .groupBy("u")
@@ -72,6 +72,16 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        # convergence checks are DRIVER actions, and the loop is the
+        # only driver-action-bound stage in the dedup family — under
+        # host steal every round-trip amplifies (r11 bench forensics:
+        # cdc_neardup_cluster_maintenance 1.63x on an identical plan).
+        # Check every 2nd round after the first two (min-label
+        # propagation converges in O(diameter); the skipped round's
+        # lineage folds into the next action at identical total
+        # compute), costing at most one extra iteration of work.
+        if it >= 2 and it % 2 == 1:
+            continue
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
             break
