@@ -232,3 +232,137 @@ def bm25_topk_from_index(
     )
     dl = doclen.join(latest, ["doc_id", "batch_id"]).select("doc_id", "dl")
     return bm25_score_postings(tf, dl, k)
+
+
+# round-12: ranking-quality evaluation (nDCG@k / MRR / P@k).  The
+# discount 1/log2(i+1) is irrational, so (the repo's integer-exact
+# doctrine) it enters as a FIXED micro-unit literal table shared with
+# the oracle — round(1e6 / log2(i+1)) for ranks 1..10.  Engines cannot
+# disagree on a literal.
+NDCG_DISCOUNT_MICRO = [
+    (1, 1_000_000),
+    (2, 630_930),
+    (3, 500_000),
+    (4, 430_677),
+    (5, 386_853),
+    (6, 356_207),
+    (7, 333_333),
+    (8, 315_465),
+    (9, 301_030),
+    (10, 289_065),
+]
+
+
+def retrieval_ranking_eval(
+    documents: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality eval for BM25 over a fixed query set: one row
+    per query with integer-exact nDCG@k, MRR and precision@k.
+
+    Graded relevance is DERIVED, not annotated: rel(q, d) = number of
+    distinct q-terms present in d (0..|q|) — the standard proxy when no
+    human labels exist, and deterministic from the corpus so the DuckDB
+    oracle replays it bit-for-bit.  Metrics (micro-units, all int64):
+
+        dcg_micro  = Σ_{i≤k} rel_i · W[i]          (W = discount table)
+        idcg_micro = same over the IDEAL ordering (rel desc, doc asc)
+        ndcg_micro = dcg_micro · 10⁶ div idcg_micro
+        mrr_micro  = 10⁶ div (first rank with rel > 0)
+        p_at_k     = |{i ≤ k : rel_i > 0}|
+
+    Scale notes: ONE corpus pass builds the postings for every query
+    at once (the query-term broadcast filter prunes pre-shuffle, so
+    joined rows = Σ_q posting lists, not |corpus|·|Q|); scoring is the
+    shared bm25 integer tail; per-query ranking is a |Q|-partition
+    window over only the MATCHED docs (family precedent:
+    brute_force_topk), with the discount/metric folds on ≤k-row
+    survivor sets.  The 1-row corpus-stats aggregate enters as the
+    allowlisted scalar broadcast."""
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    qvals = ", ".join(
+        "('" + qid + "', '" + t.replace("'", "''") + "')"
+        for qid, terms in queries
+        for t in terms
+    )
+    qdf = spark.sql(f"SELECT * FROM VALUES {qvals} AS q(qid, term)")
+    wvals = ", ".join(f"({i}, {w})" for i, w in NDCG_DISCOUNT_MICRO[:k])
+    wdf = spark.sql(f"SELECT * FROM VALUES {wvals} AS w(rnk, disc_w)")
+
+    docs = spread(documents).select(
+        "doc_id", word_tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tf.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+    scored = (
+        tf.join(F.broadcast(df_), ["qid", "term"])
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(((2*n - 2*df + 1) * 1000) DIV (2*df + 1)) * (44*tf*sdl) "
+                "DIV (20*tf*sdl + 6*sdl + 18*dl*n)"
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    # tf rows are unique per (qid, doc, term), so presence count IS the
+    # distinct-term count — no distinct-agg rewrite needed
+    rel = tf.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rel")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= k)
+        .join(rel, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .join(F.broadcast(wdf), "rnk")
+    )
+    retrieved = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(F.col("rel") * F.col("disc_w")).cast("long").alias("dcg_micro"),
+        F.sum((F.col("rel") > 0).cast("long")).cast("long").alias("p_at_k"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_hit"),
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        rel.withColumn("irnk", F.row_number().over(wi))
+        .where(F.col("irnk") <= k)
+        .join(F.broadcast(wdf), F.col("irnk") == F.col("rnk"))
+        .groupBy("qid")
+        .agg(F.sum(F.col("rel") * F.col("disc_w")).cast("long").alias("idcg_micro"))
+    )
+    return (
+        retrieved.join(ideal, "qid")
+        .select(
+            "qid",
+            "n_retrieved",
+            "p_at_k",
+            F.expr("coalesce(1000000 DIV first_hit, 0)")
+            .cast("long")
+            .alias("mrr_micro"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "CASE WHEN idcg_micro > 0 "
+                "THEN (dcg_micro * 1000000) DIV idcg_micro ELSE 0 END"
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+        .orderBy("qid")
+    )

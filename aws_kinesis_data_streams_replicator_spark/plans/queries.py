@@ -19910,6 +19910,90 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_retrieval_ranking_eval",
+    """
+    WITH q(qid, term) AS (VALUES
+        ('q1','data'),('q1','spark'),('q1','table'),
+        ('q2','join'),('q2','hash'),('q2','merge'),
+        ('q3','vector'),('q3','stream'),('q3','window'),
+        ('q4','query'),('q4','scan'),('q4','filter')),
+    w(rnk, disc_w) AS (VALUES
+        (1,1000000),(2,630930),(3,500000),(4,430677),(5,386853),
+        (6,356207),(7,333333),(8,315465),(9,301030),(10,289065)),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    tf AS (SELECT q.qid, t.doc_id, t.term, count(*) AS tf
+           FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
+    df AS (SELECT qid, term, count(*) AS df FROM tf GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    s AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+    scored AS (SELECT tf.qid, tf.doc_id,
+                      sum((((2*s.n - 2*df.df + 1) * 1000) // (2*df.df + 1))
+                          * (44*tf.tf*s.sdl)
+                          // (20*tf.tf*s.sdl + 6*s.sdl + 18*dl.dl*s.n))
+                          AS score
+               FROM tf JOIN df USING (qid, term) JOIN dl USING (doc_id)
+               CROSS JOIN s
+               GROUP BY 1, 2),
+    rel AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS rel
+            FROM tf GROUP BY 1, 2),
+    ranked AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, doc_id) AS rnk
+               FROM scored),
+    topk AS (SELECT r.qid, r.doc_id, r.rnk, coalesce(rel.rel, 0) AS rel
+             FROM ranked r LEFT JOIN rel USING (qid, doc_id)
+             WHERE r.rnk <= 10),
+    retr AS (SELECT qid, count(*) AS n_retrieved,
+                    sum(rel * w.disc_w) AS dcg_micro,
+                    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS p_at_k,
+                    min(CASE WHEN rel > 0 THEN rnk END) AS first_hit
+             FROM topk JOIN w USING (rnk) GROUP BY qid),
+    irank AS (SELECT qid, doc_id, rel,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY rel DESC, doc_id) AS irnk
+              FROM rel),
+    ideal AS (SELECT qid, sum(rel * w.disc_w) AS idcg_micro
+              FROM irank JOIN w ON w.rnk = irank.irnk
+              WHERE irnk <= 10 GROUP BY qid)
+    SELECT r.qid,
+           CAST(r.n_retrieved AS BIGINT) AS n_retrieved,
+           CAST(r.p_at_k AS BIGINT) AS p_at_k,
+           CAST(coalesce(1000000 // r.first_hit, 0) AS BIGINT) AS mrr_micro,
+           CAST(r.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN i.idcg_micro > 0
+                THEN (r.dcg_micro * 1000000) // i.idcg_micro
+                ELSE 0 END AS BIGINT) AS ndcg_micro
+    FROM retr r JOIN ideal i USING (qid)
+    ORDER BY qid
+    """,
+)
+def doc_retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval harness (nDCG@10 / MRR / P@10) for the BM25
+    stack over a fixed 4-query set — the eval loop a retrieval-backed
+    curation pipeline runs after every index rebuild (operators/
+    retrieval.py:retrieval_ranking_eval).  Graded relevance is derived
+    (rel = #query terms present), the 1/log2(i+1) discount enters as a
+    shared integer literal table, and every metric is int64 — so the
+    oracle replays nDCG bit-for-bit.  One corpus pass serves all
+    queries; per-query ranking windows touch only matched docs."""
+    from ..operators.retrieval import retrieval_ranking_eval
+
+    return retrieval_ranking_eval(
+        _t(spark, sf_dir, "documents"),
+        [
+            ("q1", ["data", "spark", "table"]),
+            ("q2", ["join", "hash", "merge"]),
+            ("q3", ["vector", "stream", "window"]),
+            ("q4", ["query", "scan", "filter"]),
+        ],
+        k=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registered queries, so registration order is risk order.  Queries with
@@ -19920,6 +20004,7 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     # ---- round-12 window: queries NEW in round 12 go FIRST (extend
     # here at registration time), then the staleness ladder below ----
+    "doc_retrieval_ranking_eval",
     # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",

@@ -88,6 +88,8 @@ _BNLJ_OK = {
     "pipeline_corpus_curation_v8",
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
+    # same corpus-stats 1-row scalar broadcast, multi-query form
+    "doc_retrieval_ranking_eval",
     "text_pmi_collocations",  # corpus token total 1-row scalar broadcast
     # BM25 corpus-stats scalar + single-query-vector broadcast (|Q| = 1)
     "doc_hybrid_rrf",
