@@ -18528,14 +18528,13 @@ ORACLE_SQL["emb_coreset_ivf_recall_eval"] = ORACLE_SQL[
 )
 
 
-def _curation_v8_oracle() -> str:
-    """Composition oracle for pipeline_corpus_curation_v8: the
-    MinHash-LSH pair family, the embedding near-dup gate, the chunking
-    CTEs, the k-center/IVF retrieval chain, and the MMR rerank — every
-    leg from its SHARED builder so the composed pipeline cannot drift
-    from the standalone queries."""
-    dot = _list_dot
-    head = [
+def _v8_gate_ctes() -> list[str]:
+    """The publication GATE's CTE chain (shingle→minhash→band pairs,
+    holdout split, leakage set, embedding near-dup, status labels,
+    published slice, chunking) — shared by the v8 composition oracle
+    AND the publication-audit oracle, so the audit provably verifies
+    the SAME gate the pipeline ships."""
+    return [
         _SHINGLE_CTE.strip(),
         f"sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id)",
         f"bands AS MATERIALIZED ({_MINHASH_BANDS})",
@@ -18589,6 +18588,16 @@ def _curation_v8_oracle() -> str:
         "v8_pd AS (SELECT d.doc_id, d.text FROM documents d "
         "JOIN v8_pub USING (doc_id))",
         *_chunk_ctes(source="v8_pd"),
+    ]
+
+
+def _curation_v8_oracle() -> str:
+    """Composition oracle for pipeline_corpus_curation_v8: the shared
+    gate chain (_v8_gate_ctes), then the k-center/IVF retrieval chain
+    and the MMR rerank — every leg from its SHARED builder so the
+    composed pipeline cannot drift from the standalone queries."""
+    dot = _list_dot
+    head = _v8_gate_ctes() + [
         f"""v8_sum AS (SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM v8_pub)
                 AS n_published_docs,
@@ -18799,6 +18808,227 @@ def pipeline_corpus_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped_text_dup",
         "n_dropped_emb_dup",
         "n_leaked_holdout",
+    )
+
+
+def _publication_audit_oracle() -> str:
+    """Audit oracle: the SHARED v8 gate chain (_v8_gate_ctes), then
+    pure verification legs — residual-pair semi-joins, leakage and
+    chunk-coverage checks, source-mix drift in integer basis points."""
+    head = _v8_gate_ctes() + [
+        """aud_rt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs p
+            JOIN v8_pub a ON a.doc_id = p.doc_a
+            JOIN v8_pub b ON b.doc_id = p.doc_b)""",
+        """aud_ep AS (SELECT DISTINCT c.va, c.vb FROM v8_ec c
+            JOIN v8_eq a ON a.vec_id = c.va
+            JOIN v8_eq b ON b.vec_id = c.vb
+            WHERE CAST(list_inner_product(a.qe, b.qe) AS BIGINT)
+                  >= 950000000000)""",
+        """aud_re AS (SELECT CAST(count(*) AS BIGINT) AS n FROM aud_ep d
+            JOIN v8_pub pa ON pa.doc_id = d.va
+            JOIN v8_pub pb ON pb.doc_id = d.vb)""",
+        """aud_lp AS (SELECT CAST(count(*) AS BIGINT) AS n
+            FROM v8_leak l JOIN v8_pub p USING (doc_id))""",
+        """aud_uc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v8_pub p
+            LEFT JOIN (SELECT DISTINCT doc_id FROM cw_e) c USING (doc_id)
+            WHERE c.doc_id IS NULL)""",
+        "aud_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all "
+        "FROM documents)",
+        "aud_pt AS (SELECT CAST(count(*) AS BIGINT) AS n_pub FROM v8_pub)",
+        """aud_mix AS (SELECT d.source,
+            sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS n_pub_s,
+            count(*) AS n_all_s
+            FROM documents d LEFT JOIN v8_pub p USING (doc_id)
+            GROUP BY 1)""",
+        """aud_dr AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+            CAST(max(abs(n_pub_s * 10000 // n_pub
+                         - n_all_s * 10000 // n_all)) AS BIGINT)
+                AS max_source_drift_bp
+            FROM aud_mix CROSS JOIN aud_tot CROSS JOIN aud_pt)""",
+    ]
+    return (
+        "WITH "
+        + ", ".join(head)
+        + """ SELECT aud_pt.n_pub AS n_published_docs,
+                 aud_rt.n AS n_residual_text_pairs,
+                 aud_re.n AS n_residual_emb_pairs,
+                 aud_lp.n AS n_leaked_published,
+                 aud_uc.n AS n_unchunked_docs,
+                 aud_dr.n_sources,
+                 aud_dr.max_source_drift_bp,
+                 aud_rt.n = 0 AND aud_re.n = 0 AND aud_lp.n = 0
+                     AND aud_uc.n = 0 AS all_gates_pass
+          FROM aud_pt, aud_rt, aud_re, aud_lp, aud_uc, aud_dr"""
+    )
+
+
+@_q("pipeline_publication_audit", _publication_audit_oracle())
+def pipeline_publication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication AUDIT — the data-quality gate a training pipeline
+    runs on the PUBLISHED corpus before any tokens are spent: rebuild
+    the v8 gate (same shared builders: MinHash-LSH pairs, holdout
+    split, leakage set, embedding near-dup, chunking) and then VERIFY
+    its invariants with independent semi-joins rather than trusting
+    the labels:
+
+      * n_residual_text_pairs — LSH candidate pairs with BOTH
+        endpoints published (must be 0: every pair's doc_b drops);
+      * n_residual_emb_pairs — verified cosine≥0.95 embedding pairs
+        with both endpoints published (must be 0);
+      * n_leaked_published — leakage-set docs that got published
+        (must be 0: leak beats every other status on the train side
+        only via doc_b drops — the audit proves the interaction);
+      * n_unchunked_docs — published docs the chunker missed
+        (must be 0: every non-empty doc emits ≥1 window);
+      * max_source_drift_bp — worst |published-share − corpus-share|
+        over sources, integer basis points: dedup gates must not
+        silently skew the source mixture;
+      * all_gates_pass — the single boolean a scheduler gates on.
+
+    Scale notes (100 TB): every verification leg is a doc_id-keyed
+    hash semi-join against the published set (band-bucket pair tables,
+    never all-pairs); the mixture drift is one per-source rollup with
+    two 1-row scalar crosses; the report is the allowlisted 1-row ×
+    1-row summary cross chain.  Cites the reference's gate semantics
+    (Handler.java:65,139-167 active-region drop discipline) only in
+    spirit — this is the extended-engine curation surface."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    ).localCheckpoint(eager=False)
+    sp = docs.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_test")
+    )
+    dupt = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dt", F.lit(1))
+    )
+    leak = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("is_test").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("is_test").alias("tb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("ta"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds labels AND the leak audit
+    )
+    epairs = dedup.embedding_neardup_pairs_lsh(
+        emb, min_dot_q=950_000_000_000
+    ).localCheckpoint(eager=False)  # feeds labels AND the residual audit
+    dupe = (
+        epairs.select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_de", F.lit(1))
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(sp, "doc_id")
+        .join(leak.withColumn("_l", F.lit(1)), "doc_id", "left")
+        .join(dupt, "doc_id", "left")
+        .join(dupe, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_test",
+            F.when(
+                F.col("is_test") & F.col("_l").isNotNull(),
+                "leaked_holdout",
+            )
+            .when(F.col("_dt").isNotNull(), "near_dup_text")
+            .when(F.col("_de").isNotNull(), "near_dup_emb")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    pub = (
+        lab.where(~F.col("is_test") & (F.col("status") == "kept"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)  # probed by every audit leg
+    )
+    resid_t = (
+        pairs.join(pub.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(pub.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_residual_text_pairs"))
+    )
+    resid_e = (
+        epairs.join(pub.select(F.col("doc_id").alias("vec_a")), "vec_a")
+        .join(pub.select(F.col("doc_id").alias("vec_b")), "vec_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_residual_emb_pairs"))
+    )
+    leak_pub = leak.join(pub, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked_published")
+    )
+    chunk_docs = _chunk_rows(
+        docs.join(pub, "doc_id").select("doc_id", "text")
+    ).select("doc_id").distinct()
+    unchunked = pub.join(chunk_docs, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unchunked_docs")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    pt = pub.agg(F.count(F.lit(1)).cast("long").alias("n_pub"))
+    mix = (
+        docs.select("doc_id", "source")
+        .join(pub.withColumn("_p", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("_p").isNotNull().cast("long")).alias("n_pub_s"),
+            F.count(F.lit(1)).alias("n_all_s"),
+        )
+    )
+    drift = (
+        mix.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pt))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max(
+                F.abs(
+                    F.expr("n_pub_s * 10000 DIV n_pub")
+                    - F.expr("n_all_s * 10000 DIV n_all")
+                )
+            )
+            .cast("long")
+            .alias("max_source_drift_bp"),
+        )
+    )
+    return (
+        pt.select(F.col("n_pub").alias("n_published_docs"))
+        .crossJoin(F.broadcast(resid_t))
+        .crossJoin(F.broadcast(resid_e))
+        .crossJoin(F.broadcast(leak_pub))
+        .crossJoin(F.broadcast(unchunked))
+        .crossJoin(F.broadcast(drift))
+        .withColumn(
+            "all_gates_pass",
+            (F.col("n_residual_text_pairs") == 0)
+            & (F.col("n_residual_emb_pairs") == 0)
+            & (F.col("n_leaked_published") == 0)
+            & (F.col("n_unchunked_docs") == 0),
+        )
+        .select(
+            "n_published_docs",
+            "n_residual_text_pairs",
+            "n_residual_emb_pairs",
+            "n_leaked_published",
+            "n_unchunked_docs",
+            "n_sources",
+            "max_source_drift_bp",
+            "all_gates_pass",
+        )
     )
 
 
@@ -20005,6 +20235,7 @@ _CHECK_FIRST = [
     # ---- round-12 window: queries NEW in round 12 go FIRST (extend
     # here at registration time), then the staleness ladder below ----
     "doc_retrieval_ranking_eval",
+    "pipeline_publication_audit",
     # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",

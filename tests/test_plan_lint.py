@@ -86,6 +86,9 @@ _BNLJ_OK = {
     # the composed RAG-publication plan: the IVF vectors × centroids
     # cross (rationale above) + two 1-row manifest scalar crosses
     "pipeline_corpus_curation_v8",
+    # the audit report: a chain of 1-row × 1-row summary crosses
+    # (residuals, leakage, coverage, drift) onto the 1-row manifest
+    "pipeline_publication_audit",
     "doc_tfidf_top_terms",  # corpus-size (N) 1-row scalar broadcast
     "doc_bm25_search",  # corpus stats (N, Σdl) 1-row scalar broadcast
     # same corpus-stats 1-row scalar broadcast, multi-query form
