@@ -4379,6 +4379,92 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.connected_components(pairs)
 
 
+ORACLE_SQL["doc_dedup_keep_best"] = """
+    WITH comp AS ({clusters}),
+    q AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS BIGINT) AS n_distinct_words
+          FROM documents),
+    lab AS (SELECT doc_id, n_words, n_distinct_words,
+                   CASE WHEN n_words < 20 THEN 2
+                        WHEN n_distinct_words * 4 < n_words THEN 1
+                        ELSE 0 END AS label_rank
+            FROM q),
+    m AS (SELECT c.cluster_id, c.doc_id, l.label_rank,
+                 l.n_distinct_words,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY l.label_rank ASC, l.n_distinct_words DESC,
+                              c.doc_id ASC) AS r,
+                 count(*) OVER (PARTITION BY c.cluster_id)
+                     AS cluster_size
+          FROM comp c JOIN lab l USING (doc_id))
+    SELECT cluster_id, doc_id AS keeper_doc_id,
+           CASE label_rank WHEN 0 THEN 'ok' WHEN 1 THEN 'repetitive'
+                ELSE 'too_short' END AS keeper_label,
+           CAST(n_distinct_words AS BIGINT) AS keeper_distinct_words,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM m WHERE r = 1
+    """.format(clusters=ORACLE_SQL["doc_neardup_clusters"])
+
+
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware KEEPER POLICY over near-dup clusters: instead of
+    the min-id representative, each MinHash-LSH component keeps its
+    highest-QUALITY member (quality_stats label rank ok < repetitive <
+    too_short, then distinct-word count desc, then doc_id for a total
+    order) — the policy real curation uses, since near-dup groups
+    usually contain one clean original and N degraded copies.  Output
+    is the per-cluster keeper + how many members drop.
+
+    Scale notes: components from the band-bucketed pair graph (never
+    all-pairs); quality features are one corpus map; the keeper pick
+    is a cluster-partitioned window over |cluster| rows each — no
+    global sort, no driver loop."""
+    from ..operators.text import quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(
+        docs, k_shingle=3, n_hashes=8, n_bands=4
+    )
+    comp = clustering.connected_components(pairs)
+    lab = quality_stats(docs).select(
+        "doc_id",
+        "n_distinct_words",
+        F.when(F.col("quality_label") == "too_short", F.lit(2))
+        .when(F.col("quality_label") == "repetitive", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label_rank"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("label_rank"), F.desc("n_distinct_words"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        comp.join(lab, "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .where(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.when(F.col("label_rank") == 0, "ok")
+            .when(F.col("label_rank") == 1, "repetitive")
+            .otherwise("too_short")
+            .alias("keeper_label"),
+            F.col("n_distinct_words").cast("long").alias(
+                "keeper_distinct_words"
+            ),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+QUERIES["doc_dedup_keep_best"] = doc_dedup_keep_best
+
+
 @_q(
     "doc_holdout_leakage_rate",
     f"""
@@ -20236,6 +20322,7 @@ _CHECK_FIRST = [
     # here at registration time), then the staleness ladder below ----
     "doc_retrieval_ranking_eval",
     "pipeline_publication_audit",
+    "doc_dedup_keep_best",
     # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",
@@ -20605,6 +20692,7 @@ ORACLE_SQL = _risk_ordered(ORACLE_SQL)
 PLAN_BUILD_RUNS_JOBS = frozenset(
     {
         "doc_neardup_clusters",
+        "doc_dedup_keep_best",
         "cdc_neardup_cluster_maintenance",
         "cdc_corpus_refresh_delta",
         "geo_grid_dbscan",

@@ -22,13 +22,14 @@ from __future__ import annotations
 _R12_HEAD = [
     "doc_retrieval_ranking_eval",
     "pipeline_publication_audit",
-    "part_cooccurrence_pairs",
+    "doc_dedup_keep_best",
 ]
 
 # the risk-ordered block at the r12 head: every query NEW in round 12
 # (PREPEND those at registration time) + the 4 r4-era stragglers —
 # pinned as a block so a partial rotation fails.
 _R12_STAGED = _R12_HEAD + [
+    "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",
     "text_classifier_histogram",
     "text_quality_classifier",
