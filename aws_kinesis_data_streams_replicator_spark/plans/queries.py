@@ -737,6 +737,51 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_salted_skew_rollup",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient SALTED shuffle join (operators/joins.py:
+    salted_equi_join): the events fact side salts on pmod(event_id,16)
+    and the customer dim replicates ×16, so the skew fixture's hot key
+    (one user holding 50% of events) spreads over 16 tasks instead of
+    serializing one — while the RESULT is provably identical to the
+    plain join, which is exactly what the oracle (unsalted SQL)
+    asserts.  The deterministic fallback for the shuffle-hash-join
+    regime AQE's skew handling does not cover; when the dim broadcasts,
+    broadcast instead.
+
+    Scale notes: one shuffle each side keyed (join_key, salt); dim
+    grows ×n_salt (dims are small by definition — a 1M-row dim at
+    salt 16 is 16M rows, still tiny next to the fact); no windows, no
+    driver actions.  Decimal sum → double per the portable-arithmetic
+    doctrine."""
+    from ..operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    j = joins.salted_equi_join(
+        ev, cust, "user_id", "cust_id", salt_from="event_id", n_salt=16
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@_q(
     "win_running_totals",
     """
     SELECT o_custkey, o_orderkey,
@@ -20323,6 +20368,7 @@ _CHECK_FIRST = [
     "doc_retrieval_ranking_eval",
     "pipeline_publication_audit",
     "doc_dedup_keep_best",
+    "join_salted_skew_rollup",
     # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",

@@ -29,6 +29,7 @@ _R12_HEAD = [
 # (PREPEND those at registration time) + the 4 r4-era stragglers —
 # pinned as a block so a partial rotation fails.
 _R12_STAGED = _R12_HEAD + [
+    "join_salted_skew_rollup",
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",
     "text_classifier_histogram",
