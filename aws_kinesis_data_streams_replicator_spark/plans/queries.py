@@ -19163,6 +19163,129 @@ def pipeline_publication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_cluster_mixture_report",
+    f"""
+    WITH {", ".join(_kcenter_ctes(8))},
+    cseed AS (SELECT e.vec_id AS cell, e.qe AS c_qe
+              FROM e JOIN sel ON sel.vec_id = e.vec_id),
+    {_ivf_assign_sql("cseed", n_probe=1)},
+    src AS (SELECT d.doc_id AS vec_id, d.source FROM documents d),
+    mem AS (SELECT c.cell, s.source FROM cand c JOIN src s USING (vec_id)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM mem),
+    gmix AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+             FROM mem GROUP BY 1),
+    cmix AS (SELECT cell, source, CAST(count(*) AS BIGINT) AS n_cs
+             FROM mem GROUP BY 1, 2),
+    csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+            FROM mem GROUP BY 1),
+    top AS (SELECT cell, source AS top_source, n_cs,
+                   row_number() OVER (PARTITION BY cell
+                       ORDER BY n_cs DESC, source ASC) AS r
+            FROM cmix),
+    grid AS (SELECT z.cell, z.n_members, g.source, g.n_g,
+                    coalesce(c.n_cs, 0) AS n_cs
+             FROM csz z CROSS JOIN gmix g
+             LEFT JOIN cmix c ON c.cell = z.cell AND c.source = g.source),
+    drift AS (SELECT cell,
+                     CAST(sum(abs(n_cs * 10000 // n_members
+                                  - n_g * 10000 // t.n_all)) // 2
+                          AS BIGINT) AS mix_drift_bp,
+                     CAST(sum(CASE WHEN n_cs > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_sources
+              FROM grid CROSS JOIN tot t GROUP BY cell)
+    SELECT z.cell, z.n_members, d.n_sources,
+           t.top_source,
+           CAST(t.n_cs * 10000 // z.n_members AS BIGINT)
+               AS top_share_bp,
+           d.mix_drift_bp
+    FROM csz z
+    JOIN top t ON t.cell = z.cell AND t.r = 1
+    JOIN drift d ON d.cell = z.cell
+    """,
+)
+def emb_cluster_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balance audit of the embedding space: every vector is
+    assigned to its nearest k-center cell (the deterministic coreset
+    seeding of emb_ann_ivf_coreset_topk — clusters a SQL oracle can
+    replay), each cell joined to its documents' sources, and each
+    cluster reports its member count, source diversity, dominant
+    source with share, and total-variation drift from the corpus mix
+    (integer basis points).  The question this answers for a training
+    pipeline: did embedding-space clustering collapse onto single
+    sources (topic islands a mixture law must rebalance), or is each
+    region source-diverse?
+
+    Scale notes: k bounded corpus passes for the coreset; assignment
+    is the tiny-centroid broadcast cross (vectors × 8) the IVF
+    allowlist documents; everything after operates on |cells| and
+    |cells|×|sources| DOMAIN-bounded rollups (the csz×gmix grid is
+    8×|sources| rows — the one deliberate bounded cross)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cent = similarity.coreset_centroids(emb, k=8)
+    cells = similarity.ivf_assign_cells(emb, centroids=cent)
+    mem = cells.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    ).select("cell", "source")
+    tot = mem.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    gmix = mem.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    cmix = mem.groupBy("cell", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    csz = mem.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n_cs"), F.asc("source"))
+    top = (
+        cmix.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("cell", F.col("source").alias("top_source"),
+                F.col("n_cs").alias("top_cs"))
+    )
+    grid = (
+        csz.crossJoin(F.broadcast(gmix))
+        .join(cmix, ["cell", "source"], "left")
+        .withColumn("n_cs", F.coalesce(F.col("n_cs"), F.lit(0)))
+    )
+    drift = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("cell")
+        .agg(
+            (
+                F.sum(
+                    F.abs(
+                        F.expr("n_cs * 10000 DIV n_members")
+                        - F.expr("n_g * 10000 DIV n_all")
+                    )
+                )
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("mix_drift_bp"),
+            F.sum((F.col("n_cs") > 0).cast("long"))
+            .cast("long")
+            .alias("n_sources"),
+        )
+    )
+    return (
+        csz.join(top, "cell")
+        .join(drift, "cell")
+        .select(
+            "cell",
+            "n_members",
+            "n_sources",
+            "top_source",
+            F.expr("top_cs * 10000 DIV n_members")
+            .cast("long")
+            .alias("top_share_bp"),
+            "mix_drift_bp",
+        )
+    )
+
+
 def _coreset_fold_oracle(k: int = 8) -> str:
     """Cross-shard fold: two per-shard kcenter chains, a third chain
     over the union of their picks, and the full-corpus coverage audit
@@ -20369,6 +20492,7 @@ _CHECK_FIRST = [
     "pipeline_publication_audit",
     "doc_dedup_keep_best",
     "join_salted_skew_rollup",
+    "emb_cluster_mixture_report",
     # ---- last driver-green r4 ----
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",

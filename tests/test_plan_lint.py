@@ -143,6 +143,9 @@ _BNLJ_OK = {
     # embed the kcenter chain as IVF seeding (same per-round 1-row
     # broadcasts) + the 8-row centroid-set broadcast cross
     "emb_ann_ivf_coreset_topk",
+    # same kcenter seeding + 8-row centroid cross, plus the 8-cell ×
+    # |sources| domain-bounded mixture grid and the 1-row corpus total
+    "emb_cluster_mixture_report",
     "emb_coreset_ivf_recall_eval",
     # three kcenter chains (per-round 1-row broadcasts) + the 8-row
     # folded-pick coverage cross + four 1-row radius/cover crosses

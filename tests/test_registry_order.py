@@ -30,6 +30,7 @@ _R12_HEAD = [
 # pinned as a block so a partial rotation fails.
 _R12_STAGED = _R12_HEAD + [
     "join_salted_skew_rollup",
+    "emb_cluster_mixture_report",
     "part_cooccurrence_pairs",
     "pipeline_corpus_curation_v4",
     "text_classifier_histogram",
