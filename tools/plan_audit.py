@@ -90,6 +90,16 @@ HEADLINE = [
     # composition (band-index probe → CC fold → publication diff)
     "evt_sliding_loghist_quantiles",
     "cdc_corpus_refresh_delta",
+    # round-12 additions: the multi-query BM25 ranking eval (one
+    # corpus pass for all queries, matched-docs-only ranking windows),
+    # the post-publication audit (gate rebuild + semi-join invariant
+    # checks + mixture drift), the salted skew join (single forced
+    # ShuffledHashJoin on (key, salt)), and the k-center topic-balance
+    # report (bounded 8×|sources| mixture grid)
+    "doc_retrieval_ranking_eval",
+    "pipeline_publication_audit",
+    "join_salted_skew_rollup",
+    "emb_cluster_mixture_report",
 ]
 
 # Compositions whose plans truncate at localCheckpoint boundaries (the
