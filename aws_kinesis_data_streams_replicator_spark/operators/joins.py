@@ -263,45 +263,3 @@ def interval_overlap_join(
         "_lcell", "_rcell", "_lrid", "_rrid"
     )
 
-
-def salted_equi_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    fact_key: str,
-    dim_key: str,
-    salt_from: str,
-    n_salt: int = 16,
-) -> DataFrame:
-    """Skew-resilient shuffle equi-join: the FACT side is salted by a
-    deterministic row attribute (``pmod(salt_from, n_salt)``) and the
-    DIM side is replicated ×n_salt, so the join key becomes
-    (key, salt) and a pathological hot key spreads over n_salt tasks
-    instead of serializing one.  Results are IDENTICAL to the plain
-    join — salting is pure physical rewriting, which is exactly what
-    the oracle asserts.
-
-    This is the deterministic fallback for the two cases AQE's runtime
-    skew-join handling does not cover at 100 TB: (a) shuffled HASH
-    joins (AQE only splits skewed partitions of sort-merge joins), and
-    (b) build-side placement you must pin in advance for a predictable
-    nightly run.  When the dim broadcasts, prefer broadcast — salting
-    only matters once both sides must shuffle; the ``shuffle_hash``
-    hint here forces that regime so the plan demonstrated IS the plan
-    used at scale (a ×n_salt dim still beats a single straggler task
-    holding 50% of the fact, the skew-fixture shape).
-
-    ``salt_from`` must be a numeric column on the fact side with
-    per-key spread (a row id, an event id) — NOT rand(): resumable
-    runs and the parity oracle both need determinism."""
-    fact_s = fact.withColumn(
-        "_salt", F.pmod(F.col(salt_from).cast("long"), F.lit(n_salt))
-    )
-    dim_s = dim.withColumn(
-        "_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
-    )
-    out = fact_s.join(
-        dim_s.hint("shuffle_hash"),
-        (F.col(fact_key) == F.col(dim_key)) & (fact_s["_salt"] == dim_s["_salt"]),
-    )
-    return out.drop("_salt")

@@ -106,6 +106,7 @@ def salted_join(
     key: str,
     n_salt: int = 16,
     salt_source: str | None = None,
+    force_shuffle: bool = False,
 ):
     """Skew-safe equi-join: the FACT side's hot keys are split across
     ``n_salt`` sub-partitions by a deterministic salt, and the DIM side
@@ -125,6 +126,13 @@ def salted_join(
     Cost: dim is materialized ``n_salt``× into the shuffle — use only
     when dim ≪ fact (but too big or too state-entangled to broadcast).
     Result is exactly ``fact JOIN dim USING (key)``.
+
+    ``force_shuffle`` pins the ``shuffle_hash`` strategy on the dim
+    side: at fixture scale a small dim would broadcast and the salted
+    (key, salt) shuffle would never materialize — the flag makes the
+    demonstrated plan the plan used at 100 TB, where salting only
+    matters once both sides must shuffle (r12: the
+    join_salted_skew_rollup registered query).
     """
     from pyspark.sql import functions as F
 
@@ -135,4 +143,6 @@ def salted_join(
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
+    if force_shuffle:
+        exploded_dim = exploded_dim.hint("shuffle_hash")
     return salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")

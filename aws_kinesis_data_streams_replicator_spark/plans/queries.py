@@ -748,29 +748,32 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resilient SALTED shuffle join (operators/joins.py:
-    salted_equi_join): the events fact side salts on pmod(event_id,16)
-    and the customer dim replicates ×16, so the skew fixture's hot key
-    (one user holding 50% of events) spreads over 16 tasks instead of
-    serializing one — while the RESULT is provably identical to the
-    plain join, which is exactly what the oracle (unsalted SQL)
-    asserts.  The deterministic fallback for the shuffle-hash-join
-    regime AQE's skew handling does not cover; when the dim broadcasts,
-    broadcast instead.
+    """Skew-resilient SALTED shuffle join (operators/util.py:
+    salted_join, force_shuffle=True): the events fact side salts on
+    xxhash64(event_id) pmod 16 and the customer dim replicates ×16, so
+    the skew fixture's hot key (one user holding 50% of events)
+    spreads over 16 tasks instead of serializing one — while the
+    RESULT is provably identical to the plain join, which is exactly
+    what the oracle (unsalted SQL) asserts.  The deterministic
+    fallback for the shuffle-hash-join regime AQE's skew handling
+    does not cover; when the dim broadcasts, broadcast instead.
 
     Scale notes: one shuffle each side keyed (join_key, salt); dim
     grows ×n_salt (dims are small by definition — a 1M-row dim at
     salt 16 is 16M rows, still tiny next to the fact); no windows, no
     driver actions.  Decimal sum → double per the portable-arithmetic
     doctrine."""
-    from ..operators import joins
+    from ..operators.util import salted_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cust_id", F.col("user_id")
+    )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), "c_mktsegment"
     )
-    j = joins.salted_equi_join(
-        ev, cust, "user_id", "cust_id", salt_from="event_id", n_salt=16
+    j = salted_join(
+        ev, cust, "cust_id", n_salt=16, salt_source="event_id",
+        force_shuffle=True,
     )
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
