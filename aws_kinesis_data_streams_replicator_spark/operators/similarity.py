@@ -731,10 +731,16 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
     the final coverage radius on every row.
 
     Scale notes: k bounded rounds, each ONE corpus pass — the next
-    center is a TakeOrdered(1) broadcast back as a 1-row cross (never
-    a driver collect), and the running min-distance folds with
-    ``least``.  Total cost k scans of N rows; no windows, no pairwise
-    N² stage."""
+    center is a TakeOrdered(1) broadcast back as a 1-row cross, and
+    the running min-distance folds with ``least`` under a lazy
+    per-round checkpoint.  Total cost k scans of N rows; no windows,
+    no pairwise N² stage.  (r12 optimization note: a per-round 1-row
+    driver-collect variant — the ``kmeans_centroids`` pattern — was
+    A/B'd and REJECTED: the k py4j round trips cost more than the
+    broadcast builds on a warm session, 1.27 s vs 2.13 s per k=8
+    chain at sf0.1 with bit-identical picks.  The MMR loop, whose
+    state is a bounded ≤pool-row frame rather than a corpus pass,
+    DID move driver-side — see ``mmr_topk``.)"""
     from ..functions.vectors import quantize_embedding, sqdist_q
 
     e = embeddings.select(
@@ -799,16 +805,21 @@ def mmr_topk(
     pure-relevance argmax with ``max_sim_sel_q = 0`` by convention.
 
     Scale notes: the corpus pass is ONE TakeOrdered(pool) shortlist
-    (never a window); the k greedy rounds then run on the pinned
-    ``pool``-row frame — per-round argmax is a TakeOrdered(1)
-    broadcast back as a 1-row cross (no driver collect), the running
-    max-similarity folds with ``greatest``.  Lazy checkpoint per round
-    for the same O(k) lineage reason as kcenter_coreset."""
+    (never a window); the shortlist is BOUNDED by construction
+    (``pool`` rows ≤ 50 of a few hundred bytes each), so it is
+    collected once and the k greedy rounds run on the driver in exact
+    Python int64 arithmetic — zero cluster jobs per round (the
+    ``kmeans_centroids`` bounded-collect pattern; the previous
+    formulation spent 2 cluster jobs per round re-ranking a ≤50-row
+    frame).  The output re-enters the plan as a k-row VALUES
+    relation."""
+    spark = embeddings.sparkSession
     e = _quantized(embeddings, "vec_id")
+    id_type = dict(e.dtypes)["vec_id"]
     q = e.where(F.col("vec_id") == query_vec_id).select(
         F.col("qe").alias("q_qe")
     )
-    cand = (
+    cand_rows = (
         e.where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
@@ -816,64 +827,62 @@ def mmr_topk(
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(pool)
-        .localCheckpoint(eager=False)
+        .collect()
     )
-    sel = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
-    picks = sel.select(
-        F.lit(1).alias("pick_round"),
-        "vec_id",
-        F.col("rel").cast("long").alias("rel_q"),
-        F.lit(0).cast("long").alias("max_sim_sel_q"),
-        F.col("rel").cast("long").alias("mmr_score2x_q"),
-    )
-    cur = cand.crossJoin(
-        F.broadcast(sel.select(F.col("vec_id").alias("s_id"), F.col("qe").alias("s_qe")))
-    ).select(
-        "vec_id",
-        "qe",
-        "rel",
-        dot_q(F.col("qe"), F.col("s_qe")).alias("maxsim"),
-        (F.col("vec_id") == F.col("s_id")).alias("picked"),
-    )
-    for j in range(2, k + 1):
-        cur = cur.localCheckpoint(eager=False)
-        nxt = (
-            cur.where(~F.col("picked"))
-            .orderBy(F.desc(F.col("rel") - F.col("maxsim")), F.asc("vec_id"))
-            .limit(1)
-        )
-        picks = picks.unionByName(
-            nxt.select(
-                F.lit(j).alias("pick_round"),
-                "vec_id",
-                F.col("rel").cast("long").alias("rel_q"),
-                F.col("maxsim").cast("long").alias("max_sim_sel_q"),
-                (F.col("rel") - F.col("maxsim"))
-                .cast("long")
-                .alias("mmr_score2x_q"),
+    # driver-side greedy over the bounded pool: exact Python ints
+    # reproduce the int64 plan arithmetic bit-for-bit (dots ≪ 2^63)
+    cand = [
+        {"vec_id": r["vec_id"], "qe": r["qe"], "rel": int(r["rel"])}
+        for r in cand_rows
+    ]
+
+    def pdot(a, b) -> int:
+        return sum(int(x) * int(y) for x, y in zip(a, b))
+
+    pick_rows: list[tuple] = []
+    if cand:
+        sel = min(cand, key=lambda c: (-c["rel"], c["vec_id"]))
+        pick_rows.append((1, sel["vec_id"], sel["rel"], 0, sel["rel"]))
+        for c in cand:
+            c["maxsim"] = pdot(c["qe"], sel["qe"])
+            c["picked"] = c["vec_id"] == sel["vec_id"]
+        for j in range(2, k + 1):
+            rest = [c for c in cand if not c["picked"]]
+            if not rest:
+                break
+            nxt = min(
+                rest, key=lambda c: (-(c["rel"] - c["maxsim"]), c["vec_id"])
             )
-        )
-        cur = cur.crossJoin(
-            F.broadcast(
-                nxt.select(
-                    F.col("vec_id").alias("s_id"), F.col("qe").alias("s_qe")
+            pick_rows.append(
+                (
+                    j,
+                    nxt["vec_id"],
+                    nxt["rel"],
+                    nxt["maxsim"],
+                    nxt["rel"] - nxt["maxsim"],
                 )
             )
-        ).select(
-            "vec_id",
-            "qe",
-            "rel",
-            F.greatest(
-                F.col("maxsim"), dot_q(F.col("qe"), F.col("s_qe"))
-            ).alias("maxsim"),
-            (F.col("picked") | (F.col("vec_id") == F.col("s_id"))).alias(
-                "picked"
-            ),
+            nxt["picked"] = True
+            for c in cand:
+                c["maxsim"] = max(c["maxsim"], pdot(c["qe"], nxt["qe"]))
+    if not pick_rows:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("pick_round"),
+            F.col("id").cast(id_type).alias("vec_id"),
+            F.col("id").cast("long").alias("rel_q"),
+            F.col("id").cast("long").alias("max_sim_sel_q"),
+            F.col("id").cast("long").alias("mmr_score2x_q"),
         )
-    return picks.select(
+    values = ", ".join(
+        f"({r}, {v}, {rel}, {ms}, {sc})" for r, v, rel, ms, sc in pick_rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} "
+        "AS t(pick_round, vec_id, rel_q, max_sim_sel_q, mmr_score2x_q)"
+    ).select(
         F.col("pick_round").cast("int").alias("pick_round"),
-        "vec_id",
-        "rel_q",
-        "max_sim_sel_q",
-        "mmr_score2x_q",
+        F.col("vec_id").cast(id_type).alias("vec_id"),
+        F.col("rel_q").cast("long").alias("rel_q"),
+        F.col("max_sim_sel_q").cast("long").alias("max_sim_sel_q"),
+        F.col("mmr_score2x_q").cast("long").alias("mmr_score2x_q"),
     )

@@ -20872,5 +20872,14 @@ PLAN_BUILD_RUNS_JOBS = frozenset(
         "pipeline_corpus_curation_v2",
         "pipeline_corpus_curation_v4",
         "graph_pagerank",
+        # r12 optimization: the MMR greedy rerank runs driver-side on
+        # the bounded ≤pool-row shortlist (one bounded collect, the
+        # kmeans_centroids pattern; A/B: 2.0 s → 0.4 s standalone) —
+        # construction therefore runs the shortlist job; plan
+        # discipline is asserted by test_mmr and the oracle parity
+        # rows.  (The k-center loop was A/B'd the same way and kept
+        # on the broadcast form — see kcenter_coreset's docstring.)
+        "emb_mmr_diversified_topk",
+        "pipeline_corpus_curation_v8",
     }
 )

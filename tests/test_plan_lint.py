@@ -83,9 +83,8 @@ _BNLJ_OK = {
     # broadcast cross, not a join-key bug
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
-    # the composed RAG-publication plan: the IVF vectors × centroids
-    # cross (rationale above) + two 1-row manifest scalar crosses
-    "pipeline_corpus_curation_v8",
+    # (pipeline_corpus_curation_v8 moved to PLAN_BUILD_RUNS_JOBS in r12
+    # — its per-stage discipline is covered by _STAGED_COMPOSITIONS)
     # the audit report: a chain of 1-row × 1-row summary crosses
     # (residuals, leakage, coverage, drift) onto the 1-row manifest
     "pipeline_publication_audit",
