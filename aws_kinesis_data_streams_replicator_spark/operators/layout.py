@@ -166,7 +166,7 @@ def write_hilbert_ordered(
 def layout_pruning_stats(
     df: DataFrame,
     assignments: list[tuple[str, str, Column, Column]],
-    domains: dict[str, Column],
+    domains: "list[str] | dict" = (),
     include_rows: bool = False,
 ) -> DataFrame:
     """Min-max pruning effectiveness of competing file layouts, exactly.
@@ -174,15 +174,23 @@ def layout_pruning_stats(
     ``assignments`` rows are (layout_name, dim_name, file_col,
     value_col): which file each record lands in under that layout, and
     the dimension value whose per-file min-max range a reader would
-    prune on.  ``domains`` maps dim_name → that dimension's global
-    width (max − min + 1) as a Column over ``df``.
+    prune on.  A dimension's global width (max − min + 1 of its value
+    column) is derived from the per-file rollup itself — every
+    assignment covers every row of ``df``, so ``max(hi) − min(lo) + 1``
+    over a dim's files IS the global span of its value column.  (r12
+    optimization, guide §2.4: the previous form took the domains as
+    Columns and aggregated them in a SECOND full pass over ``df`` —
+    for composed inputs like the lifecycle's assigned fact frame that
+    pass replayed the entire upstream chain.)  ``domains`` is kept for
+    call-site readability (the dim names being audited) but no longer
+    carries expressions.
 
     For every (layout, dim): per-file [min, max] spans, then
     ``span_sum = Σ(max−min+1)`` — the exact expected number of files a
     uniform random point predicate must touch is span_sum/domain,
     emitted as ``expected_files_hit_bp`` (×10⁴).  One explode + two
-    hash aggregations; no windows, no collects — the measurement
-    itself follows the engine's scale rules.
+    hash aggregations, ONE pass over ``df``; no windows, no collects —
+    the measurement itself follows the engine's scale rules.
 
     ``include_rows=True`` appends an ``n_rows`` column (rows assigned
     per layout/dim) — the conservation witness a lifecycle audit wants
@@ -204,32 +212,34 @@ def layout_pruning_stats(
             )
         ).alias("t")
     ).select("t.*")
-    per_file = stacked.groupBy("layout", "dim", "file_id").agg(
-        F.min("val").alias("lo"),
-        F.max("val").alias("hi"),
-        F.count(F.lit(1)).alias("nr"),
+    # metadata-scale (files × layouts × dims rows); pinned because BOTH
+    # the per-layout rollup and the domain derivation read it — without
+    # the pin each consumer replays the fact pass
+    per_file = (
+        stacked.groupBy("layout", "dim", "file_id")
+        .agg(
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        .localCheckpoint(eager=False)
     )
     per_layout = per_file.groupBy("layout", "dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
         F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("span_sum"),
         F.sum("nr").cast("long").alias("_n_rows"),
     )
-    dom = df.agg(
-        *[c.cast("long").alias(f"_dom_{d}") for d, c in domains.items()]
+    dom = per_file.groupBy("dim").agg(
+        (F.max("hi") - F.min("lo") + 1).cast("long").alias("_dom")
     )
-    out = per_layout.crossJoin(F.broadcast(dom)).select(
+    out = per_layout.join(F.broadcast(dom), "dim").select(
         "layout",
         "dim",
         "n_files",
         "span_sum",
-        F.expr(
-            "CAST(span_sum * 10000 DIV ("
-            + " + ".join(
-                f"CASE WHEN dim = '{d}' THEN _dom_{d} ELSE 0 END"
-                for d in domains
-            )
-            + ") AS BIGINT)"
-        ).alias("expected_files_hit_bp"),
+        F.expr("CAST(span_sum * 10000 DIV _dom AS BIGINT)").alias(
+            "expected_files_hit_bp"
+        ),
         F.col("_n_rows").alias("n_rows"),
     )
     if not include_rows:
@@ -380,6 +390,12 @@ def _binned_files(
         rn_col="_file_rn",
         cum_cols=[size_col],
         cum_suffix="_cum",
+        # file inventories are metadata-scale BY CONSTRUCTION (one row
+        # per file, ~1e5 rows even at 100 TB with 1 GB files), and
+        # checkpoint-derived lineage reports unknown stats — force the
+        # window form rather than let "unknown → large" pick the Arrow
+        # pass for a frame that never warrants it
+        arrow_local=False,
     )
     return ordered.withColumn(
         "bin",
@@ -464,8 +480,16 @@ def compaction_step_detail(
     join of the closed files against the (local bin → global bin)
     renumber map — bounded by the bins closed this cycle."""
     inv = new_files if pending is None else pending.unionByName(new_files)
-    binned = _binned_files(inv, key_col, size_col, target_bytes).select(
-        *inv.columns, "bin"
+    # metadata-scale lazy pins (r12, guide §2.4): the three returned
+    # views — closed bins, closed files, new pending — all hang off the
+    # same binning pass, and the bin split + renumber each read their
+    # parent twice; without the pins every consumer replays the whole
+    # prefix-sum decomposition (the lifecycle composition evaluated the
+    # epoch-2 chain 4×, ~100 Exchange nodes in its final plan)
+    binned = (
+        _binned_files(inv, key_col, size_col, target_bytes)
+        .select(*inv.columns, "bin")
+        .localCheckpoint(eager=False)
     )
     if flush:
         closed_files = binned
@@ -475,7 +499,7 @@ def compaction_step_detail(
         with_top = binned.crossJoin(F.broadcast(top))
         closed_files = with_top.where(F.col("bin") < F.col("_open_bin")).select(
             *inv.columns, "bin"
-        )
+        ).localCheckpoint(eager=False)
         new_pending = with_top.where(
             F.col("bin") == F.col("_open_bin")
         ).select(*inv.columns)
@@ -488,7 +512,10 @@ def compaction_step_detail(
     # global ids stay contiguous across epochs even when an oversized
     # file skips local bin numbers; bins are unique, so the exact
     # distributed row number in bin order IS the dense index
-    renum = with_global_prefix(rolled, [F.col("bin")], rn_col="_bin_rn")
+    # (pinned: both the work list and the file→bin map read it)
+    renum = with_global_prefix(
+        rolled, [F.col("bin")], rn_col="_bin_rn"
+    ).localCheckpoint(eager=False)
     closed = renum.select(
         (F.col("_bin_rn") - 1 + F.lit(int(bins_emitted)))
         .cast("long")
@@ -569,38 +596,50 @@ def _hilbert_round_exprs(
 def hilbert_lookup(spark, bits: int = 8) -> DataFrame:
     """The (x, y) → hv Hilbert lookup table for a 2^bits grid —
     4^bits rows, a CONSTANT independent of any fact size, built by
-    the unrolled rotate-and-flip rounds over ``range(4^bits)``.
+    one vectorized numpy pass over ``range(4^bits)``.
 
     Why a table and not a per-row expression: the rounds are mutually
     recursive in (x, y), so Catalyst's projection collapse inlines
     each round into the next and the fused expression grows ~5× per
     round (≈5^bits nodes — measured 5 s/query at sf0.1 for bits=8).
-    Materializing round-by-round over the 65 536-row domain frame
-    (lazy per-round checkpoints) keeps every projection small, and
-    facts then pay ONE broadcast hash join — the classic
-    dimension-table discretization of an expensive pure function."""
+    Facts then pay ONE broadcast hash join — the classic
+    dimension-table discretization of an expensive pure function.
+
+    Why ``mapInPandas`` and not the previous round-per-checkpoint SQL
+    ladder (r12, guide §4.2): the ladder cost ``bits`` sequential
+    checkpoint-materialization jobs over the domain frame PER CALLING
+    QUERY (~2-3 s of the lifecycle/pruning advisors' wall time); the
+    numpy form is the identical flip-on-(n−1) rotate-and-flip rounds
+    (pure int64 div/mod/xor — bit-identical to ``hilbert_index`` and
+    the SQL/DuckDB ladder, pinned by tests/test_hilbert_layout.py) in
+    one job with no shuffle."""
     n = 1 << bits
-    cur = (
-        spark.range(0, n * n)
-        .select(
-            (F.col("id") % n).alias("x"),
-            (F.col("id") / n).cast("long").alias("y"),
-        )
-        .withColumn("_hx", F.col("x"))
-        .withColumn("_hy", F.col("y"))
-        .withColumn("_hd", F.lit(0).cast("long"))
-    )
-    for j in range(bits - 1, -1, -1):
-        s = 1 << j
-        ex, ey, ed = _hilbert_round_exprs(s, n, "_hx", "_hy", "_hd", "DIV")
-        cur = cur.select(
-            "x",
-            "y",
-            F.expr(ex).alias("_hx"),
-            F.expr(ey).alias("_hy"),
-            F.expr(ed).alias("_hd"),
-        ).localCheckpoint(eager=False)  # pin: stop projection collapse
-    return cur.select("x", "y", F.col("_hd").cast("long").alias("hv"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            x = ids % n
+            y = ids // n
+            hx, hy = x.copy(), y.copy()
+            d = np.zeros_like(ids)
+            s = n // 2
+            while s > 0:
+                rx = (hx // s) % 2
+                ry = (hy // s) % 2
+                d += s * s * ((3 * rx) ^ ry)
+                # rotate: if ry==0 → (flip on rx==1, then swap x/y)
+                nx = np.where(rx == 1, n - 1 - hy, hy)
+                ny = np.where(rx == 1, n - 1 - hx, hx)
+                keep = ry != 0
+                hx = np.where(keep, hx, nx)
+                hy = np.where(keep, hy, ny)
+                s //= 2
+            yield pd.DataFrame({"x": x, "y": y, "hv": d})
+
+    return spark.range(0, n * n).mapInPandas(gen, "x long, y long, hv long")
 
 
 def with_hilbert(

@@ -686,8 +686,13 @@ def coreset_centroids(
     Deterministic end-to-end, so a SQL oracle replays the seeding."""
     picks = kcenter_coreset(embeddings, k).select(id_col)
     e = _quantized(embeddings, id_col)
-    return e.join(F.broadcast(picks), id_col).select(
-        F.col(id_col).alias("cell"), F.col("qe").alias("c_qe")
+    # k-row pin (r12, guide §5): IVF consumers read the centroid set
+    # at least twice (corpus assignment + query assignment); unpinned,
+    # each read replays the pick join against the corpus
+    return (
+        e.join(F.broadcast(picks), id_col)
+        .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -782,7 +787,11 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     radius = cur.agg(F.max("mind").cast("long").alias("radius_q"))
-    return picks.crossJoin(F.broadcast(radius))
+    # pin the k-row result (r12, guide §5): the pick set is consumed
+    # several times by every caller (cell seeding + radius audit +
+    # fold unions), and without the pin EACH consumer replays the k
+    # TakeOrdered(1) rounds over the checkpointed distance frames
+    return picks.crossJoin(F.broadcast(radius)).localCheckpoint(eager=False)
 
 
 def mmr_topk(

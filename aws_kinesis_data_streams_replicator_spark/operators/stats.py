@@ -115,13 +115,20 @@ def association_rules(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # |items|-row marginals join back twice (antecedent + consequent
+    # side) — pinned so each side reads the rollup, not re-aggregates
+    # the base pass (r12, guide §5)
     marg = base.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
-    )
+    ).localCheckpoint(eager=False)
     tot = base.select("g").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
-    pairs = cooccurrence_pairs(df, group_col, item_col, min_support)
+    # both direction legs of the union read the support pass — without
+    # the pin the Σ basket² pair-generation join runs twice
+    pairs = cooccurrence_pairs(
+        df, group_col, item_col, min_support
+    ).localCheckpoint(eager=False)
     rules = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

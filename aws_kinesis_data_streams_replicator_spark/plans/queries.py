@@ -3481,10 +3481,7 @@ def files_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orderkey_range", "partkey", F.col("fn"), F.col("x")),
             ("orderkey_range", "suppkey", F.col("fn"), F.col("y")),
         ],
-        domains={
-            "partkey": F.max("x") - F.min("x") + 1,
-            "suppkey": F.max("y") - F.min("y") + 1,
-        },
+        domains=["partkey", "suppkey"],
     )
 
 
@@ -3700,10 +3697,7 @@ def _hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ingestion", "partkey", F.col("fn"), F.col("x")),
             ("ingestion", "suppkey", F.col("fn"), F.col("y")),
         ],
-        domains={
-            "partkey": F.max("x") - F.min("x") + 1,
-            "suppkey": F.max("y") - F.min("y") + 1,
-        },
+        domains=["partkey", "suppkey"],
     )
 
 
@@ -6969,9 +6963,11 @@ def doc_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime size instead of forcing a driver-side collect of an unbounded
     set."""
     docs = _t(spark, sf_dir, "documents")
+    # both union legs read the pair set — pinned so the capped
+    # posting-list pair generation runs once (r12, guide §5)
     pairs = dedup.ngram_jaccard_pairs(
         docs, k_shingle=3, threshold=0.3, max_shingle_df=50
-    )
+    ).localCheckpoint(eager=False)
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -7938,6 +7934,10 @@ def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # the candidate list is read 3× (estimate join ×2 sides via
+        # est, exact-intersection broadcast) — pin so the band
+        # self-join + distinct runs once (r12, guide §5)
+        .localCheckpoint(eager=False)
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
@@ -7973,7 +7973,9 @@ def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)  # per-doc sizes, joined twice
     za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -11485,9 +11487,13 @@ def doc_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import spread
 
     docs = _t(spark, sf_dir, "documents")
+    # shared-subtree pins (r12, guide §5): the candidate set feeds the
+    # intersection AND the verify join; the distinct shingle table
+    # feeds 3 consumers (sizes + both intersection sides) — unpinned,
+    # each replayed the tokenize/shingle explode (40-Exchange plan)
     pairs = dedup.minhash_lsh_candidate_pairs(
         docs, k_shingle=3, n_hashes=8, n_bands=4
-    )
+    ).localCheckpoint(eager=False)
     sh = (
         spread(docs)
         .select("doc_id", word_tokens(F.col("text")).alias("toks"))
@@ -11496,8 +11502,11 @@ def doc_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("shingle"),
         )
         .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    ).localCheckpoint(eager=False)
     inter = (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
         .join(
@@ -12195,9 +12204,11 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 7 items in TPC-H; cap pathological baskets at scale); floor(log2)
     of an int64 is exact in IEEE double in both engines."""
     li = _t(spark, sf_dir, "lineitem")
+    # both sides of the self-join read this — pinned so the scan +
+    # wide distinct runs once (r12, guide §5)
     b = li.select(
         F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     x, y = b.alias("x"), b.alias("y")
     d = (
         x.join(
@@ -16194,6 +16205,11 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lf.layout", "lf.file_id", "k")
         .distinct()
+        # pinned (r12, guide §5): 3 consumers (file counts, the Bloom
+        # build, ground-truth actuals) each replayed the fact scan +
+        # 2-layout explode + the wide distinct; the pinned frame is the
+        # per-file distinct-key table — the advisor's working set
+        .localCheckpoint(eager=False)
     )
     nf = fkd.groupBy("layout").agg(
         F.count_distinct("file_id").alias("n_files")
@@ -16211,15 +16227,22 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bit"),
         )
         .distinct()
+        # ≤ |layouts|·64·4096 rows by construction — the broadcastable
+        # filter table itself; pinned so the probe join doesn't rebuild
+        # the 3-hash md5 explode
+        .localCheckpoint(eager=False)
     )
     part = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 29 == 0)
     pk = part.select(F.col("p_partkey").alias("k")).union(
         part.select(F.col("p_partkey") + 100000000)
     )
     member = li.select("k").distinct().withColumn("_m", F.lit(1))
+    # probe keys with ground-truth membership: |probe| rows, read by
+    # the bit explode, the actuals join, and the final rollup — pinned
+    # so each doesn't redo the distinct-member anti-classification
     probe = pk.join(member, "k", "left").select(
         "k", F.col("_m").isNotNull().alias("is_present")
-    )
+    ).localCheckpoint(eager=False)
     pb = (
         probe.select(
             "k",
@@ -16228,6 +16251,7 @@ def files_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bit"),
         )
         .distinct()
+        .localCheckpoint(eager=False)  # |probe|×K bits, 2 consumers
     )
     kb = pb.groupBy("k").agg(F.count(F.lit(1)).alias("n_bits"))
     adm = (
@@ -16767,12 +16791,15 @@ def dq_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     dec = linkage.classify(scored, match_threshold=75, possible_threshold=35)
+    # ≤3-row decision rollup, read by BOTH the per-decision report and
+    # the ALL summary — pinned (r12, guide §5) so the second consumer
+    # doesn't replay the 2-pass blocking + scoring chain
     d = dec.groupBy("decision").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum((F.col("entity_a") == F.col("entity_b")).cast("long")).alias(
             "n_true"
         ),
-    )
+    ).localCheckpoint(eager=False)
     n_cust = c.agg(F.count(F.lit(1)).alias("n_cust"))
     per = d.crossJoin(F.broadcast(n_cust)).select(
         "decision",
@@ -17967,10 +17994,7 @@ def files_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("compacted", "partkey", F.col("gbin"), F.col("x")),
             ("compacted", "suppkey", F.col("gbin"), F.col("y")),
         ],
-        domains={
-            "partkey": F.max("x") - F.min("x") + 1,
-            "suppkey": F.max("y") - F.min("y") + 1,
-        },
+        domains=["partkey", "suppkey"],
         include_rows=True,
     )
 
@@ -19266,19 +19290,26 @@ def emb_cluster_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cent = similarity.coreset_centroids(emb, k=8)
     cells = similarity.ivf_assign_cells(emb, centroids=cent)
+    # (cell, source) membership pairs: 4 rollups below read this frame
+    # — unpinned, EACH replayed the coreset seeding + the vectors×8
+    # assignment cross + the docs join (the ~130-Exchange before-plan);
+    # the pin stores 2 small columns per vector, the §8 "decide on a
+    # lightweight proxy" shape (r12, guide §5/§8)
     mem = cells.join(
         docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
-    ).select("cell", "source")
+    ).select("cell", "source").localCheckpoint(eager=False)
     tot = mem.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     gmix = mem.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_g")
     )
+    # domain-bounded rollups (≤8×|sources| / ≤8 rows) with 2 consumers
+    # each — pinned so re-reads don't re-aggregate the membership pass
     cmix = mem.groupBy("cell", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_cs")
-    )
+    ).localCheckpoint(eager=False)
     csz = mem.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("cell").orderBy(F.desc("n_cs"), F.asc("source"))
     top = (
         cmix.withColumn("r", F.row_number().over(w))
@@ -19686,13 +19717,22 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window PARTITIONED by item over its co-item rows — never global.
     At catalog scale the pair rollup is the classic item-item
     co-occurrence matrix build."""
+    # distinct basket-item pairs: 3 consumers (marginals + both sides
+    # of the self-join) each replayed the fact scan + wide distinct —
+    # pinned, 2 long columns per row (r12, guide §5)
     b = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    marg = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # |items|-row marginals, joined twice (item + neighbor side)
+    marg = b.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    ).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("c")
+    # the co-occurrence matrix: both legs of the symmetrization read
+    # it — unpinned, the Σ basket² pair-generation join ran twice
     pr = (
         a.join(
             c,
@@ -19704,6 +19744,7 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= 2)
+        .localCheckpoint(eager=False)
     )
     sym = pr.select(
         F.col("item_a").alias("item"),

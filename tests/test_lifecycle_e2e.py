@@ -193,7 +193,7 @@ def test_lifecycle_ingest_compact_prune_with_wal_restart(spark, tmp_path):
             ("small", "x", F.crc32(F.col("fpath")), F.col("x")),
             ("compacted", "x", F.col("cbin"), F.col("x")),
         ],
-        domains={"x": F.max("x") - F.min("x") + 1},
+        domains=["x"],
         include_rows=True,
     ).collect()
     by_layout = {r["layout"]: r for r in stats}

@@ -59,13 +59,10 @@ _BNLJ_OK = {
     "agg_join_size_estimate",  # 1-row exact-size x 1-row CMS estimate
     "agg_weighted_join_size_estimate",  # same 1-row x 1-row shape
     "plan_join_order_3way",  # five 1-row planning scalars crossed
-    "files_zorder_pruning",  # 1-row bucket-denominator + domain crosses
     "files_bloom_pruning",  # 1-row domain scalar + 2-row per-layout nf cross
-    "files_hilbert_pruning",  # 1-row ingestion-bucket denominator cross
-    # 1-row closed-bin-count scalar crosses (the global bin-id
-    # continuation) + 1-row open-tail split maxes + domain scalars —
-    # the files_compaction_incremental shape with the span-audit tail
-    "files_lifecycle",
+    # (files_zorder_pruning / files_hilbert_pruning / files_lifecycle
+    # dropped in r12: layout_pruning_stats now derives the domain from
+    # the per-file rollup — the 1-row domain scalar cross is gone)
     # 1-row convergence-witness count cross (survivor-set equality)
     "graph_kcore_membership",
     # 1-row argmin-struct cross over the ≤|layouts|-row cost rollup
@@ -136,9 +133,11 @@ _BNLJ_OK = {
     "pipeline_corpus_curation_v6",
     # two 1-row shard-totals crosses (one per shard model)
     "cdc_importance_model_maintenance",
-    # per-round 1-row next-center broadcasts + the 1-row radius cross
-    # (greedy farthest-first: k bounded TakeOrdered(1) picks)
-    "emb_kcenter_coreset",
+    # (emb_kcenter_coreset dropped in r12: the k-row pick set is now
+    # pinned behind a lazy checkpoint, so its per-round 1-row
+    # next-center broadcasts no longer appear in the STATIC plan —
+    # they still execute inside the checkpoint subtree, with the same
+    # bounded-TakeOrdered(1) rationale, shared once by all consumers)
     # embed the kcenter chain as IVF seeding (same per-round 1-row
     # broadcasts) + the 8-row centroid-set broadcast cross
     "emb_ann_ivf_coreset_topk",
