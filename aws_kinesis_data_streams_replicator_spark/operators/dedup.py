@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import md5_seeded, shingles_of_tokens, simhash_bits, word_tokens
+from ..functions.hashing import md5_seeded, shingles_of_tokens, word_tokens
 from .util import spread
 
 
@@ -265,16 +265,21 @@ def _jaccard_tail(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataF
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """doc_id + 32-bit SimHash bitstring over word-token md5s.
 
-    The md5 array is materialized in its own projection first:
-    simhash_bits references it 64× (32 filters + sizes), and an inline
-    expression would be recomputed per reference (interpreted
-    higher-order lambdas get no subexpression elimination).
+    md5 hashing stays JVM-side (oracle-portable); the 32-position
+    majority vote crosses to numpy ONCE per batch
+    (udfs.simhash_bits_pandas, r12 guide §4.2) — the JVM expression
+    form (functions/hashing.py:simhash_bits, kept as the pinned
+    reference) is 32 interpreted filter+size passes per document.
     """
+    from .udfs import simhash_bits_pandas
+
     hashed = spread(documents).select(
         "doc_id",
         F.transform(word_tokens(F.col("text")), lambda t: F.md5(t)).alias("hs"),
     )
-    return hashed.select("doc_id", simhash_bits(F.col("hs")).alias("simhash"))
+    return hashed.select(
+        "doc_id", simhash_bits_pandas(F.col("hs")).alias("simhash")
+    )
 
 
 def simhash_dup_clusters(documents: DataFrame) -> DataFrame:
@@ -296,6 +301,8 @@ def simhash64_fingerprints(documents: DataFrame) -> DataFrame:
     configuration (Manku et al., WWW'07).  Bits 0-31 come from md5(t),
     bits 32-63 from the seeded family md5('1|' || t).
     """
+    from .udfs import simhash_bits_pandas
+
     hashed = spread(documents).select(
         "doc_id",
         F.transform(word_tokens(F.col("text")), lambda t: F.md5(t)).alias("hs0"),
@@ -303,10 +310,13 @@ def simhash64_fingerprints(documents: DataFrame) -> DataFrame:
             "hs1"
         ),
     )
+    # both families evaluate in ONE ArrowEvalPython node (same
+    # projection); the 64 interpreted filter passes of the JVM form
+    # become two numpy majority votes per batch (r12, guide §4.2)
     return hashed.select(
         "doc_id",
         F.concat(
-            simhash_bits(F.col("hs0")), simhash_bits(F.col("hs1"))
+            simhash_bits_pandas(F.col("hs0")), simhash_bits_pandas(F.col("hs1"))
         ).alias("simhash"),
     )
 
@@ -498,10 +508,14 @@ def embedding_neardup_pairs_lsh(
     from .udfs import sign_lsh_all_bands_udf
 
     all_buckets = sign_lsh_all_bands_udf(n_bands, band_planes, dim)
+    # band-row pin (r12, guide §4/§5): the self-join references this
+    # frame on BOTH sides, so the Arrow UDF + posexplode ran twice per
+    # call; the pinned rows are 3 skinny columns × n_bands per vector —
+    # smaller than the quantized vectors already pinned above
     bands = q.select(
         id_col,
         F.posexplode(all_buckets(F.col("qe"))).alias("band_id", "bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -557,9 +571,13 @@ def semantic_dedup_pairs(
     """
     from ..functions.vectors import quantize_embedding
 
+    # quantized-vector pin (r12, guide §5): the frame feeds the seed
+    # limit AND both assignment passes — unpinned, quantize_embedding
+    # re-ran per consumer (3 corpus passes); same pin class as
+    # embedding_neardup_pairs_lsh's q
     e = spread(embeddings).select(
         F.col(id_col).alias("vid"), quantize_embedding(F.col("embedding")).alias("qe")
-    )
+    ).localCheckpoint(eager=False)
     seeds = (
         e.orderBy("vid")
         .limit(n_cells)

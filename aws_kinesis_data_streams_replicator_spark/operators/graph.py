@@ -46,13 +46,18 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # out-degree attached ONCE (r12, guide §2.4): the per-round join
+    # previously re-ran the degree aggregation + a second hash join
+    # every iteration; (src, dst, outdeg) is one extra long per edge
+    # in the pinned frame and each round now pays a single join
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = nodes.join(F.broadcast(n)).select(
         "id", F.expr(f"{SCALE} DIV n").alias("base_r")
@@ -61,8 +66,7 @@ def pagerank(
     ranks = base.select("id", F.col("base_r").alias("r"))
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, "src")
+            ew.join(ranks, ew.src == ranks.id)
             .select("dst", F.expr("r DIV outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
@@ -106,8 +110,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .localCheckpoint(eager=True)  # scanned 3x: degrees, wedges, close
     )
     deg = (
-        und.select(F.col("u").alias("id"))
-        .union(und.select(F.col("v").alias("id")))
+        und.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -138,10 +141,11 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     tri = wedges.select(
         "a", F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
     ).join(closing, ["x", "y"])
+    # one Generate instead of a 3-branch union (r12, guide §2.4): the
+    # union form re-executed the wedge self-join + closing join once
+    # per branch — the whole triangle enumeration ran 3×
     per_node = (
-        tri.select(F.col("a").alias("id"))
-        .union(tri.select(F.col("x").alias("id")))
-        .union(tri.select(F.col("y").alias("id")))
+        tri.select(F.explode(F.array("a", "x", "y")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
@@ -184,23 +188,38 @@ def kcore_membership(
         )
         .distinct()
     )
+    # both orientations from ONE pass over the distinct edge set (r12,
+    # guide §2.4): the union-of-two-selects form executed the distinct
+    # aggregation twice — once per branch — before the checkpoint pinned
+    # the result
     sym = (
-        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(
-            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
+                    F.struct(F.col("v").alias("node"), F.col("u").alias("nbr")),
+                )
+            ).alias("s")
         )
+        .select("s.node", "s.nbr")
         .localCheckpoint(eager=False)  # scanned twice per round
     )
     alive = sym.select("node").distinct()
     prev = alive
-    for _ in range(rounds):
+    for i in range(rounds):
         prev = alive
-        deg = (
-            sym.join(prev, "node")
-            .join(prev.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        if i == 0:
+            # round 1's survivor set is ALL nodes, so the two survivor
+            # joins are identities — plain degree count, same result
+            # (r12, guide §2.4)
+            deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        else:
+            deg = (
+                sym.join(prev, "node")
+                .join(prev.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
         alive = deg.where(F.col("c") >= k).select("node").localCheckpoint(
             eager=False
         )

@@ -250,6 +250,81 @@ def ivf_topk(
     )
 
 
+def ivf_probe_sweep_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    assigned_cells: DataFrame | None = None,
+) -> DataFrame:
+    """The n_probe sweep as ONE candidate pass (r12, guide §2.4):
+    score the max(probes) superset once, carrying each probed cell's
+    rank, and derive every sweep point by filtering ``rank <= p`` —
+    bit-identical to calling :func:`ivf_topk` per p (each vector is
+    assigned to exactly one cell, so a candidate's probe rank is
+    unique and its dot product is probe-independent), at one
+    candidate join + scoring stage instead of ``len(probes)``.
+
+    Returns (n_probe, query_id, neighbor_id, dot_q, rank) — the union
+    of the per-p ``ivf_topk`` outputs tagged with the probe count.
+    """
+    pmax = max(probes)
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_default_centroids(embeddings, n_cells, id_col)
+    )
+    cand_cells = (
+        assigned_cells
+        if assigned_cells is not None
+        else _assign_cells(_quantized(embeddings, id_col), cent, "qe", 1, "cell")
+    )
+    qs = _quantized(queries, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    # multi-probe assignment with the rank KEPT (the _assign_cells
+    # n_keep>1 branch drops it)
+    qscored = qs.join(F.broadcast(cent)).select(
+        "query_id",
+        "q_qe",
+        F.col("cell"),
+        dot_q(F.col("q_qe"), F.col("c_qe")).alias("_cd"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").desc(), F.col("cell").asc()
+    )
+    q_cells = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= pmax)
+        .select("query_id", "q_qe", "cell", "_pr")
+    )
+    probes_arr = F.array(*[F.lit(int(p)) for p in sorted(probes)])
+    scored = (
+        cand_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dot_q(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+            F.explode(
+                F.filter(probes_arr, lambda p: p >= F.col("_pr"))
+            ).alias("n_probe"),
+        )
+        .dropDuplicates(["n_probe", "query_id", "neighbor_id"])
+    )
+    wk = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("n_probe", "query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def lloyd_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -761,7 +836,12 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8) -> DataFrame:
         F.lit(0).cast("long").alias("sel_dist_q"),
     )
     for j in range(2, k + 1):
-        nxt = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        # 1-row pin (r12, guide §5): the round's pick is read TWICE —
+        # unioned into the pick list AND broadcast into the fold — and
+        # each read re-ran the TakeOrdered(1) corpus scan
+        nxt = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(
+            1
+        ).localCheckpoint(eager=False)
         picks = picks.unionByName(
             nxt.select(
                 F.lit(j).alias("round"),

@@ -406,19 +406,22 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     def _top(grams: DataFrame, gram_col: str, prefix: str) -> DataFrame:
+        # n_grams = Σ cnt over the SAME doc_id window partitioning as the
+        # rank (r12, guide §2.4): the old totals leg re-ran the
+        # tokenize+explode+rollup per order (grams referenced twice) and
+        # paid a join; both window functions now share one exchange of
+        # the (doc, gram) rollup and the raw gram explode runs once.
         counts = grams.groupBy("doc_id", gram_col).agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
         w = Window.partitionBy("doc_id").orderBy(
             F.col("cnt").desc(), F.col(gram_col).asc()
         )
-        totals = grams.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams")
-        )
+        wd = Window.partitionBy("doc_id")
         return (
             counts.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_grams", F.sum("cnt").over(wd).cast("long"))
             .where(F.col("rn") == 1)
-            .join(totals, "doc_id")
             .select(
                 "doc_id",
                 F.col(gram_col).alias(f"top_{prefix}"),

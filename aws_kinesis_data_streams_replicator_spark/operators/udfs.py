@@ -132,6 +132,57 @@ def sign_lsh_all_bands_udf(n_bands: int, band_planes: int, dim: int):
     return all_buckets
 
 
+@F.pandas_udf(StringType())
+def simhash_bits_pandas(hs: pd.Series) -> pd.Series:
+    """Arrow twin of functions/hashing.py:simhash_bits — the 32-bit
+    SimHash bitstring from an array of md5 hex strings, as ONE
+    vectorized numpy pass per Arrow batch (r12, guide §4.2).
+
+    The JVM expression form is 32 interpreted ``filter``+``size``
+    passes over the hash array per family (64 for the 64-bit
+    fingerprint) — higher-order lambdas get no codegen and no common-
+    subexpression elimination, the ``sign_lsh_all_bands_udf``
+    rationale.  Bit-identical by construction: bit p is the majority
+    of (hex char p >= '8') across the row's hashes, ASCII compare on
+    the same lowercase hex — pinned against the JVM expression by
+    tests/test_simhash_arrow.py (incl. ties, single-token and
+    empty-ish docs).
+    """
+    import itertools
+
+    import numpy as np
+
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hs), dtype=np.int64, count=len(hs)
+    )
+    total = int(lens.sum())
+    zero_row = "0" * 32
+    if total == 0:
+        # size(NULL/empty)*2 > n is never true in the JVM form either
+        return pd.Series([zero_row] * len(hs))
+    joined = "".join(
+        itertools.chain.from_iterable(a for a in hs if a is not None and len(a))
+    )
+    bits = (
+        np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(total, 32)
+        >= 0x38
+    )
+    nz = lens > 0
+    nz_lens = lens[nz]
+    starts = np.zeros(len(nz_lens), dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=starts[1:])
+    cnts = np.add.reduceat(bits, starts, axis=0)  # (#non-empty, 32)
+    maj = cnts * 2 > nz_lens[:, None]
+    rows = np.where(maj, "1", "0")
+    nz_strs = ["".join(r) for r in rows]
+    if nz.all():
+        return pd.Series(nz_strs)
+    out = [zero_row] * len(hs)
+    for i, s in zip(np.flatnonzero(nz), nz_strs):
+        out[i] = s
+    return pd.Series(out)
+
+
 class TopTokensUDTF:
     """UDTF with ``analyze()``: the output schema (tok_1..tok_k) is
     derived from the CONSTANT k argument at plan time — the polymorphic

@@ -74,6 +74,7 @@ def salted_aggregate(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     n_salt: int = 16,
+    salt_source: str | None = None,
 ):
     """Skew-safe two-stage aggregation.
 
@@ -86,12 +87,27 @@ def salted_aggregate(
 
     At 100 TB this is the fallback when AQE skew handling isn't enough
     (e.g. one stream name carrying 50% of traffic in the checkpoint agg).
+
+    Salt is DETERMINISTIC (r12, guide §2.5 / SPARK-38388):
+    ``xxhash64(salt_source) pmod n_salt`` when a high-cardinality column
+    is named, else xxhash64 over every input column — ``rand(seed)``
+    depends on partition + row order, so a fetch-failure retry could
+    re-salt rows differently and double-count partials.  The final merge
+    is salt-independent, so the RESULT is identical either way; only the
+    retry behavior changes.
     """
     from pyspark.sql import functions as F
 
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salt).cast("int"))
+    salt_cols = (
+        [F.col(salt_source)]
+        if salt_source is not None
+        else [F.col(c) for c in df.columns]
+    )
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt)).cast("int")
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[first_fn[fn](col).alias(name) for name, (fn, col) in aggs.items()]
     )

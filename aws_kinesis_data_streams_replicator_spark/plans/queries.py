@@ -2894,6 +2894,7 @@ def agg_salted_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_event_id": ("max", "event_id"),
         },
         n_salt=16,
+        salt_source="event_id",
     )
     return out.select(
         "event_type",
@@ -7587,9 +7588,13 @@ def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepq = cls.where(F.expr("score DIV n_tokens") >= -60).localCheckpoint(
         eager=False
     )
+    # keeper-id pin (r12, guide §5): normkept feeds the unclustered
+    # anti-join AND the representative semi-join — unpinned, the
+    # normalization md5 + keeper rollup ran twice; one long per kept doc
     normkept = (
         dedup_normalized(docs.join(keepq.select("doc_id"), "doc_id", "left_semi"))
         .select(F.col("keep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
     )
     edges = dedup.ngram_jaccard_pairs(
         docs, k_shingle=3, threshold=0.3, max_shingle_df=50
@@ -15169,17 +15174,18 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = similarity.ivf_assign_cells(emb, n_cells=16).localCheckpoint(
         eager=False
     )
-    sweeps = []
-    for p in (1, 2, 4):
-        ivf = similarity.ivf_topk(
-            emb, queries, k=10, n_cells=16, n_probe=p, assigned_cells=cells
-        ).select(
-            F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
-        )
-        sweeps.append(ivf)
-    allp = sweeps[0]
-    for s_ in sweeps[1:]:
-        allp = allp.unionByName(s_)
+    # one candidate pass for all three sweep points (r12, guide §2.4):
+    # similarity.ivf_probe_sweep_topk scores the p=4 superset once with
+    # the probe rank carried, then filters rank <= p per point —
+    # bit-identical to the per-p ivf_topk union this replaces
+    allp = similarity.ivf_probe_sweep_topk(
+        emb,
+        queries,
+        k=10,
+        n_cells=16,
+        probes=(1, 2, 4),
+        assigned_cells=cells,
+    ).select("n_probe", "query_id", "neighbor_id")
     return (
         allp.join(exact, ["query_id", "neighbor_id"])
         .groupBy("n_probe")
@@ -16542,10 +16548,14 @@ def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.url import canonical_url
 
     docs = _t(spark, sf_dir, "documents")
+    # (doc_id, canon) pin (r12, guide §5): the canonical-URL projection
+    # (regex-heavy) feeds BOTH the keeper rollup and the label join —
+    # unpinned it re-ran per consumer; two skinny columns per doc,
+    # strictly smaller than the documents input
     canon = docs.select(
         "doc_id",
         canonical_url(F.expr(_URL_RAW_SQL)).alias("canon"),
-    )
+    ).localCheckpoint(eager=False)
     keeper = canon.groupBy("canon").agg(F.min("doc_id").alias("keep_id"))
     url_lab = canon.join(keeper, "canon").select("doc_id", "keep_id")
     span = dedup.chargram_dup_coverage(docs).select(
