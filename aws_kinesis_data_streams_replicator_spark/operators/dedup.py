@@ -585,31 +585,33 @@ def semantic_dedup_pairs(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(F.col("qe"), F.col("c_qe"), lambda x, c: (x - c) * (x - c)),
+        # per-row argmin against the 1-row centroid array (r12, guide
+        # §2.4): the old keyless broadcast join + min(struct) hash
+        # aggregation keyed by vid shuffled the whole quantized corpus
+        # once per assignment pass; array_min over struct(dist, cell)
+        # keeps the exact (dist asc, cell asc) tie rule and shuffles
+        # nothing (see similarity.py _assign_cells)
+        carr = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("c_qe")))
+            ).alias("_cents")
+        )
+        sqd = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qe"), c["c_qe"], lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, d: acc + d,
         )
-        scored = e.join(F.broadcast(cent)).select("vid", "qe", "cell", dist.alias("_d"))
-        # argmin via map-side-combinable min(struct) — struct ordering IS
-        # (dist asc, cell asc), same tie rule as the ranking-window form
-        # without sorting N·n_cells rows (see similarity.py ivf assign)
-        return (
-            scored.groupBy("vid")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("_d").alias("d"),
-                        F.col("cell").alias("cell"),
-                        F.col("qe").alias("qe"),
-                    )
-                ).alias("_s")
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(sqd(c).alias("d"), c["cell"].alias("cell")),
             )
-            .select(
-                "vid",
-                F.col("_s.qe").alias("qe"),
-                F.col("_s.cell").alias("cell"),
-            )
+        )
+        # coalesce ⇒ non-nullable cell: stops the pair self-join from
+        # inferring an isnotnull filter that would re-evaluate the full
+        # argmin expression per row (see similarity._argmax_cell)
+        return e.crossJoin(F.broadcast(carr)).select(
+            "vid", "qe", F.coalesce(best["cell"], F.lit(-1)).alias("cell")
         )
 
     a1 = assign(seeds)

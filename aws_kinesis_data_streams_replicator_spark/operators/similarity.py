@@ -19,7 +19,7 @@ if |Q| is tiny but hot).  For N in the billions, LSH cuts candidates by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.vectors import dot_q, quantize_embedding
 from .util import spread
@@ -126,42 +126,67 @@ def _ivf_default_centroids(
     )
 
 
+def _cells_onerow(cent: DataFrame) -> DataFrame:
+    """The whole centroid relation as ONE row: a cell-ascending
+    array<struct<cell,c_qe>> (array_sort orders by the first struct
+    field; cell ids are unique).  Centroid sets are bounded (≤ a few
+    thousand at any corpus size) so the single row is KBs."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("c_qe")))
+        ).alias("_cents")
+    )
+
+
+def _argmax_cell(vec_col: str) -> Column:
+    """Per-row nearest-cell id against the 1-row ``_cents`` array:
+    ``array_max`` over struct(dot, −cell) reproduces the exact
+    (dot desc, cell asc) tie rule of the old max(struct) aggregation.
+
+    The ``coalesce(…, -1)`` makes the expression NON-NULLABLE (the
+    argmax is null only for an empty centroid set, which only happens
+    on an empty corpus): downstream equi-joins on the cell id otherwise
+    infer an ``isnotnull(<argmax>)`` filter that is pushed below the
+    projection and re-evaluates the whole 16-dot expression once more
+    per row (higher-order functions get no codegen and no CSE)."""
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                dot_q(F.col(vec_col), c["c_qe"]).alias("d"),
+                (-c["cell"]).alias("nc"),
+            ),
+        )
+    )
+    return F.coalesce(-best["nc"], F.lit(-1).cast("long"))
+
+
 def _assign_cells(
     df: DataFrame, cent: DataFrame, vec_col: str, n_keep: int, out: str
 ) -> DataFrame:
-    """Nearest-cell assignment against a broadcast centroid relation."""
-    scored = df.join(F.broadcast(cent)).select(
-        *df.columns,
-        F.col("cell"),
-        dot_q(F.col(vec_col), F.col("c_qe")).alias("_cd"),
-    )
+    """Nearest-cell assignment against a broadcast centroid relation.
+
+    r12 (guide §2.4): the centroids cross the join as ONE array row and
+    the argmax is a per-row expression — the old shape (keyless
+    broadcast join expanding every vector to N·n_cells rows, then a
+    max(struct) hash aggregation keyed by vector id) shuffled the whole
+    quantized corpus once per assignment pass; this shuffles nothing.
+    Same exact-integer dots, same (dot desc, cell asc) tie rule.
+    """
+    withc = df.crossJoin(F.broadcast(_cells_onerow(cent)))
     if n_keep == 1:
-        # Argmax as ONE hash aggregation — max(struct(dot, −cell,
-        # carries)) reproduces the (dot desc, cell asc) tie rule and
-        # combines map-side, so the post-join N·n_cells rows reduce
-        # to N BEFORE the shuffle.  The ranking-window form (hash
-        # exchange + per-id sort of all N·n_cells rows) measured ~2×
-        # slower on the sf0.1 assignment passes.
-        carry = df.columns[1:]
-        s = F.max(
-            F.struct(
-                F.col("_cd").alias("d"),
-                (-F.col("cell")).alias("nc"),
-                *[F.col(c).alias(c) for c in carry],
-            )
-        ).alias("_s")
-        return (
-            scored.groupBy(df.columns[0])
-            .agg(s)
-            .select(
-                df.columns[0],
-                *[F.col(f"_s.{c}").alias(c) for c in carry],
-                (-F.col("_s.nc")).alias(out),
-            )
-        )
-    # multi-probe (n_keep > 1): keep the ranking window — partition
-    # by the id column only (first col); the vector array is
-    # functionally dependent and hashing it as a key is wasted work
+        return withc.select(*df.columns, _argmax_cell(vec_col).alias(out))
+    # multi-probe (n_keep > 1): explode the centroid array back to rows
+    # (the probing side is the bounded QUERY set) and keep the ranking
+    # window — partition by the id column only (first col); the vector
+    # array is functionally dependent and hashing it as a key is wasted
+    scored = withc.select(
+        *df.columns, F.explode("_cents").alias("_c")
+    ).select(
+        *df.columns,
+        F.col("_c.cell").alias("cell"),
+        dot_q(F.col(vec_col), F.col("_c.c_qe")).alias("_cd"),
+    )
     w = Window.partitionBy(df.columns[0]).orderBy(
         F.col("_cd").desc(), F.col("cell").asc()
     )
@@ -286,12 +311,18 @@ def ivf_probe_sweep_topk(
         F.col(id_col).alias("query_id"), F.col("qe").alias("q_qe")
     )
     # multi-probe assignment with the rank KEPT (the _assign_cells
-    # n_keep>1 branch drops it)
-    qscored = qs.join(F.broadcast(cent)).select(
+    # n_keep>1 branch drops it); the centroids cross as the same 1-row
+    # array the corpus assignment uses, so the centroid chain is built
+    # once per query plan (reused broadcast) instead of per consumer
+    qscored = qs.crossJoin(F.broadcast(_cells_onerow(cent))).select(
         "query_id",
         "q_qe",
-        F.col("cell"),
-        dot_q(F.col("q_qe"), F.col("c_qe")).alias("_cd"),
+        F.explode("_cents").alias("_c"),
+    ).select(
+        "query_id",
+        "q_qe",
+        F.col("_c.cell").alias("cell"),
+        dot_q(F.col("q_qe"), F.col("_c.c_qe")).alias("_cd"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cd").desc(), F.col("cell").asc()
@@ -352,35 +383,24 @@ def lloyd_centroids(
     compile-time constant ⇒ the whole training is one static plan, no
     driver loop over actions.
     """
-    cand = _quantized(embeddings, id_col)
-    cent = (
-        _quantized(embeddings.orderBy(id_col).limit(n_cells), id_col)
-        .select(F.col(id_col).alias("cell"), F.col("qe").alias("c_qe"))
+    # quantized-corpus lazy pin (r12, guide §5): every iteration reads
+    # the corpus once and the seed TakeOrdered reads it too — without
+    # the pin each read replays the scan + quantization (the
+    # kcenter_coreset / matryoshka precedent: strictly bounded by the
+    # embedding column's own footprint)
+    cand = _quantized(embeddings, id_col).localCheckpoint(eager=False)
+    cent = cand.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col("qe").alias("c_qe")
     )
     for _ in range(n_iters):
-        scored = cand.join(F.broadcast(cent)).select(
-            F.col(id_col),
-            "qe",
-            "cell",
-            dot_q(F.col("qe"), F.col("c_qe")).alias("_cd"),
-        )
-        # argmax via map-side-combinable max(struct) — same (dot desc,
-        # cell asc) rule as the ranking-window form, without sorting
-        # N·n_cells rows (see ivf assign above for the measurement)
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("_cd").alias("d"),
-                        (-F.col("cell")).alias("nc"),
-                        F.col("qe").alias("qe"),
-                    )
-                ).alias("_s")
-            )
-            .select(
-                (-F.col("_s.nc")).alias("cell"), F.col("_s.qe").alias("qe")
-            )
+        # per-row argmax against the 1-row centroid array (r12, guide
+        # §2.4): the old broadcast-join + max(struct) aggregation keyed
+        # by vector id shuffled the whole quantized corpus once per
+        # Lloyd round; the expression form shuffles nothing and the
+        # (cell, pos) component aggregation map-side combines to
+        # n_cells × dim rows before its exchange
+        assigned = cand.crossJoin(F.broadcast(_cells_onerow(cent))).select(
+            _argmax_cell("qe").alias("cell"), "qe"
         )
         comp = (
             assigned.select("cell", F.posexplode("qe").alias("pos0", "q"))
@@ -393,11 +413,15 @@ def lloyd_centroids(
                 lambda s: s["m"],
             ).alias("c_qe_new")
         )
+        # n_cells-row lazy pin: the round's centroids feed BOTH the
+        # next round's 1-row array and the next round's fold join —
+        # unpinned, the whole earlier-round chain re-executes per read
         cent = (
             cent.join(new, "cell", "left")
             .select(
                 "cell", F.coalesce("c_qe_new", "c_qe").alias("c_qe")
             )
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -779,19 +803,25 @@ def coverage_radius(
     guarantee is ABOUT, computed independently of how the picks were
     chosen (so it audits folded/shipped coresets, not just fresh ones).
 
-    Scale notes: picks are tiny (k rows) and broadcast; one corpus
-    pass, min folded per vector map-side, one global max."""
+    Scale notes: picks are tiny (k rows) and cross the join as ONE
+    array row (r12, guide §2.4): the per-vector min distance is a
+    per-row ``array_min`` expression, so the whole audit is a single
+    map-side-combined global max — the old shape (k-way broadcast
+    cross then a min aggregation keyed by vector id) shuffled the
+    corpus once just to fold the k distances."""
     from ..functions.vectors import sqdist_q
 
     e = _quantized(embeddings, id_col)
-    picks = e.join(F.broadcast(pick_ids.select(id_col)), id_col).select(
-        F.col("qe").alias("p_qe")
+    picks = (
+        e.join(F.broadcast(pick_ids.select(id_col)), id_col)
+        .agg(F.collect_list(F.col("qe")).alias("_ps"))
+    )
+    mind = F.array_min(
+        F.transform(F.col("_ps"), lambda p: sqdist_q(F.col("qe"), p))
     )
     return (
         e.crossJoin(F.broadcast(picks))
-        .select(id_col, sqdist_q(F.col("qe"), F.col("p_qe")).alias("d"))
-        .groupBy(id_col)
-        .agg(F.min("d").alias("mind"))
+        .select(mind.alias("mind"))
         .agg(F.max("mind").cast("long").alias("cover_q"))
     )
 
