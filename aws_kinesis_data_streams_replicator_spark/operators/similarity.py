@@ -577,39 +577,43 @@ def pq_encode(
     Broadcast codebook join (n_sub·n_cent rows), argmin via one ranking
     window per (vector, subspace).
     """
-    subs = _quantized(embeddings, id_col).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                lambda s: F.slice(
-                    F.col("qe"),
-                    (s * (F.size("qe") / n_sub).cast("int")) + 1,
-                    (F.size("qe") / n_sub).cast("int"),
-                ),
-            )
-        ).alias("sub", "v_sub"),
+    # r12 (guide §2.4): the codebook crosses the join as ONE array row
+    # (sorted by (sub, code)) and the per-subspace argmin is a per-row
+    # expression — the old shape (subvector posexplode → broadcast
+    # codebook join → min(struct) aggregation keyed by (id, sub))
+    # shuffled N·n_sub rows of the corpus once per encode; this
+    # shuffles nothing.  array_min over struct(dist, code) keeps the
+    # exact (dist asc, code asc) tie rule.
+    q = _quantized(embeddings, id_col)
+    cbarr = codebooks.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sub"), F.col("code"), F.col("c_sub")))
+        ).alias("_cb")
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("v_sub"), F.col("c_sub"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
-        id_col, "sub", "code", dist.alias("_d")
-    )
-    # argmin via map-side-combinable min(struct(dist, code)) — struct
-    # ordering IS (dist asc, code asc), so the tie rule is preserved and
-    # the N·n_sub·n_cent scored rows reduce before the shuffle instead
-    # of being sorted per (vector, subspace) by a ranking window
-    return (
-        scored.groupBy(id_col, "sub")
-        .agg(
-            F.min(
-                F.struct(F.col("_d").alias("d"), F.col("code").alias("code"))
-            ).alias("_s")
+    sublen = (F.size("qe") / n_sub).cast("int")
+
+    def dist(c):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qe"), c["sub"] * sublen + 1, sublen),
+                c["c_sub"],
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
         )
-        .select(id_col, "sub", F.col("_s.code").alias("code"))
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.filter(F.col("_cb"), lambda c: c["sub"] == s),
+                lambda c: F.struct(dist(c).alias("d"), c["code"].alias("code")),
+            )
+        )["code"],
+    )
+    return q.crossJoin(F.broadcast(cbarr)).select(
+        id_col, F.posexplode(codes).alias("sub", "code")
     )
 
 
@@ -631,7 +635,12 @@ def pq_adc_topk(
     combined aggregation: no per-candidate vector math at all.  Exact
     integer arithmetic end-to-end ⇒ deterministic, oracle-checkable.
     """
-    cb = pq_codebooks(embeddings, n_sub, n_cent, id_col)
+    # 128-row lazy pin: the codebook feeds the encode's 1-row array AND
+    # the query LUT broadcast — unpinned, the seed TakeOrdered chain
+    # would execute once per consumer
+    cb = pq_codebooks(embeddings, n_sub, n_cent, id_col).localCheckpoint(
+        eager=False
+    )
     codes = pq_encode(embeddings, cb, n_sub, id_col)
     q_subs = _quantized(queries, id_col).select(
         F.col(id_col).alias("query_id"),

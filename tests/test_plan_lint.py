@@ -77,9 +77,13 @@ _BNLJ_OK = {
     "emb_ann_topk",  # fixture-scale brute-force baseline (documented)
     # IVF cell assignment is vectors × centroids with a BOUNDED build
     # side (|cells|, ≤ thousands at any corpus size) — a deliberate
-    # broadcast cross, not a join-key bug
+    # broadcast cross, not a join-key bug (since r12 the centroids
+    # cross as ONE array row feeding the per-row argmax expression)
     "emb_ann_ivf_topk",
     "emb_ann_ivf_kmeans_topk",
+    # PQ encode: the 1-row codebook-array cross (n_sub·n_cent bounded
+    # structs) behind the per-row per-subspace argmin — same rationale
+    "emb_ann_pq_topk",
     # (pipeline_corpus_curation_v8 moved to PLAN_BUILD_RUNS_JOBS in r12
     # — its per-stage discipline is covered by _STAGED_COMPOSITIONS)
     # the audit report: a chain of 1-row × 1-row summary crosses
