@@ -80,6 +80,51 @@ def check_rules(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     )
 
 
+def check_referential_multi(
+    fact: DataFrame, checks: list[tuple[str, DataFrame, str, str]]
+) -> DataFrame:
+    """Referential-integrity expectations for SEVERAL foreign keys of the
+    SAME fact table in ONE fact scan: each dimension's distinct keys are
+    broadcast LEFT-joined (independent probes over the same rows), then a
+    single aggregate counts null-probe rows per edge and a ``stack``
+    unpivots to one row per rule.  Semantically identical to unioning
+    per-edge ``check_referential`` results — but N independent FK checks
+    cost ONE pass over the fact instead of N (at 100 TB, N−1 saved
+    corpus scans).
+
+    ``checks``: list of ``(fact_key, dim, dim_key, rule_name)``.
+    """
+    # ordered dedup (a set literal would make column order — and so the
+    # plan fingerprint — depend on Python hash randomization)
+    probed = fact.select(*dict.fromkeys(fk for fk, _, _, _ in checks))
+    for i, (fk, dim, dk, _) in enumerate(checks):
+        dimk = dim.select(F.col(dk).alias(f"__dim_key_{i}")).distinct()
+        probed = probed.join(
+            F.broadcast(dimk),
+            F.col(fk) == F.col(f"__dim_key_{i}"),
+            "left",
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(F.when(F.col(f"__dim_key_{i}").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(f"v__{i}")
+        for i in range(len(checks))
+    ]
+    wide = probed.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', v__{i}" for i, (_, _, _, name) in enumerate(checks)
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(f"stack({len(checks)}, {stack}) AS (rule_name, n_violations)"),
+    ).select(
+        "rule_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+
+
 def check_referential(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, rule_name: str
 ) -> DataFrame:

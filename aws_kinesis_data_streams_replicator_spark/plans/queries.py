@@ -4583,6 +4583,11 @@ def doc_holdout_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_b",
         )
+        # labeled candidate pairs (4 skinny cols, band-bucket scale —
+        # the doc_neardup_rate_by_source pin class) feed BOTH the leaked
+        # set and the pair counts; unpinned, the whole MinHash-LSH pair
+        # generation runs twice
+        .localCheckpoint(eager=False)
     )
     leaked = (
         lab.where(F.col("ta") != F.col("tb"))
@@ -7689,11 +7694,11 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale).
 
     Scale notes (100 TB): ONE windowed pass over events builds the
-    |types|² transition matrix (bounded domain); the 8 iteration
-    rounds then run on ≤|types|-row frames — broadcast-scale joins
-    regardless of corpus size, the bounded-domain sibling of the
-    iterative PageRank operator (graph.py) which must shuffle real
-    vertex sets."""
+    |types|² transition matrix (bounded domain); the matrix is then a
+    documented bounded collect (≤|types|² rows regardless of corpus
+    size) and the 8 iteration rounds run driver-side in exact Python
+    ints — the bounded-domain sibling of the iterative PageRank
+    operator (graph.py) which must shuffle real vertex sets."""
     ROUNDS, SCALE = 8, 10**12
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = (
@@ -7707,51 +7712,57 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = s.groupBy(
         F.col("event_type").alias("f"), F.col("next_type").alias("t")
     ).agg(F.count(F.lit(1)).alias("n"))
-    t = t.localCheckpoint(eager=False)
-    r = t.groupBy("f").agg(F.sum("n").alias("rn"))
-    m = t.join(r, "f")  # (f, t, n, rn) — the bounded matrix
-    m = m.localCheckpoint(eager=False)
-    k = r.agg(F.count(F.lit(1)).alias("nt"))
-    v = r.crossJoin(F.broadcast(k)).select(
-        F.col("f").alias("ty"), F.expr(f"{SCALE} DIV nt").alias("v")
-    )
-    prev = None
+    # The distributed part ends at the |types|²-row transition matrix
+    # (event_type is a closed enum domain — the 25-row nation-map
+    # bounded-collect convention).  The 8 power-iteration rounds used
+    # to run as 8 chained join+agg stages over ≤|types|-row frames:
+    # ~33 tiny shuffles of pure orchestration.  The matrix is collected
+    # once and the rounds run driver-side in arbitrary-precision Python
+    # ints — per-term v·n DIV rn floors identically to the SQL form's
+    # DECIMAL(38,0) product (all terms non-negative), so the iterate is
+    # bit-exact against the unrolled oracle (the emb_mmr_diversified
+    # driver-side precedent, guide §5's dual: a bounded loop is DRIVER
+    # work, not cluster work).
+    mat = t.collect()  # ≤ |types|² rows
+    rn: dict = {}
+    for row in mat:
+        rn[row["f"]] = rn.get(row["f"], 0) + row["n"]
+    nt = len(rn)
+    v = {f: SCALE // nt for f in rn} if nt else {}
+    prev = v
     for _ in range(ROUNDS):
         prev = v
-        # v·c in DECIMAL(38,0): v ≈ 10¹² and c is a raw transition
-        # count, so int64 would wrap beyond ~9·10⁶-row matrices
-        # (the _IW_RATIO_SQL convention; the oracle CASTs the same
-        # product to HUGEINT explicitly — DuckDB raises on BIGINT
-        # multiply overflow, it does not auto-promote)
-        v = (
-            v.join(m, v.ty == m.f)
-            .groupBy(F.col("t").alias("ty2"))
-            .agg(
-                F.sum(
-                    F.expr(
-                        "CAST(CAST(v AS DECIMAL(38,0)) * n DIV rn "
-                        "AS BIGINT)"
-                    )
-                ).alias("v")
-            )
-            .select(F.col("ty2").alias("ty"), "v")
+        nxt: dict = {}
+        for row in mat:
+            f = row["f"]
+            if f in v:
+                nxt[row["t"]] = (
+                    nxt.get(row["t"], 0) + (v[f] * row["n"]) // rn[f]
+                )
+        v = nxt
+    sv = sum(v.values())
+    out = [
+        (ty, v[ty], v[ty] * 1_000_000 // sv, abs(v[ty] - prev[ty]))
+        for ty in sorted(v)
+        if ty in prev  # the SQL form's inner join against v_{rounds-1}
+    ]
+    # inline VALUES, not createDataFrame(list): parallelizing a local
+    # list spawns Python workers per partition (the repo's recorded
+    # pathology); a VALUES relation is pure JVM
+    if not out:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS event_type, "
+            "CAST(NULL AS BIGINT) AS v_scaled, "
+            "CAST(NULL AS BIGINT) AS stationary_ppm, "
+            "CAST(NULL AS BIGINT) AS delta_last_round WHERE false"
         )
-    sv = v.agg(F.sum("v").alias("sv"))
-    return (
-        v.join(
-            prev.select(F.col("ty"), F.col("v").alias("v_prev")), "ty"
-        )
-        .crossJoin(F.broadcast(sv))
-        .select(
-            F.col("ty").alias("event_type"),
-            F.col("v").cast("long").alias("v_scaled"),
-            F.expr("CAST(v * 1000000 DIV sv AS BIGINT)").alias(
-                "stationary_ppm"
-            ),
-            F.abs(F.col("v") - F.col("v_prev"))
-            .cast("long")
-            .alias("delta_last_round"),
-        )
+    rows = ", ".join(
+        "('{}', {}L, {}L, {}L)".format(ty.replace("'", "''"), a, b, c)
+        for ty, a, b, c in out
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {rows} AS "
+        "t(event_type, v_scaled, stationary_ppm, delta_last_round)"
     )
 
 
@@ -13344,34 +13355,57 @@ def emb_power_iteration_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_referential_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-schema referential-integrity suite: every foreign key of
-    the star schema audited in one result (operators/profiling.py:
-    check_referential per edge — each edge is ONE fact scan with a
-    broadcast anti-probe, unioned).  The pre-ingest gate for a 100 TB
-    warehouse load; note lineitem is probed three times because three
-    INDEPENDENT dimensions are checked — each probe prunes to the one
-    key column at the scan."""
-    from ..operators.profiling import check_referential
+    the star schema audited in one result (operators/profiling.py).
+    The pre-ingest gate for a 100 TB warehouse load.  The three
+    INDEPENDENT lineitem edges share ONE fact scan
+    (check_referential_multi: three broadcast probes over the same
+    rows + one aggregate) — probing the fact once per edge would cost
+    two extra corpus scans for identical output."""
+    from ..operators.profiling import check_referential, check_referential_multi
 
-    edges = [
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ]
+    li = check_referential_multi(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            (
+                "l_orderkey",
+                _t(spark, sf_dir, "orders"),
+                "o_orderkey",
+                "lineitem.l_orderkey->orders",
+            ),
+            (
+                "l_partkey",
+                _t(spark, sf_dir, "part"),
+                "p_partkey",
+                "lineitem.l_partkey->part",
+            ),
+            (
+                "l_suppkey",
+                _t(spark, sf_dir, "supplier"),
+                "s_suppkey",
+                "lineitem.l_suppkey->supplier",
+            ),
+        ],
+    )
     parts = [
         check_referential(
-            _t(spark, sf_dir, f),
-            fk,
-            _t(spark, sf_dir, d),
-            dk,
-            f"{f}.{fk}->{d}",
-        ).select("rule_name", "n_rows", "n_violations")
-        for f, fk, d, dk in edges
+            _t(spark, sf_dir, "orders"),
+            "o_custkey",
+            _t(spark, sf_dir, "customer"),
+            "c_custkey",
+            "orders.o_custkey->customer",
+        ),
+        li,
+        check_referential(
+            _t(spark, sf_dir, "customer"),
+            "c_nationkey",
+            _t(spark, sf_dir, "nation"),
+            "n_nationkey",
+            "customer.c_nationkey->nation",
+        ),
     ]
-    out = parts[0]
+    out = parts[0].select("rule_name", "n_rows", "n_violations")
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p.select("rule_name", "n_rows", "n_violations"))
     return out
 
 
@@ -20346,6 +20380,10 @@ def doc_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(sum(sum_ratio_bp) DIV sum(n_tokens) AS BIGINT)"
             ).alias("score_bp"),
         )
+        # bounded |lang|×|source| rollup read by BOTH the budget total
+        # and the cumulative walk — without the pin each consumer
+        # replays the whole per-doc importance chain (2 corpus passes)
+        .localCheckpoint(eager=False)
     )
     btot = bstr.agg(
         F.expr(
@@ -20970,5 +21008,11 @@ PLAN_BUILD_RUNS_JOBS = frozenset(
         # on the broadcast form — see kcenter_coreset's docstring.)
         "emb_mmr_diversified_topk",
         "pipeline_corpus_curation_v8",
+        # r12 optimization: the 8 power-iteration rounds run driver-side
+        # on the collected ≤|types|²-row transition matrix (bounded enum
+        # domain — the nation-map collect convention); construction runs
+        # the matrix job.  Was 33 shuffles / 29 scans of orchestration
+        # for ≤|types|-row frames.
+        "evt_markov_stationary",
     }
 )
