@@ -62,12 +62,17 @@ def check_rules(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """Expectation suite: ``{rule_name: boolean SQL}`` → one row per rule
     with violation count and a pass flag.  All rules evaluate in a single
     scan (each is a summed CASE over the same rows)."""
+    if not rules:
+        raise ValueError("check_rules: rules must be non-empty")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
         F.sum((~F.expr(sql_pred)).cast("long")).cast("long").alias(f"v__{name}")
         for name, sql_pred in rules.items()
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', v__{name}" for name in rules)
+    stack = ", ".join(
+        "'{}', v__{}".format(name.replace("'", "''"), name)
+        for name in rules
+    )
     out = wide.select(
         "n_rows",
         F.expr(f"stack({len(rules)}, {stack}) AS (rule_name, n_violations)"),
@@ -94,6 +99,9 @@ def check_referential_multi(
 
     ``checks``: list of ``(fact_key, dim, dim_key, rule_name)``.
     """
+    if not checks:
+        # stack(0, ) is invalid SQL — fail here with a real message
+        raise ValueError("check_referential_multi: checks must be non-empty")
     # ordered dedup (a set literal would make column order — and so the
     # plan fingerprint — depend on Python hash randomization)
     probed = fact.select(*dict.fromkeys(fk for fk, _, _, _ in checks))
@@ -111,8 +119,11 @@ def check_referential_multi(
         for i in range(len(checks))
     ]
     wide = probed.agg(*aggs)
+    # rule names are caller literals, but escape anyway (r12 ADVICE):
+    # a quote in a name must not break — or inject into — the stack()
     stack = ", ".join(
-        f"'{name}', v__{i}" for i, (_, _, _, name) in enumerate(checks)
+        "'{}', v__{}".format(name.replace("'", "''"), i)
+        for i, (_, _, _, name) in enumerate(checks)
     )
     return wide.select(
         "n_rows",

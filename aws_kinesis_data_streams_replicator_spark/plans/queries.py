@@ -7707,7 +7707,13 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.lead("event_type").over(w).alias("next_type"),
         )
-        .where(F.col("next_type").isNotNull())
+        # event_type NULL-guard (r12 ADVICE): the SQL form drops NULL
+        # source types via join equality; the driver loop must not
+        # treat None as a joinable key.  Fixture has zero NULLs, so
+        # results are unchanged — this pins the join semantics.
+        .where(
+            F.col("next_type").isNotNull() & F.col("event_type").isNotNull()
+        )
     )
     t = s.groupBy(
         F.col("event_type").alias("f"), F.col("next_type").alias("t")
@@ -7757,7 +7763,11 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS BIGINT) AS delta_last_round WHERE false"
         )
     rows = ", ".join(
-        "('{}', {}L, {}L, {}L)".format(ty.replace("'", "''"), a, b, c)
+        # escape backslashes BEFORE quotes (r12 ADVICE): Spark string
+        # literals interpret backslash escapes by default
+        "('{}', {}L, {}L, {}L)".format(
+            ty.replace("\\", "\\\\").replace("'", "''"), a, b, c
+        )
         for ty, a, b, c in out
     )
     return spark.sql(

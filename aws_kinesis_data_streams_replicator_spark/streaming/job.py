@@ -26,6 +26,7 @@ from .sinks import (  # noqa: F401
     read_checkpoint_table,
     replicated_exactly_once,
     upsert_checkpoint,
+    upsert_checkpoint_rows,
 )
 
 
@@ -42,7 +43,20 @@ def run_replication_stream(
     """``exactly_once=True`` writes each micro-batch into its own
     ``batch_id=N`` partition (idempotent under WAL replay) — available
     because the file target can overwrite; the default append mode
-    mirrors the reference's at-least-once Kinesis PutRecord contract."""
+    mirrors the reference's at-least-once Kinesis PutRecord contract.
+
+    Per-trigger cost (the hot path at any scale): ONE Spark job.  The
+    per-stream checkpoint maxes ride the replication write itself as
+    ``Observation`` conditional aggregates — one ``max(CASE WHEN
+    streamName = s THEN commitTimestamp END)`` per configured stream
+    (the stream set is control-plane metadata, collected once at stream
+    start) — so the old shape's ``persist`` + second aggregate job per
+    micro-batch is gone.  A stream that appears in a refreshed config
+    AFTER start is caught by an unknown-row counter in the same pass
+    and falls back to the exact per-batch aggregation (rare path,
+    semantics unchanged)."""
+    from pyspark.sql import Observation
+
     gated = replication.gate_active_region(
         replication.with_decoded(envelope_stream), config, current_region
     )
@@ -51,30 +65,80 @@ def run_replication_stream(
         F.count(F.lit(1)).alias("n_records"),
         F.max("approximateArrivalTimestamp").alias("last_arrival"),
     )
+    # one bounded control-plane collect at stream START (not per trigger):
+    # the configured stream names, in stable order for the agg aliases
+    known_streams = sorted(
+        r["streamName"]
+        for r in replication.prepare_config(config)
+        .select("streamName")
+        .collect()
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        two_writes = dead_letter_dir is not None
+        if two_writes:
+            # dead-letter mode consumes the batch twice (bad + good
+            # writes) — the persist still pays for itself there
+            batch_df = batch_df.persist()
         try:
             good = batch_df.where(F.col("commitTimestamp").isNotNull())
-            bad = batch_df.where(F.col("commitTimestamp").isNull())
-            if dead_letter_dir is not None:
+            if two_writes:
                 # Malformed payloads: the reference aborts the batch and
                 # retries forever (Handler.java:90-93); a poison message
                 # would wedge the stream, so the engine dead-letters it
                 # instead (documented deviation — at-least-once is kept
                 # for well-formed records either way).
+                bad = batch_df.where(F.col("commitTimestamp").isNull())
                 bad.write.mode("append").parquet(dead_letter_dir)
                 repl = good
             else:
+                # max() ignores the NULL commitTimestamps of malformed
+                # rows, so observing the un-split batch equals
+                # checkpoint(good) exactly
                 repl = batch_df
-            out = replication.replicated_records(repl)
+            obs = Observation()
+            aggs = [
+                F.max(
+                    F.when(F.col("streamName") == s, F.col("commitTimestamp"))
+                ).alias(f"cts_{i}")
+                for i, s in enumerate(known_streams)
+            ]
+            unknown = (
+                ~F.col("streamName").isin(known_streams)
+                if known_streams
+                else F.lit(True)
+            )
+            aggs.append(F.sum(unknown.cast("int")).alias("n_unknown"))
+            out = replication.replicated_records(repl.observe(obs, *aggs))
             if exactly_once:
                 replicated_exactly_once(out, replicated_dir, batch_id)
             else:
                 append_replicated(out, replicated_dir)
-            upsert_checkpoint(replication.checkpoint(good), checkpoint_table_dir)
+            got = obs.get  # blocks-free: the write action above finished
+            incoming = {
+                s: got[f"cts_{i}"]
+                for i, s in enumerate(known_streams)
+                if got[f"cts_{i}"] is not None
+            }
+            if got["n_unknown"]:
+                # config refreshed mid-run admitted a stream unseen at
+                # start: exact fallback aggregation for just those rows
+                extra = good
+                if known_streams:
+                    extra = good.where(
+                        ~F.col("streamName").isin(known_streams)
+                    )
+                for r in replication.checkpoint(extra).collect():
+                    t = r["lastReplicatedCommitTimestamp"]
+                    s = r["streamName"]
+                    if t is not None and (
+                        s not in incoming or t > incoming[s]
+                    ):
+                        incoming[s] = t
+            upsert_checkpoint_rows(incoming, checkpoint_table_dir)
         finally:
-            batch_df.unpersist()
+            if two_writes:
+                batch_df.unpersist()
 
     return (
         observed.writeStream.foreachBatch(process_batch)

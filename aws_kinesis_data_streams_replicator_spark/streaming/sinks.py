@@ -123,6 +123,14 @@ def upsert_checkpoint(batch_checkpoint: DataFrame, table_dir: str) -> None:
         s, t = r["streamName"], r["lastReplicatedCommitTimestamp"]
         if t is not None and (s not in incoming or t > incoming[s]):
             incoming[s] = t
+    upsert_checkpoint_rows(incoming, table_dir)
+
+
+def upsert_checkpoint_rows(incoming: dict[str, str], table_dir: str) -> None:
+    """Dict-based twin of :func:`upsert_checkpoint` — for callers that
+    already hold the per-stream maxes driver-side (the streaming job
+    computes them as Observation aggregates riding the replication
+    write), so committing the checkpoint costs zero Spark jobs."""
     merged = _read_checkpoint_rows(table_dir)
     for s, t in incoming.items():
         if s not in merged or t > merged[s]:

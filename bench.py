@@ -72,6 +72,31 @@ def _plan_hash(df) -> str:
     return hashlib.md5(norm.encode()).hexdigest()[:16]
 
 
+def _prev_compact_keys() -> set[str]:
+    """Query names in the LATEST committed BENCH_r*.json compact map.
+    The driver diffs per-query timings round-over-round from that map, so
+    this round's map must carry every one of them forward (plus its own
+    top-N) or the diff reports phantom "dropped_from_bench" entries."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, keys = -1, set()
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best:
+            continue
+        try:
+            with open(p) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            qs = parsed.get("queries") or {}
+        except (OSError, ValueError):
+            continue
+        if qs:
+            best, keys = int(m.group(1)), set(qs)
+    return keys
+
+
 def run_query(
     fn, spark, sf_dir: str, ref_sec: float | None = None
 ) -> tuple[float, int]:
@@ -385,25 +410,50 @@ def main() -> None:
     except OSError as e:  # bench numbers still printed; artifact is extra
         print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
     # FINAL stdout line: a compact summary that fits entirely inside the
-    # driver's ~2000-char tail capture (the full payload line above is
-    # ~40 KB and truncates mid-JSON — BENCH_r10.json came back with
-    # parsed:null).  Top-25-by-cost timings only; everything else is in
-    # BENCH_FULL.json.
-    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
-    compact = {
-        "metric": "total_seconds_all_queries",
-        "value": round(total, 3),
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries": {k: round(v, 3) for k, v in top.items()},
-        "queries_note": "top 25 by cost; all %d in BENCH_FULL.json"
-        % len(timings),
-        "streaming_records_per_sec": stream_rps,
-        "streaming_eos_records_per_sec": eos_rps,
-        "streaming_floor_ok": floor_ok,
-    }
-    print(json.dumps(compact))
+    # driver's tail capture, which is EXACTLY 2000 chars (every committed
+    # BENCH_r*.json tail is 2000 chars; the r10 full-payload line, ~40 KB,
+    # came back parsed:null because the line's head fell outside the
+    # window).  The r12 VERDICT asked for ALL per-query timings here, but
+    # 347 entries are ~10 KB raw / ~5.1 KB zlib+b64 — either form would
+    # reproduce the r10 truncation and null the whole artifact.  What CAN
+    # be guaranteed inside the window: a map that is a SUPERSET of the
+    # previous round's compact map, so every query the driver priced last
+    # round gets a now-timing and the PERF diff shows zero phantom
+    # "dropped_from_bench" entries.  Assemble top-40-by-cost ∪ previous
+    # round's compact keys (40 + carryover fits ~1700 chars measured),
+    # then trim lowest-cost non-carryover entries if (and only if) the
+    # line would overflow the 2000-char window.
+    carry = _prev_compact_keys()
+    names = sorted(
+        set(list(dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40]))
+            + [k for k in carry if k in timings]),
+        key=lambda k: -timings[k],
+    )
+
+    def _compact_line(selected: list[str]) -> str:
+        compact = {
+            "metric": "total_seconds_all_queries",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": {k: round(timings[k], 3) for k in selected},
+            "queries_note": "top-40 + prev-round map (%d of %d; all in "
+            "BENCH_FULL.json)" % (len(selected), len(timings)),
+            "streaming_records_per_sec": stream_rps,
+            "streaming_eos_records_per_sec": eos_rps,
+            "streaming_floor_ok": floor_ok,
+        }
+        return json.dumps(compact)
+
+    line = _compact_line(names)
+    while len(line) > 1900 and names:
+        droppable = [k for k in reversed(names) if k not in carry]
+        if not droppable:
+            droppable = [names[-1]]  # overflow even on carryover: trim tail
+        names.remove(droppable[0])
+        line = _compact_line(names)
+    print(line)
     if not floor_ok:
         print(
             f"bench: STREAMING FLOOR VIOLATED at sf={sf}: "
